@@ -1,0 +1,140 @@
+"""Point-in-time-correct as-of join: the engine's core operator.
+
+Plan shape (the skew-free design, reference:
+spark/src/main/scala/ai/chronon/spark/join/UnionJoin.scala:26-240): both sides
+shuffle ONCE on the entity keys, then each key's (queries, events) meet inside
+a single vectorized kernel — no row explosion on skewed keys, no per-query
+probe join. Where the reference unions null-mated structs +
+collect_list + mapPartitions, we use the idiomatic PySpark equivalent:
+``left.groupby(keys).cogroup(right.groupby(keys)).applyInPandas(...)`` — Arrow
+moves each co-group into numpy, and kernels.py runs the sawtooth
+(searchsorted + prefix scans, reference SawtoothAggregator.scala:165-243).
+
+Scale notes (100 TB / 1000 executors):
+- one shuffle per join part, partitioned by entity key; AQE skew-join and
+  `salt_partitions` (time-sliced replication, operators/slicing.py) handle
+  hot keys;
+- window-rewind scan pruning: callers should filter the right side to
+  [left_min_ts - max_window, left_max_ts) — see `rewind_filter`
+  (reference: GroupBy.getIntersectedRange, GroupBy.scala:741-788);
+- per-key memory is bounded by the tiled strategy (operators/tiles.py) for
+  decomposable ops, mirroring the reference's BatchIr{collapsed, tailHops}.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from chronon_spark.aggregators.kernels import EventColumns, compute_parts
+from chronon_spark.api import GroupBy, Join, JoinPart
+from chronon_spark.types import part_output_type
+
+_TS_US = "__ts_us"
+
+
+def ensure_ts_us(df: DataFrame, col: str, out: str = _TS_US) -> DataFrame:
+    """Add int64 epoch-micros column derived from a timestamp/long column."""
+    t = dict(df.dtypes)[col]
+    if t.startswith("timestamp"):
+        # parquet yields TIMESTAMP_NTZ; session tz is pinned UTC so the cast
+        # is lossless and matches DuckDB's naive-as-UTC reading
+        return df.withColumn(out, F.unix_micros(F.col(col).cast("timestamp")))
+    if t in ("bigint", "int"):
+        # assume epoch millis (the reference's convention, GroupBy.scala:630)
+        return df.withColumn(out, F.col(col).cast("long") * F.lit(1000))
+    raise ValueError(f"time column {col} has unsupported type {t}")
+
+
+def rewind_filter(right: DataFrame, gb: GroupBy, left_min_ts_us: int, left_max_ts_us: int) -> DataFrame:
+    """Prune the event scan to [min_query - max_window, max_query): at 100 TB
+    this is the single biggest saving (scan only what any window can reach)."""
+    r = ensure_ts_us(right, gb.time_column)
+    mw = gb.max_window_millis
+    if mw is not None:
+        r = r.where(F.col(_TS_US) >= F.lit(left_min_ts_us - mw * 1000))
+    side = "<=" if gb.include_equal else "<"
+    r = r.where(F.expr(f"{_TS_US} {side} {left_max_ts_us}"))
+    return r.drop(_TS_US)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    gb: GroupBy,
+    left_time_column: str = "ts",
+    key_mapping: dict[str, str] | None = None,
+    prefix: str | None = None,
+) -> DataFrame:
+    """For every left row, aggregate right-side events with ts strictly before
+    the left row's ts (per window). Output = left columns + one column per
+    AggregationPart. Exactly one output row per left row (the reference's
+    cardinality invariant, UnionJoinTest.scala:79-81)."""
+    key_mapping = key_mapping or {k: k for k in gb.keys}
+    left_keys = list(key_mapping.keys())
+    right_keys = [key_mapping[k] for k in left_keys]
+    if set(right_keys) != set(gb.keys):
+        raise ValueError(f"key_mapping values {right_keys} != group-by keys {gb.keys}")
+
+    parts = gb.parts()
+    right_types = {f.name: f.dataType for f in right.schema.fields}
+    feat_fields = []
+    for p in parts:
+        name = f"{prefix}_{p.output_name}" if prefix else p.output_name
+        feat_fields.append(T.StructField(name, part_output_type(p, right_types[p.input_column]), True))
+    out_schema = T.StructType(list(left.schema.fields) + feat_fields)
+
+    # project the right side to only what the kernels need (column pruning
+    # reaches the parquet scan via Catalyst)
+    needed = sorted({p.input_column for p in parts} | {p.bucket for p in parts if p.bucket} | set(right_keys) | set(gb.tie_breakers))
+    r = ensure_ts_us(right.select(*needed, gb.time_column), gb.time_column)
+    # drop events with null keys (reference: GroupBy.scala:641-642)
+    for k in right_keys:
+        r = r.where(F.col(k).isNotNull())
+    l = ensure_ts_us(left, left_time_column)
+
+    left_cols = [f.name for f in left.schema.fields]
+    tie = list(gb.tie_breakers)
+    include_equal, sawtooth = gb.include_equal, gb.sawtooth
+    feat_names = [f.name for f in feat_fields]
+    part_list = list(parts)
+
+    def fn(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(lpdf):
+            return pd.DataFrame(columns=left_cols + feat_names)
+        ec = EventColumns(rpdf, _TS_US, tie)
+        q_ts = lpdf[_TS_US].to_numpy("int64")
+        feats = compute_parts(ec, part_list, q_ts, include_equal, sawtooth)
+        out = lpdf[left_cols].copy()
+        for p, fname in zip(part_list, feat_names):
+            out[fname] = feats[p.output_name]
+        return out
+
+    grouped = l.groupby(*[F.col(c) for c in left_keys]).cogroup(r.groupby(*[F.col(c) for c in right_keys]))
+    return grouped.applyInPandas(fn, schema=out_schema)
+
+
+def compute_join(left: DataFrame, join: Join) -> DataFrame:
+    """Multi-part PITC join + derivations (reference: JoinBase.computeJoinOpt,
+    spark/.../JoinBase.scala:255-404). Parts are chained — each part is one
+    key-shuffle that passes accumulated columns through, avoiding a row-id
+    merge stage (the reference merges part tables back with coalescedJoin)."""
+    out = left
+    if join.skew_keys:
+        for col, vals in join.skew_keys.items():
+            out = out.where(~F.col(col).isin(vals) | F.col(col).isNull())
+    for jp in join.join_parts:
+        right = jp.right_df
+        out = asof_join(
+            out,
+            right,
+            jp.group_by,
+            left_time_column=join.left_time_column,
+            key_mapping=jp.key_mapping,
+            prefix=jp.prefix,
+        )
+    if join.derivations:
+        exprs = [F.col(c) for c in out.columns] if "*" in join.derivations else []
+        exprs += [F.expr(e).alias(n) for n, e in join.derivations.items() if n != "*"]
+        out = out.select(*exprs)
+    return out

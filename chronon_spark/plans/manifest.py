@@ -1,0 +1,96 @@
+"""Checkpoint-resumable partitioned backfill with per-partition lineage
+manifests + per-stage metrics (north rule requirement).
+
+Port of the reference's incremental-fill semantics (unfilledRanges,
+catalog/TableUtils.scala:403-499; stepDays splitting JoinBase.scala:347-368)
+re-expressed as: one manifest JSON per output `ds` partition; a rerun
+computes only partitions without a manifest. Each manifest records input
+lineage (paths, row counts, scan range) and stage metrics, so a partition is
+auditable and the whole run is resumable after a kill at any point —
+partition output is written before its manifest (manifest = commit marker).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import SparkSession, functions as F
+
+from chronon_spark.api import GroupBy
+from chronon_spark.operators.asof_join import asof_join
+
+ENGINE_VERSION = "0.1.0"
+
+
+def unfilled_partitions(all_parts: list[str], checkpoint_dir: str) -> list[str]:
+    done = set()
+    if os.path.isdir(checkpoint_dir):
+        done = {f[:-5] for f in os.listdir(checkpoint_dir) if f.endswith(".json")}
+    return [p for p in all_parts if p not in done]
+
+
+def run_partitioned_backfill(
+    spark: SparkSession,
+    events_path: str,
+    queries_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    gb: GroupBy,
+    left_time_column: str = "ts",
+) -> dict:
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    events = spark.read.parquet(events_path)
+    queries = spark.read.parquet(queries_path)
+    if "ds" not in queries.columns:
+        queries = queries.withColumn("ds", F.date_format(left_time_column, "yyyy-MM-dd"))
+    all_parts = [r[0] for r in queries.select("ds").distinct().orderBy("ds").collect()]
+    todo = unfilled_partitions(all_parts, checkpoint_dir)
+    skipped = len(all_parts) - len(todo)
+    total_out = 0
+    mw_ms = gb.max_window_millis
+    for ds in todo:
+        t0 = time.time()
+        q_part = queries.where(F.col("ds") == ds)
+        # window-rewind scan pruning: only events any window can reach
+        # (reference: GroupBy.getIntersectedRange, GroupBy.scala:741-788)
+        ev = events
+        if mw_ms is not None:
+            lo = F.to_timestamp(F.lit(ds)) - F.expr(f"INTERVAL {mw_ms // 1000} SECOND")
+            ev = ev.where(F.col(gb.time_column) >= lo)
+        hi = F.date_add(F.to_timestamp(F.lit(ds)), 1).cast("timestamp")
+        ev = ev.where(F.col(gb.time_column) < hi)
+        out = asof_join(q_part, ev, gb, left_time_column=left_time_column)
+        part_path = os.path.join(out_path, f"ds={ds}")
+        out.write.mode("overwrite").parquet(part_path)
+        n_out = spark.read.parquet(part_path).count()
+        total_out += n_out
+        manifest = {
+            "ds": ds,
+            "engine_version": ENGINE_VERSION,
+            "inputs": {
+                "events": {"path": events_path, "scan_max_exclusive": f"{ds}+1d",
+                           "rewind_ms": mw_ms},
+                "queries": {"path": queries_path, "rows": q_part.count()},
+            },
+            "output": {"path": part_path, "rows": n_out},
+            "group_by": {
+                "keys": gb.keys,
+                "parts": [p.output_name for p in gb.parts()],
+                "include_equal": gb.include_equal,
+                "sawtooth": gb.sawtooth,
+            },
+            "stage_metrics": {"wall_sec": round(time.time() - t0, 3)},
+            "completed_at_unix": int(time.time()),
+        }
+        tmp = os.path.join(checkpoint_dir, f".{ds}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, os.path.join(checkpoint_dir, f"{ds}.json"))
+    return {
+        "partitions_total": len(all_parts),
+        "partitions_computed": len(todo),
+        "partitions_skipped_resume": skipped,
+        "rows_out": total_out,
+    }

@@ -1,0 +1,39 @@
+"""Output schema derivation for AggregationParts.
+
+The reference maintains a parallel type system (api/.../DataType.scala:226-307);
+we derive everything from pyspark.sql.types directly — schemas flow from the
+input table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from chronon_spark.api import AggregationPart, Op
+
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.BooleanType)
+
+
+def part_output_type(part: AggregationPart, input_type: T.DataType) -> T.DataType:
+    if isinstance(input_type, T.ArrayType):  # auto-exploded vector input
+        input_type = input_type.elementType
+    op = part.op
+    if op in (Op.COUNT, Op.UNIQUE_COUNT, Op.APPROX_UNIQUE_COUNT):
+        base: T.DataType = T.LongType()
+    elif op == Op.SUM:
+        base = T.LongType() if isinstance(input_type, _INTEGRAL) else T.DoubleType()
+    elif op in (Op.AVERAGE, Op.VARIANCE, Op.SKEW, Op.KURTOSIS):
+        base = T.DoubleType()
+    elif op in (Op.MIN, Op.MAX, Op.FIRST, Op.LAST):
+        base = input_type
+    elif op in (Op.FIRST_K, Op.LAST_K, Op.TOP_K, Op.BOTTOM_K):
+        base = T.ArrayType(input_type)
+    elif op == Op.HISTOGRAM:
+        base = T.MapType(T.StringType(), T.LongType())
+    elif op == Op.APPROX_PERCENTILE:
+        base = T.ArrayType(T.DoubleType())
+    else:
+        raise NotImplementedError(f"op {op}")
+    if part.bucket:
+        base = T.MapType(T.StringType(), base)
+    return base

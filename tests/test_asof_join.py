@@ -1,0 +1,203 @@
+"""Engine vs brute-force oracle on synthetic transcripts — the
+fetcher-consistency-style gate (SURVEY.md §5.4): allclose at every
+conv_id × ts, strict ts' < ts, stable (ts, turn_idx) ordering."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from chronon_spark.api import Accuracy, Aggregation, GroupBy, Join, JoinPart, Op, Window
+from chronon_spark.operators.asof_join import asof_join, compute_join
+from chronon_spark.sources.synth import synth_queries, synth_transcripts
+from tests.oracle import assert_frames_allclose, naive_features
+
+N_EVENTS, N_CONVS, N_QUERIES = 4000, 40, 300
+
+
+@pytest.fixture(scope="module")
+def data():
+    ev = synth_transcripts(n_rows=N_EVENTS, n_convs=N_CONVS)
+    q = synth_queries(ev, n_queries=N_QUERIES).head(N_QUERIES)
+    return ev, q
+
+
+def _run(spark, ev, q, gb, **kw):
+    got = asof_join(spark.createDataFrame(q), spark.createDataFrame(ev), gb, **kw).toPandas()
+    want = naive_features(ev, q, gb, key_mapping=kw.get("key_mapping"))
+    assert_frames_allclose(got, want, sort_by=["query_id"])
+
+
+def test_headline_ops(spark, data):
+    """North-rule headline: count, sum, last_k over multiple windows."""
+    ev, q = data
+    gb = GroupBy(
+        keys=["conv_id"],
+        aggregations=[
+            Aggregation("turn_idx", Op.COUNT, windows=("7d", "1h", None)),
+            Aggregation("n_chars", Op.SUM, windows=("7d",)),
+            Aggregation("text", Op.LAST_K, windows=("2d",), k=5),
+        ],
+        tie_breakers=["turn_idx"],
+    )
+    _run(spark, ev, q, gb)
+
+
+def test_numeric_breadth(spark, data):
+    ev, q = data
+    gb = GroupBy(
+        keys=["conv_id"],
+        aggregations=[
+            Aggregation("n_chars", Op.AVERAGE, windows=("3d",)),
+            Aggregation("n_chars", Op.MIN, windows=("3d",)),
+            Aggregation("n_chars", Op.MAX, windows=("3d",)),
+            Aggregation("n_chars", Op.VARIANCE, windows=("7d",)),
+            Aggregation("n_chars", Op.SKEW, windows=("7d",)),
+            Aggregation("n_chars", Op.KURTOSIS, windows=("7d",)),
+            Aggregation("n_chars", Op.APPROX_PERCENTILE, windows=("7d",), percentiles=(0.25, 0.5, 0.9)),
+        ],
+        tie_breakers=["turn_idx"],
+    )
+    _run(spark, ev, q, gb)
+
+
+def test_order_and_k_ops(spark, data):
+    ev, q = data
+    gb = GroupBy(
+        keys=["conv_id"],
+        aggregations=[
+            Aggregation("text", Op.FIRST, windows=("5d",)),
+            Aggregation("text", Op.LAST, windows=("5d",)),
+            Aggregation("text", Op.FIRST_K, windows=("5d",), k=3),
+            Aggregation("n_chars", Op.TOP_K, windows=("5d",), k=4),
+            Aggregation("n_chars", Op.BOTTOM_K, windows=("5d",), k=4),
+        ],
+        tie_breakers=["turn_idx"],
+    )
+    _run(spark, ev, q, gb)
+
+
+def test_categorical_ops(spark, data):
+    ev, q = data
+    gb = GroupBy(
+        keys=["conv_id"],
+        aggregations=[
+            Aggregation("role", Op.HISTOGRAM, windows=("7d",)),
+            Aggregation("role", Op.UNIQUE_COUNT, windows=("7d",)),
+            Aggregation("tool", Op.UNIQUE_COUNT, windows=(None,)),
+        ],
+        tie_breakers=["turn_idx"],
+    )
+    _run(spark, ev, q, gb)
+
+
+def test_buckets(spark, data):
+    ev, q = data
+    gb = GroupBy(
+        keys=["conv_id"],
+        aggregations=[
+            Aggregation("n_chars", Op.SUM, windows=("7d",), buckets=("role",)),
+            Aggregation("turn_idx", Op.COUNT, windows=("7d",), buckets=("role",)),
+        ],
+        tie_breakers=["turn_idx"],
+    )
+    _run(spark, ev, q, gb)
+
+
+def test_include_equal_boundary(spark, data):
+    """Reference-batch `<=` boundary (SawtoothAggregatorTest.scala:177-236):
+    queries with ts == an event ts must include that event iff include_equal."""
+    ev, q = data
+    boundary_q = ev[["conv_id", "ts"]].head(50).copy()
+    boundary_q["query_id"] = [f"b{i}" for i in range(len(boundary_q))]
+    boundary_q["ds"] = boundary_q["ts"].dt.strftime("%Y-%m-%d")
+    for include in (False, True):
+        gb = GroupBy(
+            keys=["conv_id"],
+            aggregations=[Aggregation("turn_idx", Op.COUNT, windows=("1d",))],
+            tie_breakers=["turn_idx"],
+            include_equal=include,
+        )
+        _run(spark, ev, boundary_q, gb)
+
+
+def test_sawtooth_mode(spark, data):
+    """Hop-rounded window tails (reference Resolution.scala:38-63)."""
+    ev, q = data
+    gb = GroupBy(
+        keys=["conv_id"],
+        aggregations=[Aggregation("turn_idx", Op.COUNT, windows=("13d", "13h", "30m"))],
+        tie_breakers=["turn_idx"],
+        sawtooth=True,
+    )
+    _run(spark, ev, q, gb)
+
+
+def test_zero_temporal_leakage(spark, data):
+    """Every contributing event is strictly earlier: verify with last_k of a
+    text that encodes its own turn — crosscheck by recomputing cutoffs."""
+    ev, q = data
+    gb = GroupBy(
+        keys=["conv_id"],
+        aggregations=[Aggregation("text", Op.LAST_K, windows=(None,), k=1)],
+        tie_breakers=["turn_idx"],
+    )
+    feat = gb.parts()[0].output_name
+    got = asof_join(
+        spark.createDataFrame(q), spark.createDataFrame(ev), gb
+    ).toPandas()
+    ev_idx = ev.set_index(["conv_id", "text"])["ts"]
+    checked = 0
+    for _, r in got.iterrows():
+        lk = r[feat]
+        if lk:
+            t_ev = ev_idx.loc[(r["conv_id"], lk[0])]
+            t_ev = t_ev.max() if hasattr(t_ev, "max") else t_ev
+            assert pd.Timestamp(t_ev) < pd.Timestamp(r["ts"]), "temporal leakage!"
+            checked += 1
+    assert checked > 100
+
+
+def test_multi_part_join_with_derivations(spark, data):
+    ev, q = data
+    sdf_ev = spark.createDataFrame(ev)
+    gb1 = GroupBy(
+        keys=["conv_id"],
+        aggregations=[Aggregation("turn_idx", Op.COUNT, windows=("7d",))],
+        tie_breakers=["turn_idx"],
+    )
+    gb2 = GroupBy(
+        keys=["conv_id"],
+        aggregations=[Aggregation("n_chars", Op.SUM, windows=("7d",))],
+        tie_breakers=["turn_idx"],
+    )
+    join = Join(
+        left_time_column="ts",
+        join_parts=[
+            JoinPart(gb1, right_df=sdf_ev, prefix="a"),
+            JoinPart(gb2, right_df=sdf_ev, prefix="b"),
+        ],
+        derivations={
+            "*": "*",
+            "chars_per_turn": "b_n_chars_sum_7d / a_turn_idx_count_7d",
+        },
+    )
+    got = compute_join(spark.createDataFrame(q), join).toPandas()
+    assert len(got) == len(q)
+    w1 = naive_features(ev, q, gb1).rename(columns={"turn_idx_count_7d": "a_turn_idx_count_7d"})
+    w2 = naive_features(ev, q, gb2).rename(columns={"n_chars_sum_7d": "b_n_chars_sum_7d"})
+    want = w1.merge(w2[["query_id", "b_n_chars_sum_7d"]], on="query_id")
+    want["chars_per_turn"] = want["b_n_chars_sum_7d"] / want["a_turn_idx_count_7d"]
+    assert_frames_allclose(got, want, sort_by=["query_id"])
+
+
+def test_output_cardinality_equals_left(spark, data):
+    """The reference's invariant (UnionJoinTest.scala:79-81) — including
+    left rows whose key has no events at all."""
+    ev, q = data
+    q2 = pd.concat([q, pd.DataFrame([{"conv_id": "conv_nonexistent", "query_id": "qx", "ts": q["ts"].iloc[0], "ds": "2024-01-01"}])], ignore_index=True)
+    gb = GroupBy(keys=["conv_id"], aggregations=[Aggregation("turn_idx", Op.COUNT, windows=("7d",))], tie_breakers=["turn_idx"])
+    got = asof_join(spark.createDataFrame(q2), spark.createDataFrame(ev), gb).toPandas()
+    assert len(got) == len(q2)
+    row = got[got["query_id"] == "qx"]
+    assert row["turn_idx_count_7d"].isna().all()
