@@ -1,38 +1,339 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises a chronon_spark operator; the matching
+``oracle_sql()`` entry is ANSI SQL DuckDB evaluates on the same parquet views.
+Strategy for exact (value-hash) agreement:
+
+- the `transcripts` input is DERIVED from the `events` view with expressions
+  both engines evaluate identically (see chronon_spark/sources/tables.py);
+- all time arithmetic is int64 epoch MICROSECONDS (`unix_micros` ≡ `epoch_us`
+  with the Spark session pinned to UTC);
+- float aggregates are rounded identically on both sides (inputs have 2
+  decimals, so rounding boundaries are never within float64 error);
+- engine semantics: empty window => NULL (reference behavior), hence
+  NULLIF(count, 0) in oracles.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from chronon_spark.api import Aggregation, GroupBy, Op
+from chronon_spark.operators.asof_join import asof_join
+from chronon_spark.operators.trailing import trailing_features
+from chronon_spark.operators.windows import hopping_window_agg, lag_lead, sessionize, tumbling_window_agg
+from chronon_spark.sources.tables import transcripts_from_events
+
+US_H = 3_600_000_000
+US_D = 24 * US_H
+
+# ---------------------------------------------------------------- helpers
+
+_DUCK_TRANSCRIPTS = """
+    SELECT 'c' || CAST(user_id AS VARCHAR)                                 AS conv_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS turn_idx,
+           CASE WHEN event_type IN ('click', 'view') THEN 'user'
+                WHEN event_type = 'error'            THEN 'tool'
+                ELSE 'assistant' END                                       AS role,
+           event_type || ':' || CAST(event_id AS VARCHAR)                  AS text,
+           CASE WHEN event_type = 'error' THEN 'retry' ELSE NULL END       AS tool,
+           value                                                           AS score,
+           ts                                                              AS ts,
+           epoch_us(ts)                                                    AS tus
+    FROM events
+"""
+
+
+def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_from_events(spark, sf_dir)
+    return t.withColumn("tus", F.unix_micros(F.col("ts").cast("timestamp")))
+
+
+def _configure(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+# ---------------------------------------------------------------- queries
+
+
+def _q_asof_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PITC as-of join: left = 'user' turns, right = full transcript stream.
+    count 7d / 1h, sum(score) 7d, last-3 texts 2d — the north-rule headline."""
+    _configure(spark)
+    t = _transcripts(spark, sf_dir)
+    left = t.where(F.col("role") == "user").select("conv_id", "turn_idx", "tus", "ts")
+    gb = GroupBy(
+        keys=["conv_id"],
+        aggregations=[
+            Aggregation("turn_idx", Op.COUNT, windows=("7d", "1h")),
+            Aggregation("score", Op.SUM, windows=("7d",)),
+            Aggregation("text", Op.LAST_K, windows=("2d",), k=3),
+        ],
+        tie_breakers=["turn_idx"],
+    )
+    out = asof_join(left, t, gb)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "tus",
+        F.col("turn_idx_count_7d").alias("turns_7d"),
+        F.col("turn_idx_count_1h").alias("turns_1h"),
+        F.round(F.col("score_sum_7d"), 3).alias("score_sum_7d"),
+        F.col("text_last_k3_2d").alias("last3_texts_2d"),
+    )
+
+
+_SQL_ASOF = f"""
+WITH t AS ({_DUCK_TRANSCRIPTS})
+SELECT q.conv_id AS conv_id,
+       q.turn_idx AS turn_idx,
+       q.tus AS tus,
+       (SELECT NULLIF(COUNT(e.turn_idx), 0) FROM t e
+         WHERE e.conv_id = q.conv_id AND e.tus < q.tus AND e.tus >= q.tus - {7 * US_D}) AS turns_7d,
+       (SELECT NULLIF(COUNT(e.turn_idx), 0) FROM t e
+         WHERE e.conv_id = q.conv_id AND e.tus < q.tus AND e.tus >= q.tus - {US_H}) AS turns_1h,
+       (SELECT ROUND(SUM(e.score), 3) FROM t e
+         WHERE e.conv_id = q.conv_id AND e.tus < q.tus AND e.tus >= q.tus - {7 * US_D}) AS score_sum_7d,
+       (SELECT CASE WHEN COUNT(*) = 0 THEN NULL
+                    ELSE list(text ORDER BY tus DESC, turn_idx DESC) END
+          FROM (SELECT e.text, e.tus, e.turn_idx FROM t e
+                 WHERE e.conv_id = q.conv_id AND e.tus < q.tus AND e.tus >= q.tus - {2 * US_D}
+                 ORDER BY e.tus DESC, e.turn_idx DESC LIMIT 3)) AS last3_texts_2d
+FROM t q WHERE q.role = 'user'
+"""
+
+
+def _q_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-as-of trailing features on raw events — the pure-JVM fast path."""
+    _configure(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    gb = GroupBy(
+        keys=["user_id"],
+        aggregations=[
+            Aggregation("value", Op.COUNT, windows=("1h",)),
+            Aggregation("value", Op.SUM, windows=("1h",)),
+            Aggregation("value", Op.MIN, windows=("6h",)),
+            Aggregation("value", Op.MAX, windows=("6h",)),
+        ],
+        time_column="ts",
+        tie_breakers=["event_id"],
+    )
+    out = trailing_features(ev, gb)
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+        F.col("value_count_1h").alias("n_1h"),
+        F.round(F.col("value_sum_1h"), 3).alias("sum_1h"),
+        F.col("value_min_6h").alias("min_6h"),
+        F.col("value_max_6h").alias("max_6h"),
+    )
+
+
+_SQL_TRAILING = f"""
+WITH e AS (SELECT *, epoch_us(ts) AS tus FROM events)
+SELECT event_id, user_id, tus,
+       NULLIF(COUNT(value) OVER w1, 0) AS n_1h,
+       ROUND(SUM(value) OVER w1, 3)    AS sum_1h,
+       MIN(value) OVER w6              AS min_6h,
+       MAX(value) OVER w6              AS max_6h
+FROM e
+WINDOW w1 AS (PARTITION BY user_id ORDER BY tus RANGE BETWEEN {US_H} PRECEDING AND 1 PRECEDING),
+       w6 AS (PARTITION BY user_id ORDER BY tus RANGE BETWEEN {6 * US_H} PRECEDING AND 1 PRECEDING)
+"""
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) of transcripts."""
+    _configure(spark)
+    t = _transcripts(spark, sf_dir)
+    out = sessionize(t, ["conv_id"], gap="30m", tie_breakers=["turn_idx"])
+    return out.select("conv_id", "turn_idx", "tus", "session_id")
+
+
+_SQL_SESSIONIZE = f"""
+WITH t AS ({_DUCK_TRANSCRIPTS}),
+g AS (SELECT conv_id, turn_idx, tus,
+             CASE WHEN lag(tus) OVER w IS NULL
+                  OR tus - lag(tus) OVER w >= {30 * 60_000_000} THEN 1 ELSE 0 END AS new_sess
+      FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY tus, turn_idx))
+SELECT conv_id, turn_idx, tus,
+       SUM(new_sess) OVER (PARTITION BY conv_id ORDER BY tus, turn_idx) - 1 AS session_id
+FROM g
+"""
+
+
+def _q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag/lead features under stable (ts, turn_idx) ordering."""
+    _configure(spark)
+    t = _transcripts(spark, sf_dir)
+    out = lag_lead(t, ["conv_id"], {"text": 1, "tus": 1}, tie_breakers=["turn_idx"])
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        F.col("text_lag1").alias("prev_text"),
+        F.col("text_lead1").alias("next_text"),
+        (F.col("tus") - F.col("tus_lag1")).alias("gap_us"),
+    )
+
+
+_SQL_LAG_LEAD = f"""
+WITH t AS ({_DUCK_TRANSCRIPTS})
+SELECT conv_id, turn_idx,
+       lag(text)  OVER w AS prev_text,
+       lead(text) OVER w AS next_text,
+       tus - lag(tus) OVER w AS gap_us
+FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY tus, turn_idx)
+"""
+
+
+def _q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1d windows per user on events."""
+    _configure(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = tumbling_window_agg(
+        ev, ["user_id"], "1d", {"n": F.count("*"), "total": F.round(F.sum("value"), 3)}
+    )
+    return out.select(
+        "user_id", F.unix_micros(F.col("window_start").cast("timestamp")).alias("wstart_us"), "n", "total"
+    )
+
+
+_SQL_TUMBLING = f"""
+SELECT user_id,
+       epoch_us(ts) - (epoch_us(ts) % {US_D}) AS wstart_us,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 3) AS total
+FROM events GROUP BY 1, 2
+"""
+
+
+def _q_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping 1h/15m windows per user on events."""
+    _configure(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = hopping_window_agg(ev, ["user_id"], size="1h", hop="15m", aggs={"n": F.count("*")})
+    return out.select(
+        "user_id", F.unix_micros(F.col("window_start").cast("timestamp")).alias("wstart_us"), "n"
+    )
+
+
+_SQL_HOPPING = f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+w AS (SELECT user_id, tus,
+             unnest(generate_series(tus - (tus % {15 * 60_000_000}) - {US_H - 15 * 60_000_000},
+                                    tus - (tus % {15 * 60_000_000}),
+                                    {15 * 60_000_000})) AS wstart_us
+      FROM e)
+SELECT user_id, wstart_us, COUNT(*) AS n FROM w GROUP BY 1, 2
+"""
+
+
+def _q_sawtooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sawtooth window mode: 13d window, tail rounded down to 1d hops
+    (reference Resolution.scala:38-63) — exact head, hopping tail."""
+    _configure(spark)
+    t = _transcripts(spark, sf_dir)
+    left = t.where(F.col("role") == "tool").select("conv_id", "turn_idx", "tus", "ts")
+    gb = GroupBy(
+        keys=["conv_id"],
+        aggregations=[Aggregation("turn_idx", Op.COUNT, windows=("13d",))],
+        tie_breakers=["turn_idx"],
+        sawtooth=True,
+    )
+    out = asof_join(left, t, gb)
+    return out.select("conv_id", "turn_idx", "tus", F.col("turn_idx_count_13d").alias("turns_13d_sawtooth"))
+
+
+_SQL_SAWTOOTH = f"""
+WITH t AS ({_DUCK_TRANSCRIPTS})
+SELECT q.conv_id AS conv_id, q.turn_idx AS turn_idx, q.tus AS tus,
+       (SELECT NULLIF(COUNT(*), 0) FROM t e
+         WHERE e.conv_id = q.conv_id AND e.tus < q.tus
+           AND e.tus >= ((q.tus - {13 * US_D}) // {US_D}) * {US_D}) AS turns_13d_sawtooth
+FROM t q WHERE q.role = 'tool'
+"""
+
+
+def _q_snapshot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT-accuracy daily features: for each (conv_id, day with activity),
+    7d-window features as of the NEXT midnight (reference GroupBy.scala:164-191)."""
+    _configure(spark)
+    t = _transcripts(spark, sf_dir)
+    left = (
+        t.select("conv_id", F.to_date("ts").alias("d"))
+        .distinct()
+        .withColumn("ts", (F.date_add(F.col("d"), 1)).cast("timestamp"))
+        .withColumn("ds", F.date_format("d", "yyyy-MM-dd"))
+        .drop("d")
+    )
+    gb = GroupBy(
+        keys=["conv_id"],
+        aggregations=[
+            Aggregation("turn_idx", Op.COUNT, windows=("7d",)),
+            Aggregation("score", Op.AVERAGE, windows=("7d",)),
+        ],
+        tie_breakers=["turn_idx"],
+    )
+    out = asof_join(left, t, gb)
+    return out.select(
+        "conv_id",
+        "ds",
+        F.col("turn_idx_count_7d").alias("turns_7d"),
+        F.round(F.col("score_average_7d"), 6).alias("avg_score_7d"),
+    )
+
+
+_SQL_SNAPSHOT = f"""
+WITH t AS ({_DUCK_TRANSCRIPTS}),
+days AS (SELECT DISTINCT conv_id, CAST(ts AS DATE) AS d FROM t),
+q AS (SELECT conv_id, strftime(d, '%Y-%m-%d') AS ds,
+             epoch_us(CAST(d + INTERVAL 1 DAY AS TIMESTAMP)) AS qtus
+      FROM days)
+SELECT q.conv_id AS conv_id, q.ds AS ds,
+       (SELECT NULLIF(COUNT(*), 0) FROM t e
+         WHERE e.conv_id = q.conv_id AND e.tus < q.qtus AND e.tus >= q.qtus - {7 * US_D}) AS turns_7d,
+       (SELECT ROUND(AVG(e.score), 6) FROM t e
+         WHERE e.conv_id = q.conv_id AND e.tus < q.qtus AND e.tus >= q.qtus - {7 * US_D}) AS avg_score_7d
+FROM q
+"""
+
+
+# ---------------------------------------------------------------- contract
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: PITC as-of feature backfill on sf0.001 transcripts."""
+    return _q_asof_features(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "asof_join_features": _q_asof_features,
+        "trailing_window_features": _q_trailing,
+        "sessionize": _q_sessionize,
+        "lag_lead": _q_lag_lead,
+        "tumbling_1d": _q_tumbling,
+        "hopping_1h_15m": _q_hopping,
+        "sawtooth_13d": _q_sawtooth,
+        "snapshot_daily": _q_snapshot_daily,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "asof_join_features": _SQL_ASOF,
+        "trailing_window_features": _SQL_TRAILING,
+        "sessionize": _SQL_SESSIONIZE,
+        "lag_lead": _SQL_LAG_LEAD,
+        "tumbling_1d": _SQL_TUMBLING,
+        "hopping_1h_15m": _SQL_HOPPING,
+        "sawtooth_13d": _SQL_SAWTOOTH,
+        "snapshot_daily": _SQL_SNAPSHOT,
+    }

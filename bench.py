@@ -1,0 +1,77 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Throughput context: `turns_per_sec` = input transcript rows / as-of-join
+seconds (the BASELINE.json headline metric). Scaling-efficiency evidence
+(local[8] vs local[32]) lives in tools/scaling_bench.py → BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+BENCH_QUERIES = [
+    "asof_join_features",
+    "trailing_window_features",
+    "sessionize",
+    "lag_lead",
+    "tumbling_1d",
+    "hopping_1h_15m",
+    "sawtooth_13d",
+    "snapshot_daily",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    import __spark_entry__ as entry_mod
+    from chronon_spark.session import get_spark
+
+    spark = get_spark("chronon-bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    qs = entry_mod.queries()
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+    # JVM + Arrow warmup (not measured)
+    qs["trailing_window_features"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        if name not in qs:
+            continue
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    asof_sec = timings.get("asof_join_features", 1e-9)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": int(cpus),
+                "events_rows": n_events,
+                "turns_per_sec_asof": round(n_events / asof_sec, 1),
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -91,6 +91,11 @@ def asof_join(
     # drop events with null keys (reference: GroupBy.scala:641-642)
     for k in right_keys:
         r = r.where(F.col(k).isNotNull())
+    # Alias every right column to a fresh name: left and right often share
+    # lineage (self-as-of), and cogroup grouping exprs would otherwise resolve
+    # against the SAME attribute ids, letting Catalyst prune right-side
+    # columns the kernel needs. Fresh aliases => fresh exprIds => no collision.
+    r = r.select(*[F.col(c).alias(f"__r_{c}") for c in r.columns])
     l = ensure_ts_us(left, left_time_column)
 
     left_cols = [f.name for f in left.schema.fields]
@@ -102,6 +107,7 @@ def asof_join(
     def fn(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         if not len(lpdf):
             return pd.DataFrame(columns=left_cols + feat_names)
+        rpdf = rpdf.rename(columns=lambda c: c[4:] if c.startswith("__r_") else c)
         ec = EventColumns(rpdf, _TS_US, tie)
         q_ts = lpdf[_TS_US].to_numpy("int64")
         feats = compute_parts(ec, part_list, q_ts, include_equal, sawtooth)
@@ -110,7 +116,9 @@ def asof_join(
             out[fname] = feats[p.output_name]
         return out
 
-    grouped = l.groupby(*[F.col(c) for c in left_keys]).cogroup(r.groupby(*[F.col(c) for c in right_keys]))
+    grouped = l.groupby(*[F.col(c) for c in left_keys]).cogroup(
+        r.groupby(*[F.col(f"__r_{c}") for c in right_keys])
+    )
     return grouped.applyInPandas(fn, schema=out_schema)
 
 

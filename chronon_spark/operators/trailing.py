@@ -58,15 +58,21 @@ def _native_agg(op: Op, col: str, k: int | None, win) -> Column:
     if op == Op.APPROX_UNIQUE_COUNT:
         return F.when(cnt > 0, F.approx_count_distinct(c).over(win))
     if op == Op.FIRST:
-        # frame is ts-ordered; first non-null in frame
-        return F.collect_list(c).over(win)[0]
+        # frame is ts-ordered; first non-null in frame (F.get: null on empty,
+        # ANSI-safe unlike [0]/element_at)
+        return F.get(F.collect_list(c).over(win), 0)
     if op == Op.LAST:
-        return F.element_at(F.collect_list(c).over(win), -1)
+        arr = F.collect_list(c).over(win)
+        return F.get(arr, F.size(arr) - 1)
     if op == Op.FIRST_K:
-        return F.slice(F.collect_list(c).over(win), 1, k)
+        arr = F.collect_list(c).over(win)
+        return F.when(F.size(arr) > 0, F.slice(arr, 1, k))
     if op == Op.LAST_K:
-        # most-recent-first, matching kernels.py
-        return F.reverse(F.slice(F.collect_list(c).over(win), -k, k))
+        # most-recent-first, matching kernels.py; slice(-k) underflows when
+        # size < k, so take the whole array in that case
+        arr = F.collect_list(c).over(win)
+        tail = F.when(F.size(arr) < k, arr).otherwise(F.slice(arr, -k, k))
+        return F.when(F.size(arr) > 0, F.reverse(tail))
     raise NotImplementedError(op)
 
 

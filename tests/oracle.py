@@ -74,13 +74,13 @@ def naive_features(
     """One output row per query row: left columns + feature columns."""
     key_mapping = key_mapping or {k: k for k in gb.keys}
     ev = events.copy()
-    ev["_ts"] = pd.to_datetime(ev[gb.time_column]).astype("int64") // 1000  # micros
+    ev["_ts"] = pd.to_datetime(ev[gb.time_column]).astype("datetime64[us]").astype("int64")  # micros
     order = ["_ts"] + [c for c in gb.tie_breakers if c in ev.columns]
     ev = ev.sort_values(order, kind="stable")
     parts = gb.parts()
     out_rows = []
     q = queries.copy()
-    q["_ts"] = pd.to_datetime(q["ts"]).astype("int64") // 1000
+    q["_ts"] = pd.to_datetime(q["ts"]).astype("datetime64[us]").astype("int64")
     for _, row in q.iterrows():
         feats = {}
         sub = ev
@@ -124,11 +124,20 @@ def assert_frames_allclose(got: pd.DataFrame, want: pd.DataFrame, sort_by: list[
             assert _eq(a, b, atol), f"col {c} row {i}: engine={a!r} oracle={b!r}\nleft row: {w.iloc[i].to_dict()}"
 
 
-def _eq(a, b, atol) -> bool:
-    if a is None or (isinstance(a, float) and np.isnan(a)):
-        return b is None or (isinstance(b, float) and np.isnan(b))
-    if b is None or (isinstance(b, float) and np.isnan(b)):
+def _isnull(x) -> bool:
+    if x is None:
+        return True
+    if isinstance(x, (list, np.ndarray, dict)):
         return False
+    try:
+        return bool(pd.isna(x))
+    except (TypeError, ValueError):
+        return False
+
+
+def _eq(a, b, atol) -> bool:
+    if _isnull(a) or _isnull(b):
+        return _isnull(a) and _isnull(b)
     if isinstance(b, dict):
         return isinstance(a, dict) and sorted(a) == sorted(b) and all(_eq(a[k], b[k], atol) for k in b)
     if isinstance(b, (list, np.ndarray)):

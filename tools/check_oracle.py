@@ -1,0 +1,104 @@
+"""Local mimic of the driver's correctness gate: run each __spark_entry__
+queries()[name] on Spark and oracle_sql()[name] on DuckDB at the given sf,
+compare row count, column set, and order-insensitive values.
+
+Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from chronon_spark.session import get_spark  # noqa: E402
+from chronon_spark.sources.tables import TPCH_TABLES  # noqa: E402
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if s.dtype == object:
+            df[c] = s.map(
+                lambda v: tuple(v.tolist() if isinstance(v, np.ndarray) else v)
+                if isinstance(v, (list, np.ndarray))
+                else (tuple(sorted(v.items())) if isinstance(v, dict) else v)
+            )
+        elif str(s.dtype).startswith("datetime"):
+            df[c] = s.astype("datetime64[us]")
+        elif s.dtype.kind in "iu" or str(s.dtype) in ("Int64", "Int32", "UInt32"):
+            df[c] = s.astype("float64")  # unify int/nullable-int/float for compare
+    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
+    errs = []
+    if len(got) != len(want):
+        errs.append(f"rowcount {len(got)} != {len(want)}")
+    if sorted(got.columns) != sorted(want.columns):
+        errs.append(f"columns {sorted(got.columns)} != {sorted(want.columns)}")
+        return errs
+    g, w = _canon(got), _canon(want)
+    if len(g) == len(w):
+        for c in g.columns:
+            a, b = g[c], w[c]
+            if a.dtype.kind == "f" and b.dtype.kind == "f":
+                same = (a.isna() & b.isna()) | np.isclose(a, b, rtol=0, atol=1e-9, equal_nan=True)
+            else:
+                same = (a.isna() & b.isna()) | (a == b)
+            nbad = int((~same).sum())
+            if nbad:
+                i = int(np.argmax(~same.to_numpy()))
+                errs.append(f"col {c}: {nbad} mismatches, e.g. row {i}: got={a.iloc[i]!r} want={b.iloc[i]!r}")
+    return errs
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    spark = get_spark("oracle-check", master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TPCH_TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if Path(p).exists():
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            got = fn(spark, sf_dir).toPandas()
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL  {name}: spark raised {type(ex).__name__}: {ex}")
+            failed.append(name)
+            continue
+        if name not in oracles:
+            print(f"OK?   {name}: {len(got)} rows (no oracle — rows-only check)")
+            continue
+        try:
+            want = con.sql(oracles[name]).df()
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb raised {type(ex).__name__}: {ex}")
+            failed.append(name)
+            continue
+        errs = compare(name, got, want)
+        if errs:
+            print(f"FAIL  {name}: " + "; ".join(errs))
+            failed.append(name)
+        else:
+            print(f"PASS  {name}: {len(got)} rows")
+    spark.stop()
+    print(f"\n{len(failed)} failed" if failed else "\nall passed")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
