@@ -1,0 +1,244 @@
+"""Deduplication operators for web-scale corpus curation.
+
+Five strategies, all shuffle-architected for 100 TB:
+
+- **exact**: hash-groupBy on a 128-bit fingerprint — one shuffle keyed by the
+  digest (never by the raw text, so shuffle payload is 32 bytes/row).
+- **MinHash + LSH**: per-row signature (NO shuffle — `array_min` over
+  `transform`, pure codegen) → band keys → explode → self-join on band →
+  exact-Jaccard verify on the candidates only. The self-join is the only
+  shuffle and it is keyed by band digest, which spreads uniformly.
+- **SimHash**: per-row 32-bit signature from md5 bit votes → candidates via
+  banded byte match → Hamming-distance verify (`bit_count(xor)`).
+- **n-gram Jaccard (exact)**: inverted-index self-join on shingles with a
+  common-shingle count, avoiding the O(N²) cross join entirely.
+- **embedding cosine**: see similarity.py (`near_dup_pairs`).
+
+Determinism contract: every hash is md5 over explicit strings, so the DuckDB
+oracle reproduces identical signatures, bands and candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from chronon_spark.functions.text import fingerprint, tokens, word_shingles
+
+# ---------------------------------------------------------------- exact
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One row per distinct normalized text: representative id (min), dup count.
+    Shuffle key = md5 digest, 32 bytes/row — the raw text never shuffles."""
+    return (
+        df.select(fingerprint(text_col).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+# ---------------------------------------------------------------- minhash
+
+
+def minhash_from_shingles(shingles: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature as an array of md5-hex minima.
+
+    MinHash only needs *a* total order per hash function; lexicographic order
+    on md5 hex digests is one, and it is portable across engines. Each of the
+    `num_hashes` functions is md5 salted with the hash index. Computed
+    entirely per-row (no shuffle, no UDF).
+
+    Pass a MATERIALIZED shingle column (its own projection step): higher-order
+    functions evaluate interpreted, so inlining the shingle expression here
+    would recompute it `num_hashes` times per row.
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(shingles, lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s)))
+        ),
+    )
+
+
+def minhash_signature(text_col: str | Column, num_hashes: int = 16, shingle_n: int = 3) -> Column:
+    """One-shot signature column (fine for few hashes; pipelines should stage
+    `word_shingles` → `minhash_from_shingles` as separate projections)."""
+    return minhash_from_shingles(word_shingles(text_col, n=shingle_n, distinct=True), num_hashes)
+
+
+def lsh_band_keys(sig_col: Column, bands: int, rows_per_band: int) -> Column:
+    """Collapse each band of the signature to one md5 key. Docs sharing ANY
+    band key are candidate duplicates (standard banding amplification)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.md5(F.concat_ws("|", F.slice(sig_col, b * rows_per_band + 1, rows_per_band))),
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two (distinct-element) arrays."""
+    return F.size(F.array_intersect(a, b)).cast("double") / F.size(F.array_union(a, b))
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """LSH candidate generation + exact-Jaccard verification.
+
+    Scale shape: signature/bands are per-row codegen; `explode(bands)` makes
+    `bands` rows/doc; the self-equi-join on (band_idx, band_key) is the single
+    shuffle and Spark picks SMJ/shuffled-hash under AQE. Verification runs
+    only on candidates (≪ N²). Shingle arrays ride along the join — for
+    10^9-doc corpora swap them for a second join back to the docs table.
+    """
+    rows_per_band = num_hashes // bands
+    # Signature via explode + groupBy: each shingle is hashed exactly
+    # num_hashes times inside codegen'd min() aggregates. (The per-row
+    # `minhash_from_shingles` variant runs interpreted and CollapseProject
+    # re-inlines it into every band — catastrophically re-evaluated.) The
+    # groupBy shuffle is keyed by doc_id and uniform.
+    docs = df.select(F.col(id_col).alias("doc_id"), word_shingles(text_col, n=shingle_n).alias("sh")).where(
+        F.size("sh") > 0
+    )
+    ex = docs.select("doc_id", F.explode("sh").alias("s"))
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}") for i in range(num_hashes)
+    ]
+    sig = ex.groupBy("doc_id").agg(*mins)
+    band_cols = [
+        F.md5(F.concat_ws("|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]))
+        for b in range(bands)
+    ]
+    base = sig.select("doc_id", F.array(*band_cols).alias("bk")).join(docs, "doc_id")
+    banded = base.select("doc_id", "sh", F.posexplode("bk").alias("band_idx", "band_key"))
+    a = banded.select(
+        F.col("band_idx"), F.col("band_key"), F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")
+    )
+    b = banded.select(
+        F.col("band_idx").alias("band_idx_b"),
+        F.col("band_key").alias("band_key_b"),
+        F.col("doc_id").alias("id_b"),
+        F.col("sh").alias("sh_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (a.band_idx == b.band_idx_b) & (a.band_key == b.band_key_b) & (a.id_a < b.id_b),
+            "inner",
+        )
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.select(
+        "id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard")
+    ).where(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------- exact jaccard
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """EXACT all-pairs Jaccard ≥ threshold via an inverted-index self-join:
+    explode distinct shingles, equi-join on the shingle, count co-occurrences,
+    then |A∩B| / (|A| + |B| − |A∩B|). Never materializes the N² cross join —
+    only pairs sharing ≥1 shingle exist, which threshold > 0 requires anyway.
+
+    Scale: the shuffle is keyed by shingle; stop-shingles (appearing in a huge
+    fraction of docs) are the skew risk — prune shingles with document
+    frequency above `max_df` if needed (prefix-filtering refinement).
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc_id"), word_shingles(text_col, n=shingle_n).alias("sh")
+    ).where(F.size("sh") > 0)
+    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
+    ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    co = (
+        ex.alias("x")
+        .join(ex.alias("y"), (F.col("x.s") == F.col("y.s")) & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .groupBy(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"))
+    return (
+        co.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("common").cast("double") / (F.col("na") + F.col("nb") - F.col("common"))).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------- simhash
+
+_HI_HEX = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+
+def simhash_from_hashes(hashes: Column, bits: int = 32) -> Column:
+    """SimHash from an array of md5 hex digests (one per token).
+
+    Bit j is the high bit of hex digit j: tokens vote ±1 per bit; the
+    signature bit is 1 iff the vote is strictly positive (frequency-weighted,
+    ties → 0). 32 bits = 32 hex digits of one md5 per token, all codegen.
+    Pass a materialized `transform(tokens, md5)` column so each token hashes
+    once, not `bits` times.
+    """
+    assert bits <= 32
+    n = F.size(hashes)
+    acc = F.lit(0).cast("long")
+
+    def high_bit_at(j: int):
+        return lambda hx: F.substring(hx, j, 1).isin(*_HI_HEX)
+
+    for j in range(1, bits + 1):
+        cnt = F.size(F.filter(hashes, high_bit_at(j)))
+        bit = (cnt * 2 > n).cast("long")
+        acc = acc + bit * F.lit(1 << (bits - j))
+    return acc
+
+
+def simhash(text_col: str | Column, bits: int = 32) -> Column:
+    """SimHash over the whitespace token stream."""
+    return simhash_from_hashes(F.transform(tokens(text_col), F.md5), bits)
+
+
+def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, bits: int = 32) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+
+    Candidate generation: split the signature into (max_hamming+1) bands —
+    pigeonhole guarantees any pair within the radius agrees on ≥1 whole band,
+    so the equi-join on (band_idx, band_bits) finds all true pairs without a
+    cross join. Verify with bit_count(xor).
+    """
+    n_bands = max_hamming + 1
+    band_w = bits // n_bands
+    sig = df.select(
+        F.col(id_col).alias("doc_id"), F.transform(tokens(text_col), F.md5).alias("__h")
+    ).select("doc_id", simhash_from_hashes(F.col("__h"), bits).alias("sig"))
+    bandkeys = F.array(
+        *[F.shiftrightunsigned(F.col("sig"), b * band_w) % F.lit(1 << band_w) for b in range(n_bands)]
+    )
+    banded = sig.select("doc_id", "sig", F.posexplode(bandkeys).alias("band_idx", "band_bits"))
+    a = banded.select("band_idx", "band_bits", F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = banded.select(
+        F.col("band_idx").alias("bi"), F.col("band_bits").alias("bb"),
+        F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"),
+    )
+    cand = (
+        a.join(b, (a.band_idx == b.bi) & (a.band_bits == b.bb) & (a.id_a < b.id_b))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.select("id_a", "id_b", ham.alias("hamming")).where(ham <= max_hamming)

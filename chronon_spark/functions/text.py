@@ -1,0 +1,137 @@
+"""Text-analysis column functions for large-scale corpus curation.
+
+All functions return pyspark Columns built from built-in SQL functions —
+they stay inside WholeStageCodegen, scale linearly with no shuffle, and every
+one is expressible in ANSI SQL so the DuckDB oracle can verify it exactly.
+
+Determinism contract (for the oracle): only md5 / split / filter / transform /
+aggregate — identical semantics in Spark SQL and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# Small deterministic lexicons for the n-gram-free language-ID heuristic.
+# Real deployments plug in fastText et al.; the heuristic is the portable,
+# dependency-free baseline (score = stopword-hit fraction per language).
+LANG_LEXICONS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "value", "table", "row", "fast"),
+    "es": ("el", "la", "de", "y", "que", "los", "una", "por", "con"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "von"),
+}
+
+STOPWORDS_EN: tuple[str, ...] = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (the BPE-ish regex path is `bpe_ish_tokens`)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def bpe_ish_tokens(text: Column | str) -> Column:
+    """Sub-word-ish tokenization: split on whitespace AND punctuation / digit
+    boundaries — a cheap, deterministic stand-in for a BPE pre-tokenizer."""
+    c = F.col(text) if isinstance(text, str) else text
+    spaced = F.regexp_replace(c, r"([0-9]+|[^\w\s]+)", r" $1 ")
+    return F.filter(F.split(F.trim(spaced), r"\s+"), lambda t: t != F.lit(""))
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def char_count(text: Column | str) -> Column:
+    return F.length(text)
+
+
+def avg_token_len(text: Column | str) -> Column:
+    t = tokens(text)
+    return F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x)).cast("double") / F.size(t)
+
+
+def unique_token_ratio(text: Column | str) -> Column:
+    t = tokens(text)
+    return F.size(F.array_distinct(t)).cast("double") / F.size(t)
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Fraction of characters that are neither word characters nor spaces."""
+    c = F.col(text) if isinstance(text, str) else text
+    stripped = F.regexp_replace(c, r"[\w ]", "")
+    return F.length(stripped).cast("double") / F.length(c)
+
+
+def stopword_ratio(text: Column | str, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
+    t = tokens(text)
+    hits = F.size(F.filter(t, lambda x: x.isin(*stopwords)))
+    return hits.cast("double") / F.size(t)
+
+
+def lang_scores(text: Column | str, lexicons: dict[str, tuple[str, ...]] | None = None) -> dict[str, Column]:
+    """Per-language stopword-hit fraction over the token stream."""
+    lex = lexicons or LANG_LEXICONS
+    t = tokens(text)
+    n = F.size(t)
+
+    def hit(words: tuple[str, ...]):
+        # closure factory: a default-arg lambda would change the arity pyspark
+        # inspects and bind the array index instead
+        return lambda x: x.isin(*words)
+
+    return {
+        lang: F.size(F.filter(t, hit(words))).cast("double") / n for lang, words in lex.items()
+    }
+
+
+def lang_id(text: Column | str, lexicons: dict[str, tuple[str, ...]] | None = None) -> Column:
+    """argmax language with deterministic lexicographic tie-break; 'und' if no
+    lexicon hit at all."""
+    scores = lang_scores(text, lexicons)
+    best_lang = F.lit("und")
+    best_score = F.lit(0.0)
+    # ascending iteration + strict '>' => ties prefer the lexicographically
+    # smallest language; zero-score everywhere stays 'und'
+    for lang in sorted(scores):
+        s = scores[lang]
+        best_lang = F.when(s > best_score, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(s > best_score, s).otherwise(best_score)
+    return best_lang
+
+
+def quality_score(text: Column | str) -> Column:
+    """Deterministic [0,1] quality heuristic: length band + lexical diversity
+    + low punctuation (the C4/Gopher-style rule set, portable to SQL)."""
+    n = token_count(text)
+    len_ok = (n >= 10) & (n <= 1000)
+    return (
+        F.when(len_ok, F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.least(unique_token_ratio(text), F.lit(0.5)) * 0.6
+        + F.when(punct_ratio(text) < 0.1, F.lit(0.2)).otherwise(F.lit(0.0))
+    ).cast("double")
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse whitespace."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Deterministic 128-bit document fingerprint (md5 of normalized text).
+    The rolling-hash variant for shingle-level fingerprints is in dedup.py."""
+    return F.md5(normalize_text(text))
+
+
+def word_shingles(text: Column | str, n: int = 3, distinct: bool = True) -> Column:
+    """Word n-gram shingles (the MinHash/Jaccard input set)."""
+    t = tokens(text)
+    # guard: F.sequence(1, x) with x < 1 would generate a DESCENDING sequence
+    sh = F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(sh) if distinct else sh
