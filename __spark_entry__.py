@@ -314,6 +314,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from chronon_spark.contracts import corpus
+
     return {
         "asof_join_features": _q_asof_features,
         "trailing_window_features": _q_trailing,
@@ -323,10 +325,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hopping_1h_15m": _q_hopping,
         "sawtooth_13d": _q_sawtooth,
         "snapshot_daily": _q_snapshot_daily,
+        **corpus.QUERIES,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from chronon_spark.contracts import corpus
+
     return {
         "asof_join_features": _SQL_ASOF,
         "trailing_window_features": _SQL_TRAILING,
@@ -336,4 +341,5 @@ def oracle_sql() -> dict[str, str]:
         "hopping_1h_15m": _SQL_HOPPING,
         "sawtooth_13d": _SQL_SAWTOOTH,
         "snapshot_daily": _SQL_SNAPSHOT,
+        **corpus.ORACLES,
     }

@@ -1,0 +1,323 @@
+"""Corpus-curation contract queries (documents / embeddings tables) with
+DuckDB oracle SQL.
+
+Portability rules that make exact value-hash agreement possible:
+- every hash is md5 over an explicit string (identical in both engines);
+- dot products / norms are sequential float64 folds in both engines
+  (Spark `aggregate` left fold ≡ DuckDB `list_sum(list_transform(...))` —
+  verified bitwise equal);
+- ratios are single IEEE divisions of identical integers — no rounding needed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from chronon_spark.functions import dedup, multimodal, similarity, text
+from chronon_spark.functions.similarity import plane_components
+
+# ---------------------------------------------------------------- helpers
+
+_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+_STOP = "['" + "','".join(text.STOPWORDS_EN) + "']"
+
+
+def _load_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _load_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------- doc_stats
+
+
+def _q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _load_docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        text.token_count("text").alias("n_tokens"),
+        text.char_count("text").alias("n_chars"),
+        text.avg_token_len("text").alias("avg_tok_len"),
+        text.unique_token_ratio("text").alias("uniq_ratio"),
+        text.stopword_ratio("text").alias("stop_ratio"),
+    )
+
+
+_SQL_DOC_STATS = f"""
+WITH d AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       len(toks)                                            AS n_tokens,
+       length(text)                                         AS n_chars,
+       list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks) AS avg_tok_len,
+       len(list_distinct(toks))::DOUBLE / len(toks)         AS uniq_ratio,
+       len(list_filter(toks, t -> list_contains({_STOP}, t)))::DOUBLE / len(toks) AS stop_ratio
+FROM d
+"""
+
+
+# ---------------------------------------------------------------- lang/quality
+
+
+def _q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _load_docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        text.lang_id("text").alias("lang"),
+        text.quality_score("text").alias("quality"),
+    )
+
+
+def _lex_sql(lang: str) -> str:
+    words = "','".join(text.LANG_LEXICONS[lang])
+    return f"len(list_filter(toks, t -> list_contains(['{words}'], t)))::DOUBLE / len(toks)"
+
+
+_SQL_LANG_QUALITY = f"""
+WITH d AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, text, toks,
+             {_lex_sql("de")} AS s_de, {_lex_sql("en")} AS s_en, {_lex_sql("es")} AS s_es,
+             len(list_distinct(toks))::DOUBLE / len(toks) AS uniq,
+             length(regexp_replace(text, '[\\w ]', '', 'g'))::DOUBLE / length(text) AS punct
+      FROM d)
+SELECT doc_id,
+       CASE WHEN greatest(s_de, s_en, s_es) <= 0 THEN 'und'
+            WHEN s_de >= s_en AND s_de >= s_es THEN 'de'
+            WHEN s_en >= s_es THEN 'en'
+            ELSE 'es' END AS lang,
+       (CASE WHEN len(toks) BETWEEN 10 AND 1000 THEN 0.4 ELSE 0.0 END
+        + least(uniq, 0.5) * 0.6
+        + CASE WHEN punct < 0.1 THEN 0.2 ELSE 0.0 END) AS quality
+FROM s
+"""
+
+
+# ---------------------------------------------------------------- exact dedup
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_load_docs(spark, sf_dir), "text", "doc_id")
+
+
+_SQL_DEDUP_EXACT = """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+       min(doc_id) AS keep_id,
+       count(*)    AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------- minhash LSH
+
+_NUM_HASHES, _BANDS, _SHINGLE_N, _J_THRESHOLD = 16, 4, 3, 0.5
+
+
+def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_dedup(
+        _load_docs(spark, sf_dir),
+        "doc_id",
+        "text",
+        num_hashes=_NUM_HASHES,
+        bands=_BANDS,
+        shingle_n=_SHINGLE_N,
+        threshold=_J_THRESHOLD,
+    )
+
+
+def _minhash_sql() -> str:
+    r = _NUM_HASHES // _BANDS
+    mins = ",\n             ".join(
+        f"min(md5('{i}:' || s)) AS h{i}" for i in range(_NUM_HASHES)
+    )
+    band_exprs = ", ".join(
+        "md5(" + " || '|' || ".join(f"h{b * r + j}" for j in range(r)) + ")" for b in range(_BANDS)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+docs AS (SELECT doc_id,
+                list_distinct(CASE WHEN len(toks) >= {_SHINGLE_N}
+                  THEN list_transform(range(1, len(toks) - {_SHINGLE_N - 2}),
+                                      i -> array_to_string(toks[i:i+{_SHINGLE_N - 1}], ' '))
+                  ELSE []::VARCHAR[] END) AS sh
+         FROM t),
+nz AS (SELECT * FROM docs WHERE len(sh) > 0),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM nz),
+sig AS (SELECT doc_id, {mins} FROM ex GROUP BY doc_id),
+bk AS (SELECT doc_id, [{band_exprs}] AS bks FROM sig),
+banded AS (SELECT doc_id, unnest(bks) AS band_key FROM bk),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+j AS (SELECT id_a, id_b,
+             len(list_intersect(da.sh, db.sh))::DOUBLE
+               / len(list_distinct(list_concat(da.sh, db.sh))) AS jaccard
+      FROM cand JOIN nz da ON da.doc_id = id_a JOIN nz db ON db.doc_id = id_b)
+SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= {_J_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------- exact jaccard
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        _load_docs(spark, sf_dir), "doc_id", "text", shingle_n=3, threshold=0.5
+    )
+
+
+_SQL_NGRAM_JACCARD = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+docs AS (SELECT doc_id,
+                list_distinct(CASE WHEN len(toks) >= 3
+                  THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+                  ELSE []::VARCHAR[] END) AS sh
+         FROM t),
+nz AS (SELECT * FROM docs WHERE len(sh) > 0),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.sh, b.sh)) AS common, len(a.sh) AS na, len(b.sh) AS nb
+      FROM nz a JOIN nz b ON a.doc_id < b.doc_id)
+SELECT id_a, id_b, common::DOUBLE / (na + nb - common) AS jaccard
+FROM p WHERE common > 0 AND common::DOUBLE / (na + nb - common) >= 0.5
+"""
+
+
+# ---------------------------------------------------------------- simhash
+
+_MAX_HAMMING = 6
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_pairs(_load_docs(spark, sf_dir), "doc_id", "text", max_hamming=_MAX_HAMMING)
+
+
+def _simhash_sql() -> str:
+    terms = "\n           + ".join(
+        f"CASE WHEN 2 * len(list_filter(hs, x -> strpos('89abcdef', substring(x, {j}, 1)) > 0))"
+        f" > len(hs) THEN {1 << (32 - j)} ELSE 0 END"
+        for j in range(1, 33)
+    )
+    return f"""
+WITH h AS (SELECT doc_id, list_transform({_TOKS}, t -> md5(t)) AS hs FROM documents),
+sig AS (SELECT doc_id, ({terms}) AS sig FROM h)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, bit_count(xor(a.sig, b.sig)) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= {_MAX_HAMMING}
+"""
+
+
+# ---------------------------------------------------------------- embeddings
+
+_DOT = (
+    "list_sum(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+)
+_NORM = "sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))"
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return f"{_DOT.format(a=a, b=b)} / ({_NORM.format(a=a)} * {_NORM.format(a=b)})"
+
+
+def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _load_emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 10).withColumnRenamed("vec_id", "query_id")
+    return similarity.cosine_topk(emb, queries, k=5)
+
+
+_SQL_EMBEDDING_TOPK = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_cos_sql("q.embedding", "c.embedding")} AS cos
+  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id != q.vec_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored)
+SELECT query_id, rank, neighbor_id, cos FROM r WHERE rank <= 5
+"""
+
+
+def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.near_dup_pairs(_load_emb(spark, sf_dir), threshold=0.4)
+
+
+_SQL_EMBEDDING_NEAR_DUPS = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cos_sql("a.embedding", "b.embedding")} AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_cos_sql("a.embedding", "b.embedding")} >= 0.4
+"""
+
+_ANN_TABLES, _ANN_PLANES = 4, 4
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _load_emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 10).withColumnRenamed("vec_id", "query_id")
+    return similarity.lsh_ann_topk(
+        emb, queries, k=5, n_tables=_ANN_TABLES, n_planes=_ANN_PLANES, dims=64
+    )
+
+
+def _ann_sql() -> str:
+    tables = []
+    for t in range(_ANN_TABLES):
+        bits = []
+        for p in range(_ANN_PLANES):
+            plane = ", ".join(repr(v) for v in plane_components(t, p, 64))
+            proj = f"list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * ([{plane}])[i]))"
+            bits.append(f"CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END")
+        tables.append(
+            f"SELECT vec_id, embedding, {t} AS tbl, ({' + '.join(bits)}) AS bucket FROM embeddings"
+        )
+    cb = "\n  UNION ALL\n  ".join(tables)
+    return f"""
+WITH cb AS (
+  {cb}
+),
+cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         FROM cb q JOIN cb c ON q.tbl = c.tbl AND q.bucket = c.bucket
+         WHERE q.vec_id < 10 AND c.vec_id != q.vec_id),
+scored AS (SELECT query_id, neighbor_id, {_cos_sql("qe.embedding", "ce.embedding")} AS cos
+           FROM cand JOIN embeddings qe ON qe.vec_id = query_id
+                     JOIN embeddings ce ON ce.vec_id = neighbor_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored)
+SELECT query_id, rank, neighbor_id, cos FROM r WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------- multimodal
+
+
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.synth_media(spark, n=64, kind="image")
+    return multimodal.extract_image_features(media, resize_to=(8, 8)).select(
+        "media_id", "out_width", "out_height", F.size("feat").alias("feat_dim")
+    )
+
+
+# ---------------------------------------------------------------- registry
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "doc_stats": _q_doc_stats,
+    "lang_quality": _q_lang_quality,
+    "dedup_exact": _q_dedup_exact,
+    "dedup_minhash_lsh": _q_dedup_minhash,
+    "dedup_ngram_jaccard": _q_ngram_jaccard,
+    "dedup_simhash": _q_simhash_pairs,
+    "embedding_topk": _q_embedding_topk,
+    "embedding_near_dups": _q_embedding_near_dups,
+    "ann_lsh_topk": _q_ann_topk,
+    "media_features": _q_media_features,  # no SQL oracle: mapInPandas stub path
+}
+
+ORACLES: dict[str, str] = {
+    "doc_stats": _SQL_DOC_STATS,
+    "lang_quality": _SQL_LANG_QUALITY,
+    "dedup_exact": _SQL_DEDUP_EXACT,
+    "dedup_minhash_lsh": _minhash_sql(),
+    "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
+    "dedup_simhash": _simhash_sql(),
+    "embedding_topk": _SQL_EMBEDDING_TOPK,
+    "embedding_near_dups": _SQL_EMBEDDING_NEAR_DUPS,
+    "ann_lsh_topk": _ann_sql(),
+}
