@@ -314,7 +314,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from chronon_spark.contracts import corpus
+    from chronon_spark.contracts import corpus, ops
 
     return {
         "asof_join_features": _q_asof_features,
@@ -325,12 +325,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hopping_1h_15m": _q_hopping,
         "sawtooth_13d": _q_sawtooth,
         "snapshot_daily": _q_snapshot_daily,
+        **ops.QUERIES,
         **corpus.QUERIES,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    from chronon_spark.contracts import corpus
+    from chronon_spark.contracts import corpus, ops
 
     return {
         "asof_join_features": _SQL_ASOF,
@@ -341,5 +342,6 @@ def oracle_sql() -> dict[str, str]:
         "hopping_1h_15m": _SQL_HOPPING,
         "sawtooth_13d": _SQL_SAWTOOTH,
         "snapshot_daily": _SQL_SNAPSHOT,
+        **ops.ORACLES,
         **corpus.ORACLES,
     }

@@ -1,0 +1,314 @@
+"""Operator-breadth contract queries: every kernel aggregation op exercised
+through the PITC as-of join against a DuckDB oracle.
+
+Rounding policy: `score` inputs carry 2 decimals, so sums/averages rounded to
+3 are exactly reproducible. Central moments / percentiles accumulate float
+error along different paths (prefix scans vs two-pass SQL), so they round to
+4 — coarse enough that the ~1e-9 absolute discrepancy can't cross a boundary.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from chronon_spark.api import Aggregation, GroupBy, Join, JoinPart, Op
+from chronon_spark.operators.asof_join import asof_join, compute_join
+from chronon_spark.sources.tables import transcripts_from_events
+
+US_H = 3_600_000_000
+US_D = 24 * US_H
+
+_DUCK_T = """
+    SELECT 'c' || CAST(user_id AS VARCHAR)                                 AS conv_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS turn_idx,
+           CASE WHEN event_type IN ('click', 'view') THEN 'user'
+                WHEN event_type = 'error'            THEN 'tool'
+                ELSE 'assistant' END                                       AS role,
+           event_type || ':' || CAST(event_id AS VARCHAR)                  AS text,
+           value                                                           AS score,
+           ts                                                              AS ts,
+           epoch_us(ts)                                                    AS tus
+    FROM events
+"""
+
+
+def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts_from_events(spark, sf_dir)
+    return t.withColumn("tus", F.unix_micros(F.col("ts").cast("timestamp")))
+
+
+def _user_left(t: DataFrame) -> DataFrame:
+    return t.where(F.col("role") == "user").select("conv_id", "turn_idx", "tus", "ts")
+
+
+# ------------------------------------------------------- order-sensitive ops
+
+
+def _q_order_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _transcripts(spark, sf_dir)
+    gb = GroupBy(
+        keys=["conv_id"],
+        aggregations=[
+            Aggregation("score", Op.FIRST, windows=("7d",)),
+            Aggregation("score", Op.LAST, windows=("7d",)),
+            Aggregation("text", Op.FIRST_K, windows=("2d",), k=2),
+            Aggregation("score", Op.TOP_K, windows=("7d",), k=3),
+            Aggregation("score", Op.BOTTOM_K, windows=("7d",), k=3),
+            Aggregation("role", Op.UNIQUE_COUNT, windows=("7d",)),
+            Aggregation("score", Op.MIN, windows=("7d",)),
+            Aggregation("score", Op.MAX, windows=("7d",)),
+        ],
+        tie_breakers=["turn_idx"],
+    )
+    out = asof_join(_user_left(t), t, gb)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "tus",
+        F.col("score_first_7d").alias("first_score"),
+        F.col("score_last_7d").alias("last_score"),
+        F.col("text_first_k2_2d").alias("first2_texts"),
+        F.col("score_top_k3_7d").alias("top3"),
+        F.col("score_bottom_k3_7d").alias("bottom3"),
+        F.col("role_unique_count_7d").alias("n_roles"),
+        F.col("score_min_7d").alias("min_score"),
+        F.col("score_max_7d").alias("max_score"),
+    )
+
+
+_SQL_ORDER_OPS = f"""
+WITH t AS ({_DUCK_T})
+SELECT q.conv_id AS conv_id, q.turn_idx AS turn_idx, q.tus AS tus,
+       (SELECT e.score FROM t e WHERE e.conv_id = q.conv_id AND e.tus < q.tus
+         AND e.tus >= q.tus - {7 * US_D} AND e.score IS NOT NULL
+         ORDER BY e.tus, e.turn_idx LIMIT 1) AS first_score,
+       (SELECT e.score FROM t e WHERE e.conv_id = q.conv_id AND e.tus < q.tus
+         AND e.tus >= q.tus - {7 * US_D} AND e.score IS NOT NULL
+         ORDER BY e.tus DESC, e.turn_idx DESC LIMIT 1) AS last_score,
+       (SELECT CASE WHEN COUNT(*) = 0 THEN NULL ELSE list(text ORDER BY tus, turn_idx) END
+          FROM (SELECT e.text, e.tus, e.turn_idx FROM t e
+                 WHERE e.conv_id = q.conv_id AND e.tus < q.tus AND e.tus >= q.tus - {2 * US_D}
+                 ORDER BY e.tus, e.turn_idx LIMIT 2)) AS first2_texts,
+       (SELECT CASE WHEN COUNT(*) = 0 THEN NULL ELSE list(score ORDER BY score DESC) END
+          FROM (SELECT e.score FROM t e
+                 WHERE e.conv_id = q.conv_id AND e.tus < q.tus AND e.tus >= q.tus - {7 * US_D}
+                   AND e.score IS NOT NULL ORDER BY e.score DESC LIMIT 3)) AS top3,
+       (SELECT CASE WHEN COUNT(*) = 0 THEN NULL ELSE list(score ORDER BY score) END
+          FROM (SELECT e.score FROM t e
+                 WHERE e.conv_id = q.conv_id AND e.tus < q.tus AND e.tus >= q.tus - {7 * US_D}
+                   AND e.score IS NOT NULL ORDER BY e.score LIMIT 3)) AS bottom3,
+       (SELECT NULLIF(COUNT(DISTINCT e.role), 0) FROM t e
+         WHERE e.conv_id = q.conv_id AND e.tus < q.tus AND e.tus >= q.tus - {7 * US_D}) AS n_roles,
+       (SELECT MIN(e.score) FROM t e
+         WHERE e.conv_id = q.conv_id AND e.tus < q.tus AND e.tus >= q.tus - {7 * US_D}) AS min_score,
+       (SELECT MAX(e.score) FROM t e
+         WHERE e.conv_id = q.conv_id AND e.tus < q.tus AND e.tus >= q.tus - {7 * US_D}) AS max_score
+FROM t q WHERE q.role = 'user'
+"""
+
+
+# ------------------------------------------------------- moments / percentile
+
+
+def _q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _transcripts(spark, sf_dir)
+    gb = GroupBy(
+        keys=["conv_id"],
+        aggregations=[
+            Aggregation("score", Op.VARIANCE, windows=("7d",)),
+            Aggregation("score", Op.SKEW, windows=("7d",)),
+            Aggregation("score", Op.KURTOSIS, windows=("7d",)),
+            Aggregation("score", Op.APPROX_PERCENTILE, windows=("7d",), percentiles=(0.25, 0.5, 0.75)),
+        ],
+        tie_breakers=["turn_idx"],
+    )
+    out = asof_join(_user_left(t), t, gb)
+    # +1e-10 before rounding: moment values of 2-decimal inputs are quantized
+    # rationals that often sit EXACTLY on a .00005 rounding boundary, where a
+    # 1e-12 cross-engine float diff flips the rounded digit. The bias (larger
+    # than the cross-engine error, smaller than the value quantum) pushes both
+    # engines to the same side of every boundary.
+    def r4(c):
+        return F.round(c + F.lit(1e-10), 4)
+
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "tus",
+        r4(F.col("score_variance_7d")).alias("var_7d"),
+        r4(F.col("score_skew_7d")).alias("skew_7d"),
+        r4(F.col("score_kurtosis_7d")).alias("kurt_7d"),
+        F.transform(F.col("score_approx_percentile_7d"), lambda x: r4(x)).alias("pct_7d"),
+    )
+
+
+_SQL_MOMENTS = f"""
+WITH t AS ({_DUCK_T}),
+q AS (SELECT conv_id, turn_idx, tus FROM t WHERE role = 'user'),
+w AS (SELECT q.conv_id, q.turn_idx AS qi, q.tus AS qtus, e.score
+      FROM q JOIN t e ON e.conv_id = q.conv_id AND e.tus < q.tus
+       AND e.tus >= q.tus - {7 * US_D} AND e.score IS NOT NULL),
+m AS (SELECT conv_id, qi, qtus, COUNT(*) AS n, AVG(score) AS mean FROM w GROUP BY 1, 2, 3),
+c AS (SELECT w.conv_id, w.qi, w.qtus, ANY_VALUE(m.n) AS n,
+             AVG(POWER(w.score - m.mean, 2)) AS m2,
+             AVG(POWER(w.score - m.mean, 3)) AS m3,
+             AVG(POWER(w.score - m.mean, 4)) AS m4,
+             quantile_cont(w.score, [0.25, 0.5, 0.75]) AS pct
+      FROM w JOIN m ON w.conv_id = m.conv_id AND w.qi = m.qi AND w.qtus = m.qtus
+      GROUP BY 1, 2, 3)
+SELECT q.conv_id AS conv_id, q.turn_idx AS turn_idx, q.tus AS tus,
+       ROUND(c.m2 + 1e-10, 4) AS var_7d,
+       CASE WHEN c.n >= 3 AND c.m2 > 0 THEN ROUND(c.m3 / POWER(c.m2, 1.5) + 1e-10, 4) END AS skew_7d,
+       CASE WHEN c.n >= 4 AND c.m2 > 0 THEN ROUND(c.m4 / (c.m2 * c.m2) - 3 + 1e-10, 4) END AS kurt_7d,
+       list_transform(c.pct, x -> ROUND(x + 1e-10, 4)) AS pct_7d
+FROM q LEFT JOIN c ON c.conv_id = q.conv_id AND c.qi = q.turn_idx AND c.qtus = q.tus
+"""
+
+
+# ------------------------------------------------------- bucketed aggregation
+
+
+def _q_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _transcripts(spark, sf_dir)
+    gb = GroupBy(
+        keys=["conv_id"],
+        aggregations=[Aggregation("score", Op.SUM, windows=("7d",), buckets=("role",))],
+        tie_breakers=["turn_idx"],
+    )
+    out = asof_join(_user_left(t), t, gb)
+    m = F.col("score_sum_7d_by_role")
+    keys = F.array_sort(F.map_keys(m))
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "tus",
+        keys.alias("roles"),
+        F.transform(keys, lambda k: F.round(F.element_at(m, k), 3)).alias("sums"),
+    )
+
+
+_SQL_BUCKETED = f"""
+WITH t AS ({_DUCK_T}),
+q AS (SELECT conv_id, turn_idx, tus FROM t WHERE role = 'user'),
+w AS (SELECT q.conv_id, q.turn_idx AS qi, q.tus AS qtus, e.role, e.score
+      FROM q JOIN t e ON e.conv_id = q.conv_id AND e.tus < q.tus
+       AND e.tus >= q.tus - {7 * US_D} AND e.score IS NOT NULL AND e.role IS NOT NULL),
+g AS (SELECT conv_id, qi, qtus, role, SUM(score) AS s FROM w GROUP BY 1, 2, 3, 4),
+a AS (SELECT conv_id, qi, qtus, list(role ORDER BY role) AS roles,
+             list(ROUND(s, 3) ORDER BY role) AS sums
+      FROM g GROUP BY 1, 2, 3)
+SELECT q.conv_id AS conv_id, q.turn_idx AS turn_idx, q.tus AS tus, a.roles AS roles, a.sums AS sums
+FROM q LEFT JOIN a ON a.conv_id = q.conv_id AND a.qi = q.turn_idx AND a.qtus = q.tus
+"""
+
+
+# ------------------------------------------------------- unbounded (lifetime)
+
+
+def _q_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _transcripts(spark, sf_dir)
+    gb = GroupBy(
+        keys=["conv_id"],
+        aggregations=[
+            Aggregation("turn_idx", Op.COUNT, windows=(None,)),
+            Aggregation("score", Op.SUM, windows=(None,)),
+        ],
+        tie_breakers=["turn_idx"],
+    )
+    out = asof_join(_user_left(t), t, gb)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "tus",
+        F.col("turn_idx_count").alias("n_lifetime"),
+        F.round(F.col("score_sum"), 3).alias("sum_lifetime"),
+    )
+
+
+_SQL_LIFETIME = f"""
+WITH t AS ({_DUCK_T})
+SELECT q.conv_id AS conv_id, q.turn_idx AS turn_idx, q.tus AS tus,
+       (SELECT NULLIF(COUNT(e.turn_idx), 0) FROM t e
+         WHERE e.conv_id = q.conv_id AND e.tus < q.tus) AS n_lifetime,
+       (SELECT ROUND(SUM(e.score), 3) FROM t e
+         WHERE e.conv_id = q.conv_id AND e.tus < q.tus) AS sum_lifetime
+FROM t q WHERE q.role = 'user'
+"""
+
+
+# ------------------------------------------------------- multi-part join
+
+
+def _q_multi_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two as-of joinParts (all turns / tool turns) + a derivation — the
+    reference's Join orchestration (JoinBase.computeJoinOpt) in one query."""
+    t = _transcripts(spark, sf_dir)
+    left = _user_left(t)
+    gb_all = GroupBy(
+        keys=["conv_id"],
+        aggregations=[Aggregation("turn_idx", Op.COUNT, windows=("7d",))],
+        tie_breakers=["turn_idx"],
+    )
+    gb_tool = GroupBy(
+        keys=["conv_id"],
+        aggregations=[Aggregation("turn_idx", Op.COUNT, windows=("7d",))],
+        tie_breakers=["turn_idx"],
+    )
+    join = Join(
+        left_time_column="ts",
+        join_parts=[
+            JoinPart(group_by=gb_all, right_df=t),
+            JoinPart(group_by=gb_tool, right_df=t.where(F.col("role") == "tool"), prefix="tool"),
+        ],
+        derivations={
+            "*": "*",
+            "tool_ratio": "CAST(tool_turn_idx_count_7d AS DOUBLE) / turn_idx_count_7d",
+        },
+    )
+    out = compute_join(left, join)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "tus",
+        F.col("turn_idx_count_7d").alias("n_7d"),
+        F.col("tool_turn_idx_count_7d").alias("n_tool_7d"),
+        "tool_ratio",
+    )
+
+
+_SQL_MULTI_PART = f"""
+WITH t AS ({_DUCK_T})
+SELECT q.conv_id AS conv_id, q.turn_idx AS turn_idx, q.tus AS tus,
+       (SELECT NULLIF(COUNT(*), 0) FROM t e
+         WHERE e.conv_id = q.conv_id AND e.tus < q.tus AND e.tus >= q.tus - {7 * US_D}) AS n_7d,
+       (SELECT NULLIF(COUNT(*), 0) FROM t e
+         WHERE e.conv_id = q.conv_id AND e.role = 'tool' AND e.tus < q.tus
+           AND e.tus >= q.tus - {7 * US_D}) AS n_tool_7d,
+       CAST((SELECT NULLIF(COUNT(*), 0) FROM t e
+         WHERE e.conv_id = q.conv_id AND e.role = 'tool' AND e.tus < q.tus
+           AND e.tus >= q.tus - {7 * US_D}) AS DOUBLE)
+       / (SELECT NULLIF(COUNT(*), 0) FROM t e
+         WHERE e.conv_id = q.conv_id AND e.tus < q.tus AND e.tus >= q.tus - {7 * US_D}) AS tool_ratio
+FROM t q WHERE q.role = 'user'
+"""
+
+
+# ------------------------------------------------------- registry
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "asof_order_ops": _q_order_ops,
+    "asof_moments": _q_moments,
+    "asof_bucketed_sum": _q_bucketed,
+    "asof_lifetime": _q_lifetime,
+    "join_multi_part": _q_multi_part,
+}
+
+ORACLES: dict[str, str] = {
+    "asof_order_ops": _SQL_ORDER_OPS,
+    "asof_moments": _SQL_MOMENTS,
+    "asof_bucketed_sum": _SQL_BUCKETED,
+    "asof_lifetime": _SQL_LIFETIME,
+    "join_multi_part": _SQL_MULTI_PART,
+}
