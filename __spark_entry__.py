@@ -251,6 +251,42 @@ def _q_sawtooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("conv_id", "turn_idx", "tus", F.col("turn_idx_count_13d").alias("turns_13d_sawtooth"))
 
 
+def _q_sawtooth_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same sawtooth query through the TILED physical strategy (hop tiles via
+    JVM groupBy + head-hop raw events) — same oracle as sawtooth_13d."""
+    from chronon_spark.operators.tiles import tiled_sawtooth_asof_join
+
+    _configure(spark)
+    t = _transcripts(spark, sf_dir)
+    left = t.where(F.col("role") == "tool").select("conv_id", "turn_idx", "tus", "ts")
+    gb = GroupBy(
+        keys=["conv_id"],
+        aggregations=[Aggregation("turn_idx", Op.COUNT, windows=("13d",))],
+        tie_breakers=["turn_idx"],
+        sawtooth=True,
+    )
+    out = tiled_sawtooth_asof_join(left, t, gb)
+    return out.select("conv_id", "turn_idx", "tus", F.col("turn_idx_count_13d").alias("turns_13d_sawtooth"))
+
+
+def _q_sawtooth_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same sawtooth query through the TIME-SLICED strategy (hot-key salting
+    with deterministic slice replication) — same oracle as sawtooth_13d."""
+    from chronon_spark.operators.slicing import sliced_asof_join
+
+    _configure(spark)
+    t = _transcripts(spark, sf_dir)
+    left = t.where(F.col("role") == "tool").select("conv_id", "turn_idx", "tus", "ts")
+    gb = GroupBy(
+        keys=["conv_id"],
+        aggregations=[Aggregation("turn_idx", Op.COUNT, windows=("13d",))],
+        tie_breakers=["turn_idx"],
+        sawtooth=True,
+    )
+    out = sliced_asof_join(left, t, gb, slice_span="7d")
+    return out.select("conv_id", "turn_idx", "tus", F.col("turn_idx_count_13d").alias("turns_13d_sawtooth"))
+
+
 _SQL_SAWTOOTH = f"""
 WITH t AS ({_DUCK_TRANSCRIPTS})
 SELECT q.conv_id AS conv_id, q.turn_idx AS turn_idx, q.tus AS tus,
@@ -324,6 +360,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_1d": _q_tumbling,
         "hopping_1h_15m": _q_hopping,
         "sawtooth_13d": _q_sawtooth,
+        "sawtooth_13d_tiled": _q_sawtooth_tiled,
+        "sawtooth_13d_sliced": _q_sawtooth_sliced,
         "snapshot_daily": _q_snapshot_daily,
         **ops.QUERIES,
         **corpus.QUERIES,
@@ -341,6 +379,8 @@ def oracle_sql() -> dict[str, str]:
         "tumbling_1d": _SQL_TUMBLING,
         "hopping_1h_15m": _SQL_HOPPING,
         "sawtooth_13d": _SQL_SAWTOOTH,
+        "sawtooth_13d_tiled": _SQL_SAWTOOTH,
+        "sawtooth_13d_sliced": _SQL_SAWTOOTH,
         "snapshot_daily": _SQL_SNAPSHOT,
         **ops.ORACLES,
         **corpus.ORACLES,

@@ -1,10 +1,14 @@
 from chronon_spark.operators.asof_join import asof_join, compute_join
+from chronon_spark.operators.slicing import sliced_asof_join
+from chronon_spark.operators.tiles import tiled_sawtooth_asof_join
 from chronon_spark.operators.trailing import trailing_features
 from chronon_spark.operators.windows import hopping_window_agg, lag_lead, sessionize, tumbling_window_agg
 
 __all__ = [
     "asof_join",
     "compute_join",
+    "sliced_asof_join",
+    "tiled_sawtooth_asof_join",
     "trailing_features",
     "sessionize",
     "lag_lead",

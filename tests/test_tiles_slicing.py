@@ -1,0 +1,118 @@
+"""Equivalence tests for the scale paths: the tiled sawtooth join and the
+time-sliced join must produce EXACTLY what the plain cogroup as-of join
+produces (same engine, different physical strategy — the reference asserts
+the same invariant between UnionJoin and the classic temporalEvents path).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from chronon_spark.api import Aggregation, GroupBy, Op
+from chronon_spark.operators.asof_join import asof_join
+from chronon_spark.operators.slicing import sliced_asof_join
+from chronon_spark.operators.tiles import tiled_sawtooth_asof_join
+from chronon_spark.sources.synth import synth_transcripts
+
+
+@pytest.fixture(scope="module")
+def tdf(spark):
+    pdf = synth_transcripts(n_rows=8000, n_convs=40)  # hot keys: ~200 turns/conv
+    return spark.createDataFrame(pdf).withColumn(
+        "tus", F.unix_micros(F.col("ts").cast("timestamp"))
+    ).cache()
+
+
+def _collect(df, feat_cols):
+    pdf = df.toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    return pdf[["conv_id", "turn_idx"] + feat_cols]
+
+
+def _assert_same(a: pd.DataFrame, b: pd.DataFrame):
+    assert len(a) == len(b)
+    for c in a.columns:
+        x, y = a[c], b[c]
+        if x.dtype.kind == "f" or y.dtype.kind == "f":
+            ok = (x.isna() & y.isna()) | ((x - y).abs() < 1e-9)
+        else:
+            ok = (x.isna() & y.isna()) | (x == y)
+        assert ok.all(), f"col {c}: {int((~ok).sum())} diffs\n{a[~ok].head()}\n{b[~ok].head()}"
+
+
+GB_SAW = GroupBy(
+    keys=["conv_id"],
+    aggregations=[
+        Aggregation("turn_idx", Op.COUNT, windows=("13d", "3h")),
+        Aggregation("n_chars", Op.SUM, windows=("13d",)),
+        Aggregation("n_chars", Op.AVERAGE, windows=("3h",)),
+        Aggregation("n_chars", Op.MIN, windows=("13d",)),
+        Aggregation("n_chars", Op.MAX, windows=("3h",)),
+    ],
+    tie_breakers=["turn_idx"],
+    sawtooth=True,
+)
+
+
+def test_tiled_equals_plain_sawtooth(spark, tdf):
+    left = tdf.where(F.col("role") == "user").select("conv_id", "turn_idx", "ts")
+    feats = [p.output_name for p in GB_SAW.parts()]
+    plain = _collect(asof_join(left, tdf, GB_SAW), feats)
+    tiled = _collect(tiled_sawtooth_asof_join(left, tdf, GB_SAW), feats)
+    _assert_same(plain, tiled)
+
+
+def test_tiled_rejects_order_ops(tdf):
+    gb = GroupBy(
+        keys=["conv_id"],
+        aggregations=[Aggregation("n_chars", Op.LAST_K, windows=("1d",), k=2)],
+        sawtooth=True,
+    )
+    left = tdf.limit(1)
+    with pytest.raises(ValueError, match="tiled path supports"):
+        tiled_sawtooth_asof_join(left, tdf, gb)
+
+
+def test_sliced_equals_plain(spark, tdf):
+    gb = GroupBy(
+        keys=["conv_id"],
+        aggregations=[
+            Aggregation("turn_idx", Op.COUNT, windows=("2d",)),
+            Aggregation("n_chars", Op.SUM, windows=("2d",)),
+            Aggregation("text", Op.LAST_K, windows=("1d",), k=3),
+        ],
+        tie_breakers=["turn_idx"],
+    )
+    left = tdf.where(F.col("role") == "user").select("conv_id", "turn_idx", "ts")
+    feats = [p.output_name for p in gb.parts()]
+    plain = _collect(asof_join(left, tdf, gb), feats)
+    sliced = _collect(sliced_asof_join(left, tdf, gb, slice_span="1d"), feats)
+    # list column: compare as tuples
+    for df in (plain, sliced):
+        df["text_last_k3_1d"] = df["text_last_k3_1d"].map(
+            lambda v: tuple(v) if isinstance(v, (list, tuple)) or v is not None and hasattr(v, "__iter__") else v
+        )
+    _assert_same(plain, sliced)
+
+
+def test_sliced_sawtooth_boundary(spark, tdf):
+    """Sawtooth + slicing: the rounded-down tail must still see events one
+    hop beyond the nominal window (the replication-reach regression)."""
+    gb = GroupBy(
+        keys=["conv_id"],
+        aggregations=[Aggregation("turn_idx", Op.COUNT, windows=("2d",))],
+        tie_breakers=["turn_idx"],
+        sawtooth=True,
+    )
+    left = tdf.where(F.col("role") == "user").select("conv_id", "turn_idx", "ts")
+    feats = [p.output_name for p in gb.parts()]
+    plain = _collect(asof_join(left, tdf, gb), feats)
+    sliced = _collect(sliced_asof_join(left, tdf, gb, slice_span="1d"), feats)
+    _assert_same(plain, sliced)
+
+
+def test_sliced_rejects_unbounded(tdf):
+    gb = GroupBy(keys=["conv_id"], aggregations=[Aggregation("turn_idx", Op.COUNT, windows=(None,))])
+    with pytest.raises(ValueError, match="bounded"):
+        sliced_asof_join(tdf.limit(1), tdf, gb)
