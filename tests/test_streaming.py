@@ -1,0 +1,99 @@
+"""Structured Streaming parity: the streaming GroupBy must produce exactly
+what the equivalent batch aggregation produces once the stream is drained
+(availableNow trigger). This mirrors the reference's online/offline
+consistency suite (ConsistencyJob / FetcherGeneratedTest, SURVEY.md §5.4).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from chronon_spark.api import Aggregation, GroupBy, Op
+from chronon_spark.sources.synth import synth_transcripts
+from chronon_spark.streaming import stream_hop_tiles, stream_sessionize, stream_tumbling_agg
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("stream_src")
+    pdf = synth_transcripts(n_rows=4000, n_convs=30)
+    # several files → several micro-batches worth of splits
+    for i in range(4):
+        spark.createDataFrame(pdf.iloc[i::4]).write.mode("overwrite").parquet(f"{d}/part{i}")
+    return str(d)
+
+
+def _read_stream(spark, d):
+    schema = spark.read.parquet(f"{d}/part0").schema
+    return spark.readStream.schema(schema).option("recursiveFileLookup", "true").parquet(d)
+
+
+def _read_batch(spark, d):
+    return spark.read.option("recursiveFileLookup", "true").parquet(d)
+
+
+def _drain(sdf, name):
+    q = sdf.writeStream.format("memory").queryName(name).outputMode("complete").trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination(300)
+    return name
+
+
+def _rows(spark, name):
+    return {tuple(r) for r in spark.table(name).collect()}
+
+
+def test_stream_tumbling_matches_batch(spark, stream_dir):
+    aggs = {"n": F.count(F.lit(1)), "total": F.round(F.sum("n_chars"), 3)}
+    out = stream_tumbling_agg(_read_stream(spark, stream_dir), ["conv_id"], "1d", aggs)
+    _drain(out, "t_tumbling")
+    batch = (
+        _read_batch(spark, stream_dir)
+        .groupBy("conv_id", F.window("ts", "86400 seconds").alias("__w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("n_chars"), 3).alias("total"))
+        .select("conv_id", F.col("__w.start").alias("window_start"), F.col("__w.end").alias("window_end"), "n", "total")
+    )
+    assert _rows(spark, "t_tumbling") == {tuple(r) for r in batch.collect()}
+
+
+def test_stream_tiles_match_batch_tiles(spark, stream_dir):
+    gb = GroupBy(
+        keys=["conv_id"],
+        aggregations=[
+            Aggregation("n_chars", Op.SUM, windows=("13d",)),
+            Aggregation("n_chars", Op.MIN, windows=("13d",)),
+        ],
+    )
+    out = stream_hop_tiles(_read_stream(spark, stream_dir), gb)
+    _drain(out, "t_tiles")
+    got = spark.table("t_tiles")
+    assert set(got.columns) == {"conv_id", "tile_start", "n_chars__cnt", "n_chars__sum", "n_chars__min"}
+    batch = (
+        _read_batch(spark, stream_dir)
+        .groupBy("conv_id", F.window("ts", "86400 seconds").alias("__w"))
+        .agg(
+            F.count("n_chars").alias("n_chars__cnt"),
+            F.sum("n_chars").alias("n_chars__sum"),
+            F.min("n_chars").alias("n_chars__min"),
+        )
+        .select("conv_id", F.col("__w.start").alias("tile_start"), "n_chars__cnt", "n_chars__sum", "n_chars__min")
+    )
+    assert _rows(spark, "t_tiles") == {tuple(r) for r in batch.collect()}
+
+
+def test_stream_sessionize_counts(spark, stream_dir):
+    out = stream_sessionize(_read_stream(spark, stream_dir), ["conv_id"], gap="30m")
+    _drain(out, "t_sessions")
+    got = spark.table("t_sessions")
+    n_rows = _read_batch(spark, stream_dir).count()
+    assert got.agg(F.sum("n_turns")).first()[0] == n_rows  # every turn in exactly one session
+    # session invariant: start <= end, and sessions of one conv don't overlap
+    pdf = got.toPandas().sort_values(["conv_id", "session_start"])
+    assert (pdf["session_start"] <= pdf["session_end"]).all()
+    by_conv = pdf.groupby("conv_id")
+    for _, g in by_conv:
+        starts = g["session_start"].to_numpy()
+        ends = g["session_end"].to_numpy()
+        assert (starts[1:] >= ends[:-1]).all()
