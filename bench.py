@@ -26,7 +26,17 @@ BENCH_QUERIES = [
     "tumbling_1d",
     "hopping_1h_15m",
     "sawtooth_13d",
+    "sawtooth_13d_tiled",
+    "sawtooth_13d_sliced",
     "snapshot_daily",
+    "asof_order_ops",
+    "asof_moments",
+    "join_multi_part",
+    "doc_stats",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "embedding_topk",
+    "ann_lsh_topk",
 ]
 
 

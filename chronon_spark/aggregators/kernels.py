@@ -81,7 +81,10 @@ class EventColumns:
         else:
             s = self.events[name]
             ts = self.ts
-            if len(s) and s.map(lambda v: isinstance(v, (list, np.ndarray)), na_action="ignore").fillna(False).any():
+            # array-typed columns yield a list in every non-null row (fixed
+            # schema), so inspecting the first non-null value suffices
+            nn = s.dropna()
+            if len(nn) and isinstance(nn.iloc[0], (list, np.ndarray)):
                 # auto-explode vector inputs (reference: row/ColumnAggregator.scala:225-246)
                 lens = s.map(lambda v: len(v) if isinstance(v, (list, np.ndarray)) else 0).to_numpy(np.int64)
                 ts = np.repeat(ts, lens)
@@ -269,14 +272,32 @@ def _kernel(part: AggregationPart, cs: _ColumnSeries, s: np.ndarray, e: np.ndarr
                 sl = np.sort(cs.vals[s[i] : e[i]])
                 out[i] = list(sl[::-1][: part.k]) if op == Op.TOP_K else list(sl[: part.k])
         return out
-    if op == Op.HISTOGRAM:
+    if op in (Op.HISTOGRAM, Op.APPROX_FREQUENT_K):
         out = np.empty(len(s), object)
+        # HISTOGRAM truncates to the k most frequent when k is set (reference
+        # finalize-time truncation, SimpleAggregators.scala:303-322);
+        # APPROX_FREQUENT_K always keeps k (ItemsSketch is exact at this
+        # state size — NO_FALSE_NEGATIVES at fixture scale)
+        k = part.k if (part.k or op == Op.APPROX_FREQUENT_K) else None
         for i in range(len(s)):
             if n[i] <= 0:
                 out[i] = None
             else:
                 uv, uc = np.unique(cs.vals[s[i] : e[i]].astype(str), return_counts=True)
+                if k is not None and len(uv) > k:
+                    # deterministic truncation: count desc, value asc
+                    order = np.lexsort((uv, -uc))[:k]
+                    uv, uc = uv[order], uc[order]
                 out[i] = dict(zip(uv.tolist(), uc.astype(np.int64).tolist()))
+        return out
+    if op == Op.UNIQUE_TOP_K:
+        out = np.empty(len(s), object)
+        for i in range(len(s)):
+            if n[i] <= 0:
+                out[i] = None
+            else:
+                u = np.unique(cs.vals[s[i] : e[i]])  # sorted ascending
+                out[i] = list(u[::-1][: part.k])
         return out
     if op == Op.APPROX_PERCENTILE:
         out = np.empty(len(s), object)

@@ -39,12 +39,14 @@ class Op(str, enum.Enum):
     UNIQUE_COUNT = "unique_count"  # exact distinct
     APPROX_UNIQUE_COUNT = "approx_unique_count"  # sketch on the JVM path; exact in kernels
     APPROX_PERCENTILE = "approx_percentile"  # percentiles arg; exact interpolation in kernels
+    APPROX_FREQUENT_K = "approx_frequent_k"  # k most frequent values -> map (exact at kernel scale)
+    UNIQUE_TOP_K = "unique_top_k"  # k largest DISTINCT values, descending
 
 
 # ops whose output is a list
-_LIST_OPS = {Op.FIRST_K, Op.LAST_K, Op.TOP_K, Op.BOTTOM_K}
+_LIST_OPS = {Op.FIRST_K, Op.LAST_K, Op.TOP_K, Op.BOTTOM_K, Op.UNIQUE_TOP_K}
 # ops that take k
-_K_OPS = {Op.FIRST_K, Op.LAST_K, Op.TOP_K, Op.BOTTOM_K}
+_K_OPS = {Op.FIRST_K, Op.LAST_K, Op.TOP_K, Op.BOTTOM_K, Op.UNIQUE_TOP_K, Op.APPROX_FREQUENT_K}
 # ops that require a numeric input
 NUMERIC_OPS = {
     Op.SUM,

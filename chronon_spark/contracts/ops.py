@@ -204,6 +204,66 @@ FROM q LEFT JOIN a ON a.conv_id = q.conv_id AND a.qi = q.turn_idx AND a.qtus = q
 """
 
 
+# ------------------------------------------------------- histogram family
+
+
+def _q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _transcripts(spark, sf_dir)
+    gb = GroupBy(
+        keys=["conv_id"],
+        aggregations=[
+            Aggregation("role", Op.HISTOGRAM, windows=("7d",)),
+            Aggregation("role", Op.APPROX_FREQUENT_K, windows=("7d",), k=2),
+            Aggregation("score", Op.UNIQUE_TOP_K, windows=("7d",), k=3),
+        ],
+        tie_breakers=["turn_idx"],
+    )
+    out = asof_join(_user_left(t), t, gb)
+    h = F.col("role_histogram_7d")
+    hk = F.array_sort(F.map_keys(h))
+    fk = F.col("role_approx_frequent_k2_7d")
+    fkk = F.array_sort(F.map_keys(fk))
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "tus",
+        hk.alias("hist_keys"),
+        F.transform(hk, lambda x: F.element_at(h, x)).alias("hist_counts"),
+        fkk.alias("freq_keys"),
+        F.transform(fkk, lambda x: F.element_at(fk, x)).alias("freq_counts"),
+        F.col("score_unique_top_k3_7d").alias("top3_distinct"),
+    )
+
+
+_SQL_HISTOGRAM = f"""
+WITH t AS ({_DUCK_T}),
+q AS (SELECT conv_id, turn_idx, tus FROM t WHERE role = 'user'),
+w AS (SELECT q.conv_id, q.turn_idx AS qi, q.tus AS qtus, e.role, e.score
+      FROM q JOIN t e ON e.conv_id = q.conv_id AND e.tus < q.tus AND e.tus >= q.tus - {7 * US_D}),
+g AS (SELECT conv_id, qi, qtus, role, COUNT(*) AS c FROM w WHERE role IS NOT NULL GROUP BY 1, 2, 3, 4),
+hist AS (SELECT conv_id, qi, qtus, list(role ORDER BY role) AS hist_keys,
+                list(c ORDER BY role) AS hist_counts
+         FROM g GROUP BY 1, 2, 3),
+rk AS (SELECT *, row_number() OVER (PARTITION BY conv_id, qi, qtus ORDER BY c DESC, role) AS r FROM g),
+freq AS (SELECT conv_id, qi, qtus, list(role ORDER BY role) AS freq_keys,
+                list(c ORDER BY role) AS freq_counts
+         FROM rk WHERE r <= 2 GROUP BY 1, 2, 3),
+topd AS (SELECT conv_id, qi, qtus, list(v ORDER BY v DESC) AS top3_distinct
+         FROM (SELECT conv_id, qi, qtus, score AS v,
+                      row_number() OVER (PARTITION BY conv_id, qi, qtus ORDER BY score DESC) AS r
+               FROM (SELECT DISTINCT conv_id, qi, qtus, score FROM w WHERE score IS NOT NULL))
+         WHERE r <= 3 GROUP BY 1, 2, 3)
+SELECT q.conv_id AS conv_id, q.turn_idx AS turn_idx, q.tus AS tus,
+       hist.hist_keys AS hist_keys, hist.hist_counts AS hist_counts,
+       freq.freq_keys AS freq_keys, freq.freq_counts AS freq_counts,
+       topd.top3_distinct AS top3_distinct
+FROM q
+LEFT JOIN hist ON hist.conv_id = q.conv_id AND hist.qi = q.turn_idx AND hist.qtus = q.tus
+LEFT JOIN freq ON freq.conv_id = q.conv_id AND freq.qi = q.turn_idx AND freq.qtus = q.tus
+LEFT JOIN topd ON topd.conv_id = q.conv_id AND topd.qi = q.turn_idx AND topd.qtus = q.tus
+"""
+
+
 # ------------------------------------------------------- unbounded (lifetime)
 
 
@@ -301,6 +361,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_order_ops": _q_order_ops,
     "asof_moments": _q_moments,
     "asof_bucketed_sum": _q_bucketed,
+    "asof_histogram_ops": _q_histogram,
     "asof_lifetime": _q_lifetime,
     "join_multi_part": _q_multi_part,
 }
@@ -309,6 +370,7 @@ ORACLES: dict[str, str] = {
     "asof_order_ops": _SQL_ORDER_OPS,
     "asof_moments": _SQL_MOMENTS,
     "asof_bucketed_sum": _SQL_BUCKETED,
+    "asof_histogram_ops": _SQL_HISTOGRAM,
     "asof_lifetime": _SQL_LIFETIME,
     "join_multi_part": _SQL_MULTI_PART,
 }

@@ -24,9 +24,12 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
 
 # Identical semantics in Spark SQL and DuckDB (both support ||, row_number,
 # CASE, CAST). Keep in sync with TRANSCRIPTS_SQL_DUCKDB below.
+# The window partitions by the conv_id EXPRESSION (1:1 with user_id, same
+# result) so EnsureRequirements can reuse this exchange for the downstream
+# cogroup on conv_id — one shuffle instead of two.
 TRANSCRIPTS_SQL = """
 SELECT 'c' || CAST(user_id AS STRING)                                   AS conv_id,
-       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS turn_idx,
+       CAST(ROW_NUMBER() OVER (PARTITION BY 'c' || CAST(user_id AS STRING) ORDER BY ts, event_id) - 1 AS INT) AS turn_idx,
        CASE WHEN event_type IN ('click', 'view') THEN 'user'
             WHEN event_type = 'error'            THEN 'tool'
             ELSE 'assistant' END                                        AS role,
@@ -39,8 +42,33 @@ FROM {events}
 
 
 def transcripts_from_events(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
-    load_table(spark, "events", sf_dir).createOrReplaceTempView("__events_src")
-    return spark.sql(TRANSCRIPTS_SQL.format(events="__events_src"))
+    """DataFrame-API equivalent of TRANSCRIPTS_SQL (same values, same oracle).
+
+    Built with the window partitioned on the conv_id ATTRIBUTE (not the raw
+    expression): the SQL form extracts the partition expression into a hidden
+    `_w0` column, so EnsureRequirements can't see that the window's exchange
+    already clusters by conv_id and adds a SECOND shuffle before any
+    downstream cogroup/groupBy on conv_id. The attribute form makes the
+    derivation shuffle and the as-of join shuffle one and the same.
+    """
+    from pyspark.sql import Window, functions as F
+
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("conv_id", F.concat(F.lit("c"), F.col("user_id").cast("string")))
+        .withColumn("turn_idx", (F.row_number().over(w) - 1).cast("int"))
+        .withColumn(
+            "role",
+            F.when(F.col("event_type").isin("click", "view"), "user")
+            .when(F.col("event_type") == "error", "tool")
+            .otherwise("assistant"),
+        )
+        .withColumn("text", F.concat("event_type", F.lit(":"), F.col("event_id").cast("string")))
+        .withColumn("tool", F.when(F.col("event_type") == "error", "retry"))
+        .withColumn("score", F.col("value"))
+        .select("conv_id", "turn_idx", "role", "text", "tool", "score", "ts")
+    )
 
 
 def transcripts_sql_duckdb(events_rel: str = "events") -> str:

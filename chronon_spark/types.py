@@ -26,9 +26,9 @@ def part_output_type(part: AggregationPart, input_type: T.DataType) -> T.DataTyp
         base = T.DoubleType()
     elif op in (Op.MIN, Op.MAX, Op.FIRST, Op.LAST):
         base = input_type
-    elif op in (Op.FIRST_K, Op.LAST_K, Op.TOP_K, Op.BOTTOM_K):
+    elif op in (Op.FIRST_K, Op.LAST_K, Op.TOP_K, Op.BOTTOM_K, Op.UNIQUE_TOP_K):
         base = T.ArrayType(input_type)
-    elif op == Op.HISTOGRAM:
+    elif op in (Op.HISTOGRAM, Op.APPROX_FREQUENT_K):
         base = T.MapType(T.StringType(), T.LongType())
     elif op == Op.APPROX_PERCENTILE:
         base = T.ArrayType(T.DoubleType())

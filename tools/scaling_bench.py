@@ -6,9 +6,13 @@ local[4N] (sandbox stand-in for N vs 4N executor clusters), reports throughput
   eff = (thr_4N / thr_N) / 4
 Target: eff >= 0.8. Results are recorded in BASELINE.md.
 
-Usage: python tools/scaling_bench.py [n_small] [sf_dir] [rows]
-Each parallelism level runs in a fresh spark-submit-equivalent session
-(sequential, separate JVM via subprocess) so executors don't share warm state.
+The input is a deterministic synthetic transcript table sized so compute
+dominates fixed overhead (strong scaling needs real work per core: at 100k
+rows the 32-core run is scheduler-bound and efficiency is meaningless).
+
+Usage: python tools/scaling_bench.py [n_small] [n_rows]
+Each parallelism level runs in a fresh JVM (subprocess) so levels share no
+warm executor state; each level does one warm-up pass then one timed pass.
 """
 
 from __future__ import annotations
@@ -17,39 +21,65 @@ import json
 import os
 import subprocess
 import sys
-import time
 from pathlib import Path
 
 ROOT = Path(__file__).resolve().parents[1]
+DATA = "/tmp/scale_bench/transcripts.parquet"
 
 CHILD = r"""
 import json, sys, time
 sys.path.insert(0, {root!r})
+from pyspark.sql import functions as F
 from chronon_spark.session import get_spark
-import __spark_entry__ as E
+from chronon_spark.api import Aggregation, GroupBy, Op
+from chronon_spark.operators.asof_join import asof_join
 
 cores = {cores}
-sf_dir = {sf_dir!r}
-spark = get_spark("scale-bench", master=f"local[{{cores}}]", shuffle_partitions=cores)
-n = spark.read.parquet(f"{{sf_dir}}/events.parquet").count()
-E.queries()["trailing_window_features"](spark, sf_dir).count()  # warmup
-t0 = time.time()
-E.queries()["asof_join_features"](spark, sf_dir).write.format("noop").mode("overwrite").save()
-asof = time.time() - t0
-t0 = time.time()
-E.queries()["trailing_window_features"](spark, sf_dir).write.format("noop").mode("overwrite").save()
-trail = time.time() - t0
-print("RESULT " + json.dumps({{"cores": cores, "rows": n, "asof_sec": round(asof, 3),
-                               "trailing_sec": round(trail, 3)}}))
+spark = get_spark("scale-bench", master=f"local[{{cores}}]", shuffle_partitions=max(cores * 2, 16))
+t = spark.read.parquet({data!r})
+n = t.count()
+left = t.where(F.col("role") == "user").select("conv_id", "turn_idx", "ts")
+gb = GroupBy(
+    keys=["conv_id"],
+    aggregations=[
+        Aggregation("turn_idx", Op.COUNT, windows=("7d", "1h")),
+        Aggregation("n_chars", Op.SUM, windows=("7d",)),
+        Aggregation("text", Op.LAST_K, windows=("2d",), k=3),
+    ],
+    tie_breakers=["turn_idx"],
+)
+
+def run():
+    t0 = time.time()
+    asof_join(left, t, gb).write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+run()  # warm-up: JIT, codegen, Python workers, page cache
+sec = run()
+print("RESULT " + json.dumps({{"cores": cores, "rows": n, "asof_sec": round(sec, 3)}}))
 spark.stop()
 """
 
 
-def run_level(cores: int, sf_dir: str) -> dict:
-    code = CHILD.format(root=str(ROOT), cores=cores, sf_dir=sf_dir)
+def ensure_data(n_rows: int) -> None:
+    if os.path.exists(DATA):
+        import pyarrow.parquet as pq
+
+        if pq.read_metadata(DATA).num_rows == n_rows:
+            return
+    os.makedirs(os.path.dirname(DATA), exist_ok=True)
+    sys.path.insert(0, str(ROOT))
+    from chronon_spark.sources.synth import synth_transcripts
+
+    pdf = synth_transcripts(n_rows=n_rows, n_convs=max(n_rows // 160, 1))
+    pdf.to_parquet(DATA, index=False)
+
+
+def run_level(cores: int) -> dict:
+    code = CHILD.format(root=str(ROOT), cores=cores, data=DATA)
     out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, timeout=1800,
-        cwd=str(ROOT), env={**os.environ, "SPARK_DRIVER_MEMORY": "16g"},
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600,
+        cwd=str(ROOT), env={**os.environ, "SPARK_DRIVER_MEMORY": "48g"},
     )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
@@ -60,18 +90,20 @@ def run_level(cores: int, sf_dir: str) -> dict:
 
 def main() -> int:
     n_small = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    sf_dir = sys.argv[2] if len(sys.argv) > 2 else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    small = run_level(n_small, sf_dir)
-    big = run_level(n_small * 4, sf_dir)
-    res = {"sf_dir": sf_dir, "small": small, "big": big}
-    for key in ("asof_sec", "trailing_sec"):
-        thr_s = small["rows"] / small[key]
-        thr_b = big["rows"] / big[key]
-        res[key.replace("_sec", "")] = {
-            f"turns_per_sec_local{n_small}": round(thr_s, 1),
-            f"turns_per_sec_local{n_small * 4}": round(thr_b, 1),
-            "scaling_efficiency": round(thr_b / thr_s / 4, 3),
-        }
+    n_rows = int(sys.argv[2]) if len(sys.argv) > 2 else 8_000_000
+    ensure_data(n_rows)
+    small = run_level(n_small)
+    big = run_level(n_small * 4)
+    thr_s = small["rows"] / small["asof_sec"]
+    thr_b = big["rows"] / big["asof_sec"]
+    res = {
+        "input_rows": small["rows"],
+        "small": small,
+        "big": big,
+        f"turns_per_sec_local{n_small}": round(thr_s, 1),
+        f"turns_per_sec_local{n_small * 4}": round(thr_b, 1),
+        "scaling_efficiency": round(thr_b / thr_s / 4, 3),
+    }
     print(json.dumps(res, indent=1))
     return 0
 
