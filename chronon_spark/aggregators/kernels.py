@@ -334,36 +334,76 @@ def compute_parts(
                 hop_us = tail_hop_millis(part.window.millis) * 1000
                 q_starts = (q_starts // hop_us) * hop_us
         if part.bucket is None:
+            col_full = ec.events[part.input_column] if len(ec.events) else pd.Series([], dtype=object)
+            nn = col_full.dropna()
+            if len(nn) and isinstance(nn.iloc[0], dict):
+                # map input: aggregate PER MAP KEY (reference:
+                # row/MapColumnAggregator.scala) — output Map[key -> agg]
+                mask = col_full.notna().to_numpy()
+                ts_rep, mkeys, mvals = [], [], []
+                for t, d in zip(ec.ts[mask], col_full[mask]):
+                    for k, v in d.items():
+                        if v is not None:
+                            ts_rep.append(t)
+                            mkeys.append(str(k))
+                            mvals.append(v)
+                out[part.output_name] = _grouped_kernel(
+                    part,
+                    np.asarray(ts_rep, np.int64),
+                    np.asarray(mkeys, object),
+                    _to_numpy(pd.Series(mvals)),
+                    q_starts,
+                    q_ts,
+                    side,
+                )
+                continue
             cs = ec.column(part.input_column)
             s, e = cs.bounds(q_starts, q_ts, side)
             out[part.output_name] = _kernel(part, cs, s, e)
         else:
             # bucketed: map<bucket_value, aggregate> (reference:
             # row/BucketedColumnAggregator.scala)
-            base = ec.column(part.input_column)
             if not len(ec.events):
                 out[part.output_name] = np.full(len(q_ts), None, object)
                 continue
-            # align bucket values to the compacted column series
             bvals_full = ec.events[part.bucket]
             col_full = ec.events[part.input_column]
             mask = col_full.notna().to_numpy() & bvals_full.notna().to_numpy()
-            ts = ec.ts[mask]
-            vals = _to_numpy(col_full[mask])
-            bvals = bvals_full[mask].astype(str).to_numpy()
-            res = np.empty(len(q_ts), object)
-            res[:] = None
-            acc: list[dict] = [dict() for _ in range(len(q_ts))]
-            for bv in pd.unique(bvals):
-                bm = bvals == bv
-                cs = _ColumnSeries(ts[bm], vals[bm])
-                s, e = cs.bounds(q_starts, q_ts, side)
-                kv = _kernel(part, cs, s, e)
-                for i in range(len(q_ts)):
-                    if kv[i] is not None:
-                        acc[i][str(bv)] = kv[i]
-            for i in range(len(q_ts)):
-                res[i] = acc[i] or None
-            out[part.output_name] = res
+            out[part.output_name] = _grouped_kernel(
+                part,
+                ec.ts[mask],
+                bvals_full[mask].astype(str).to_numpy(),
+                _to_numpy(col_full[mask]),
+                q_starts,
+                q_ts,
+                side,
+            )
             continue
     return out
+
+
+def _grouped_kernel(
+    part: AggregationPart,
+    ts: np.ndarray,
+    group_vals: np.ndarray,
+    vals: np.ndarray,
+    q_starts: np.ndarray,
+    q_ts: np.ndarray,
+    side: str,
+) -> np.ndarray:
+    """Run one part's kernel per group value (bucket or map key), assembling
+    Map[group -> aggregate] per query; NULL when no group has data."""
+    res = np.empty(len(q_ts), object)
+    res[:] = None
+    acc: list[dict] = [dict() for _ in range(len(q_ts))]
+    for bv in pd.unique(group_vals):
+        bm = group_vals == bv
+        cs = _ColumnSeries(ts[bm], vals[bm])
+        s, e = cs.bounds(q_starts, q_ts, side)
+        kv = _kernel(part, cs, s, e)
+        for i in range(len(q_ts)):
+            if kv[i] is not None:
+                acc[i][str(bv)] = kv[i]
+    for i in range(len(q_ts)):
+        res[i] = acc[i] or None
+    return res

@@ -17,6 +17,9 @@ _INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.BooleanType)
 def part_output_type(part: AggregationPart, input_type: T.DataType) -> T.DataType:
     if isinstance(input_type, T.ArrayType):  # auto-exploded vector input
         input_type = input_type.elementType
+    map_input = isinstance(input_type, T.MapType)  # per-map-key aggregation
+    if map_input:
+        input_type = input_type.valueType
     op = part.op
     if op in (Op.COUNT, Op.UNIQUE_COUNT, Op.APPROX_UNIQUE_COUNT):
         base: T.DataType = T.LongType()
@@ -34,6 +37,8 @@ def part_output_type(part: AggregationPart, input_type: T.DataType) -> T.DataTyp
         base = T.ArrayType(T.DoubleType())
     else:
         raise NotImplementedError(f"op {op}")
+    if map_input:
+        base = T.MapType(T.StringType(), base)
     if part.bucket:
         base = T.MapType(T.StringType(), base)
     return base
