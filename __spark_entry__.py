@@ -77,7 +77,9 @@ def _q_asof_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         tie_breakers=["turn_idx"],
     )
-    out = asof_join(left, t, gb)
+    # coarse buckets: many keys per Arrow batch (2x at 8M rows/50k keys);
+    # the oracle below verifies this path value-for-value
+    out = asof_join(left, t, gb, coarse_buckets=256)
     return out.select(
         "conv_id",
         "turn_idx",

@@ -1,4 +1,6 @@
 from chronon_spark.operators.asof_join import asof_join, compute_join
+from chronon_spark.operators.bootstrap import bootstrap_asof_join
+from chronon_spark.operators.mutations import entity_last_value_asof, entity_state_asof
 from chronon_spark.operators.slicing import sliced_asof_join
 from chronon_spark.operators.tiles import tiled_sawtooth_asof_join
 from chronon_spark.operators.trailing import trailing_features
@@ -7,6 +9,9 @@ from chronon_spark.operators.windows import hopping_window_agg, lag_lead, sessio
 __all__ = [
     "asof_join",
     "compute_join",
+    "bootstrap_asof_join",
+    "entity_state_asof",
+    "entity_last_value_asof",
     "sliced_asof_join",
     "tiled_sawtooth_asof_join",
     "trailing_features",

@@ -65,11 +65,19 @@ def asof_join(
     left_time_column: str = "ts",
     key_mapping: dict[str, str] | None = None,
     prefix: str | None = None,
+    coarse_buckets: int | None = None,
 ) -> DataFrame:
     """For every left row, aggregate right-side events with ts strictly before
     the left row's ts (per window). Output = left columns + one column per
     AggregationPart. Exactly one output row per left row (the reference's
-    cardinality invariant, UnionJoinTest.scala:79-81)."""
+    cardinality invariant, UnionJoinTest.scala:79-81).
+
+    ``coarse_buckets=N`` cogroups on ``hash(keys) % N`` instead of the raw
+    keys and iterates the per-key kernels inside each Arrow batch: for
+    many-small-keys workloads this removes the per-group pandas/Arrow
+    machinery (one flush per bucket instead of per key) at identical
+    semantics. Pick N ≈ 8–16× total cores; None = one group per key.
+    """
     key_mapping = key_mapping or {k: k for k in gb.keys}
     left_keys = list(key_mapping.keys())
     right_keys = [key_mapping[k] for k in left_keys]
@@ -104,10 +112,7 @@ def asof_join(
     feat_names = [f.name for f in feat_fields]
     part_list = list(parts)
 
-    def fn(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
-        if not len(lpdf):
-            return pd.DataFrame(columns=left_cols + feat_names)
-        rpdf = rpdf.rename(columns=lambda c: c[4:] if c.startswith("__r_") else c)
+    def one_key(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         ec = EventColumns(rpdf, _TS_US, tie)
         q_ts = lpdf[_TS_US].to_numpy("int64")
         feats = compute_parts(ec, part_list, q_ts, include_equal, sawtooth)
@@ -115,6 +120,38 @@ def asof_join(
         for p, fname in zip(part_list, feat_names):
             out[fname] = feats[p.output_name]
         return out
+
+    def fn(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(lpdf):
+            return pd.DataFrame(columns=left_cols + feat_names)
+        rpdf = rpdf.rename(columns=lambda c: c[4:] if c.startswith("__r_") else c)
+        return one_key(lpdf, rpdf)
+
+    def fn_bucketed(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        """One Arrow batch holds MANY keys: loop per-key kernels in-process."""
+        if not len(lpdf):
+            return pd.DataFrame(columns=left_cols + feat_names)
+        rpdf = rpdf.rename(columns=lambda c: c[4:] if c.startswith("__r_") else c)
+
+        def norm(k):
+            return k if isinstance(k, tuple) else (k,)
+
+        r_groups = (
+            {norm(k): df for k, df in rpdf.groupby(right_keys, sort=False)} if len(rpdf) else {}
+        )
+        empty_r = rpdf.iloc[0:0]
+        pieces = []
+        # dropna=False: left rows with null keys must still emit (with null
+        # features) — the one-row-per-left-row invariant
+        for k, lsub in lpdf.groupby(left_keys, sort=False, dropna=False):
+            pieces.append(one_key(lsub, r_groups.get(norm(k), empty_r)))
+        return pd.concat(pieces, ignore_index=False)
+
+    if coarse_buckets:
+        lb = l.withColumn("__b", F.pmod(F.xxhash64(*left_keys), F.lit(coarse_buckets)))
+        rb = r.withColumn("__r___b", F.pmod(F.xxhash64(*[f"__r_{c}" for c in right_keys]), F.lit(coarse_buckets)))
+        grouped = lb.groupby(F.col("__b")).cogroup(rb.groupby(F.col("__r___b")))
+        return grouped.applyInPandas(fn_bucketed, schema=out_schema)
 
     grouped = l.groupby(*[F.col(c) for c in left_keys]).cogroup(
         r.groupby(*[F.col(f"__r_{c}") for c in right_keys])

@@ -112,6 +112,34 @@ def test_sliced_sawtooth_boundary(spark, tdf):
     _assert_same(plain, sliced)
 
 
+def test_coarse_buckets_equal_per_key(spark, tdf):
+    """coarse_buckets batches many keys per Arrow group — values must be
+    identical to the per-key cogroup, including left rows with NULL keys."""
+    gb = GroupBy(
+        keys=["conv_id"],
+        aggregations=[
+            Aggregation("turn_idx", Op.COUNT, windows=("2d",)),
+            Aggregation("text", Op.LAST_K, windows=("1d",), k=2),
+        ],
+        tie_breakers=["turn_idx"],
+    )
+    left = (
+        tdf.where(F.col("role") == "user")
+        .select("conv_id", "turn_idx", "ts")
+        # inject null-key left rows (must survive with null features)
+        .withColumn("conv_id", F.when(F.col("turn_idx") % 97 == 0, None).otherwise(F.col("conv_id")))
+    )
+    feats = [p.output_name for p in gb.parts()]
+    plain = _collect(asof_join(left, tdf, gb), feats)
+    coarse = _collect(asof_join(left, tdf, gb, coarse_buckets=64), feats)
+    for df in (plain, coarse):
+        df["text_last_k2_1d"] = df["text_last_k2_1d"].map(lambda v: tuple(v) if v is not None else v)
+    # align: conv_id may be null — sort on turn_idx too
+    plain = plain.sort_values(["conv_id", "turn_idx"], na_position="first").reset_index(drop=True)
+    coarse = coarse.sort_values(["conv_id", "turn_idx"], na_position="first").reset_index(drop=True)
+    _assert_same(plain, coarse)
+
+
 def test_sliced_rejects_unbounded(tdf):
     gb = GroupBy(keys=["conv_id"], aggregations=[Aggregation("turn_idx", Op.COUNT, windows=(None,))])
     with pytest.raises(ValueError, match="bounded"):

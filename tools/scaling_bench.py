@@ -51,7 +51,7 @@ gb = GroupBy(
 
 def run():
     t0 = time.time()
-    asof_join(left, t, gb).write.format("noop").mode("overwrite").save()
+    asof_join(left, t, gb, coarse_buckets=512).write.format("noop").mode("overwrite").save()
     return time.time() - t0
 
 run()  # warm-up: JIT, codegen, Python workers, page cache
