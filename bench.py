@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "asof_order_ops",
     "asof_moments",
     "join_multi_part",
+    "entity_state_cdc",
     "doc_stats",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",

@@ -355,6 +355,52 @@ FROM t q WHERE q.role = 'user'
 """
 
 
+# ------------------------------------------------------- CDC entity state
+
+
+def _q_entity_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC mutations: treat transcript rows as inserts, 'tool'-role rows as
+    deletes (before-images). State SUM/COUNT at each user turn's ts —
+    abelian reversal through the as-of kernel (operators/mutations.py)."""
+    from chronon_spark.operators.mutations import entity_state_asof
+    from chronon_spark.api import Op as _Op
+
+    t = _transcripts(spark, sf_dir)
+    mutations = t.select(
+        "conv_id",
+        F.col("score").alias("balance"),
+        F.col("ts").alias("mutation_ts"),
+        (F.col("role") == "tool").alias("is_before"),
+    )
+    snapshot = spark.createDataFrame([], "conv_id string, balance double")
+    left = _user_left(t)
+    out = entity_state_asof(
+        left, snapshot, mutations, ["conv_id"], "balance", "2000-01-01", ops=(_Op.SUM, _Op.COUNT)
+    )
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "tus",
+        F.round(F.col("balance_state_sum"), 3).alias("state_sum"),
+        F.col("balance_state_count").alias("state_n"),
+    )
+
+
+_SQL_ENTITY_STATE = f"""
+WITH t AS ({_DUCK_T})
+SELECT q.conv_id AS conv_id, q.turn_idx AS turn_idx, q.tus AS tus,
+       CASE WHEN (SELECT COALESCE(SUM(CASE WHEN e.role = 'tool' THEN -1 ELSE 1 END), 0)
+                  FROM t e WHERE e.conv_id = q.conv_id AND e.tus < q.tus AND e.score IS NOT NULL) > 0
+            THEN (SELECT ROUND(SUM(CASE WHEN e.role = 'tool' THEN -e.score ELSE e.score END), 3)
+                  FROM t e WHERE e.conv_id = q.conv_id AND e.tus < q.tus AND e.score IS NOT NULL) END AS state_sum,
+       CASE WHEN (SELECT COALESCE(SUM(CASE WHEN e.role = 'tool' THEN -1 ELSE 1 END), 0)
+                  FROM t e WHERE e.conv_id = q.conv_id AND e.tus < q.tus AND e.score IS NOT NULL) > 0
+            THEN (SELECT SUM(CASE WHEN e.role = 'tool' THEN -1 ELSE 1 END)
+                  FROM t e WHERE e.conv_id = q.conv_id AND e.tus < q.tus AND e.score IS NOT NULL) END AS state_n
+FROM t q WHERE q.role = 'user'
+"""
+
+
 # ------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -364,6 +410,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_histogram_ops": _q_histogram,
     "asof_lifetime": _q_lifetime,
     "join_multi_part": _q_multi_part,
+    "entity_state_cdc": _q_entity_state,
 }
 
 ORACLES: dict[str, str] = {
@@ -373,4 +420,5 @@ ORACLES: dict[str, str] = {
     "asof_histogram_ops": _SQL_HISTOGRAM,
     "asof_lifetime": _SQL_LIFETIME,
     "join_multi_part": _SQL_MULTI_PART,
+    "entity_state_cdc": _SQL_ENTITY_STATE,
 }

@@ -51,13 +51,18 @@ def mutations_to_deltas(
         F.lit(1).alias("__sign"),
         F.col(value_col).alias("__val"),
         F.to_timestamp(F.lit(base_ds)).alias("__mts"),
+    ).where(F.col(value_col).isNotNull())
+    mut = (
+        mutations.select(
+            *keys,
+            F.when(F.col(is_before_col), -1).otherwise(1).alias("__sign"),
+            F.col(value_col).alias("__val"),
+            F.col(mutation_ts_col).alias("__mts"),
+        )
+        .where(F.col(mutation_ts_col) >= F.to_timestamp(F.lit(base_ds)))
+        # null-valued rows contribute nothing (reference: null inputs skipped)
+        .where(F.col("__val").isNotNull())
     )
-    mut = mutations.select(
-        *keys,
-        F.when(F.col(is_before_col), -1).otherwise(1).alias("__sign"),
-        F.col(value_col).alias("__val"),
-        F.col(mutation_ts_col).alias("__mts"),
-    ).where(F.col(mutation_ts_col) >= F.to_timestamp(F.lit(base_ds)))
     return base.unionByName(mut)
 
 

@@ -24,14 +24,18 @@ def get_spark(
         inner = master[6:-1]
         if inner.isdigit():
             cores = int(inner)
-    sp = shuffle_partitions or int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", cores))
+    sp = shuffle_partitions or int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", cores * 4))
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.shuffle.partitions", str(sp))
+        .config("spark.sql.shuffle.partitions", str(max(sp, cores * 4)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's byte-targeted coalescing collapses Python-kernel stages to
+        # ~1 task/core (the work is CPU-bound, not byte-bound) — the stage
+        # then waits on its slowest task. Keep >=4 waves for load balance.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionNum", str(cores * 4))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

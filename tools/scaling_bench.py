@@ -91,18 +91,32 @@ def run_level(cores: int) -> dict:
 def main() -> int:
     n_small = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     n_rows = int(sys.argv[2]) if len(sys.argv) > 2 else 8_000_000
+    n_pairs = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     ensure_data(n_rows)
-    small = run_level(n_small)
-    big = run_level(n_small * 4)
-    thr_s = small["rows"] / small["asof_sec"]
-    thr_b = big["rows"] / big["asof_sec"]
+    # Interleave small/big level pairs: the sandbox's available CPU drifts
+    # over minutes (shared host), so adjacent runs see the same ambient load
+    # and per-pair efficiency is meaningful where sequential levels are not.
+    pairs = []
+    for _ in range(n_pairs):
+        small = run_level(n_small)
+        big = run_level(n_small * 4)
+        thr_s = small["rows"] / small["asof_sec"]
+        thr_b = big["rows"] / big["asof_sec"]
+        pairs.append(
+            {
+                "small_sec": small["asof_sec"],
+                "big_sec": big["asof_sec"],
+                f"turns_per_sec_local{n_small}": round(thr_s, 1),
+                f"turns_per_sec_local{n_small * 4}": round(thr_b, 1),
+                "efficiency": round(thr_b / thr_s / 4, 3),
+            }
+        )
+    effs = sorted(p["efficiency"] for p in pairs)
     res = {
-        "input_rows": small["rows"],
-        "small": small,
-        "big": big,
-        f"turns_per_sec_local{n_small}": round(thr_s, 1),
-        f"turns_per_sec_local{n_small * 4}": round(thr_b, 1),
-        "scaling_efficiency": round(thr_b / thr_s / 4, 3),
+        "input_rows": n_rows,
+        "pairs": pairs,
+        "median_efficiency": effs[len(effs) // 2],
+        "best_efficiency": effs[-1],
     }
     print(json.dumps(res, indent=1))
     return 0
