@@ -58,6 +58,50 @@ def rewind_filter(right: DataFrame, gb: GroupBy, left_min_ts_us: int, left_max_t
     return r.drop(_TS_US)
 
 
+# Reference small-mode cutoff: <=5000 distinct left keys hardcode an IN list
+# into the right side's WHERE (JoinUtils.injectKeyFilter, JoinUtils.scala:234-285,
+# cutoff catalog/TableUtils.scala:54-57). Above it, the reference builds a bloom
+# filter (Join.scala:268-285); our Spark-first equivalent is a broadcast
+# left-semi join (exact, and AQE can still convert it at runtime).
+SMALL_MODE_KEY_LIMIT = 5000
+
+
+def prefilter_right_keys(
+    left: DataFrame,
+    right: DataFrame,
+    key_mapping: dict[str, str],
+    mode: str = "auto",
+    small_limit: int = SMALL_MODE_KEY_LIMIT,
+) -> DataFrame:
+    """Push the left side's key set into the right-side scan.
+
+    Semantics-neutral for the as-of join (right events whose keys never appear
+    on the left can't contribute to any output row), but at 100 TB it turns a
+    full event-stream scan into a keyed slice:
+
+    - ``'in'`` — literal ``key IN (...)`` predicate, one per key column.
+      Catalyst pushes it into the parquet/Iceberg scan (``PushedFilters: In``)
+      so row groups whose stats exclude the keys are never read.
+    - ``'semi'`` — ``right LEFT SEMI JOIN broadcast(distinct left keys)``:
+      no scan pushdown, but events are dropped before the cogroup shuffle.
+    - ``'auto'`` — collect up to ``small_limit`` distinct keys; IN-list if the
+      left is small, else semi-join.
+    """
+    left_keys = list(key_mapping.keys())
+    right_keys = [key_mapping[k] for k in left_keys]
+    if mode in ("auto", "in"):
+        rows = left.select(*left_keys).distinct().limit(small_limit + 1).collect()
+        if len(rows) <= small_limit:
+            for lk, rk in key_mapping.items():
+                vals = sorted({r[lk] for r in rows if r[lk] is not None})
+                right = right.where(F.col(rk).isin(vals))
+            return right
+        if mode == "in":
+            raise ValueError(f"left has >{small_limit} distinct keys; use mode='semi'")
+    keys_df = left.select(*[F.col(lk).alias(rk) for lk, rk in key_mapping.items()]).distinct()
+    return right.join(F.broadcast(keys_df), on=right_keys, how="left_semi")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -66,6 +110,7 @@ def asof_join(
     key_mapping: dict[str, str] | None = None,
     prefix: str | None = None,
     coarse_buckets: int | None = None,
+    prefilter: str | None = None,
 ) -> DataFrame:
     """For every left row, aggregate right-side events with ts strictly before
     the left row's ts (per window). Output = left columns + one column per
@@ -83,6 +128,8 @@ def asof_join(
     right_keys = [key_mapping[k] for k in left_keys]
     if set(right_keys) != set(gb.keys):
         raise ValueError(f"key_mapping values {right_keys} != group-by keys {gb.keys}")
+    if prefilter:
+        right = prefilter_right_keys(left, right, key_mapping, mode=prefilter)
 
     parts = gb.parts()
     right_types = {f.name: f.dataType for f in right.schema.fields}
@@ -159,7 +206,7 @@ def asof_join(
     return grouped.applyInPandas(fn, schema=out_schema)
 
 
-def compute_join(left: DataFrame, join: Join) -> DataFrame:
+def compute_join(left: DataFrame, join: Join, prefilter: str | None = None) -> DataFrame:
     """Multi-part PITC join + derivations (reference: JoinBase.computeJoinOpt,
     spark/.../JoinBase.scala:255-404). Parts are chained — each part is one
     key-shuffle that passes accumulated columns through, avoiding a row-id
@@ -177,6 +224,7 @@ def compute_join(left: DataFrame, join: Join) -> DataFrame:
             left_time_column=join.left_time_column,
             key_mapping=jp.key_mapping,
             prefix=jp.prefix,
+            prefilter=prefilter,
         )
     if join.derivations:
         exprs = [F.col(c) for c in out.columns] if "*" in join.derivations else []
