@@ -401,6 +401,36 @@ FROM t q WHERE q.role = 'user'
 """
 
 
+# ------------------------------------------------------- cumulative source
+
+
+def _q_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative (snapshot-accumulating) source: derive a table whose every
+    date partition holds ALL events up to that date, scan ONLY the latest
+    partition (reference GroupBy.scala:758-765), aggregate per user. The
+    oracle reads the raw stream directly — latest-partition scan must equal
+    full history."""
+    from chronon_spark.sources.cumulative import build_cumulative, scan_cumulative_events
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cum = build_cumulative(ev)
+    sliced, _ = scan_cumulative_events(cum)
+    return sliced.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 3).alias("total_value"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+_SQL_CUMULATIVE = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 3) AS total_value,
+       COUNT(DISTINCT event_type) AS n_types
+FROM events GROUP BY user_id
+"""
+
+
 # ------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -411,6 +441,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_lifetime": _q_lifetime,
     "join_multi_part": _q_multi_part,
     "entity_state_cdc": _q_entity_state,
+    "cumulative_events_scan": _q_cumulative,
 }
 
 ORACLES: dict[str, str] = {
@@ -421,4 +452,5 @@ ORACLES: dict[str, str] = {
     "asof_lifetime": _SQL_LIFETIME,
     "join_multi_part": _SQL_MULTI_PART,
     "entity_state_cdc": _SQL_ENTITY_STATE,
+    "cumulative_events_scan": _SQL_CUMULATIVE,
 }
