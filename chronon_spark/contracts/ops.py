@@ -401,6 +401,60 @@ FROM t q WHERE q.role = 'user'
 """
 
 
+# ------------------------------------------------------- chained JoinSource
+
+
+def _q_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JoinSource chaining (reference thrift/api.thrift:186-189; parent-join
+    materialization GroupBy.scala:537-602): stage 1 enriches every turn with
+    its trailing-2d turn count (PITC self-join); stage 2 uses that OUTPUT as
+    the event stream of a second GroupBy — features over features. Two
+    chained key-shuffles, exactly like the reference's two jobs."""
+    t = _transcripts(spark, sf_dir)
+    gb1 = GroupBy(
+        keys=["conv_id"],
+        aggregations=[Aggregation("turn_idx", Op.COUNT, windows=("2d",))],
+        tie_breakers=["turn_idx"],
+    )
+    enriched = asof_join(t, t, gb1).withColumnRenamed("turn_idx_count_2d", "n_2d")
+    left = _user_left(t)
+    gb2 = GroupBy(
+        keys=["conv_id"],
+        aggregations=[
+            Aggregation("n_2d", Op.AVERAGE, windows=("1d",)),
+            Aggregation("n_2d", Op.LAST, windows=("1d",)),
+        ],
+        tie_breakers=["turn_idx"],
+    )
+    out = asof_join(left, enriched, gb2)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "tus",
+        F.round(F.col("n_2d_average_1d"), 6).alias("avg_n2d_1d"),
+        F.col("n_2d_last_1d").alias("last_n2d_1d"),
+    )
+
+
+_SQL_CHAINED = f"""
+WITH t AS ({_DUCK_T}),
+enr AS (SELECT t1.conv_id, t1.turn_idx, t1.tus,
+               (SELECT NULLIF(COUNT(*), 0) FROM t e
+                 WHERE e.conv_id = t1.conv_id AND e.tus < t1.tus
+                   AND e.tus >= t1.tus - {2 * US_D}) AS n_2d
+        FROM t t1)
+SELECT q.conv_id AS conv_id, q.turn_idx AS turn_idx, q.tus AS tus,
+       (SELECT ROUND(AVG(en.n_2d), 6) FROM enr en
+         WHERE en.conv_id = q.conv_id AND en.tus < q.tus
+           AND en.tus >= q.tus - {US_D}) AS avg_n2d_1d,
+       (SELECT en.n_2d FROM enr en
+         WHERE en.conv_id = q.conv_id AND en.n_2d IS NOT NULL AND en.tus < q.tus
+           AND en.tus >= q.tus - {US_D}
+         ORDER BY en.tus DESC, en.turn_idx DESC LIMIT 1) AS last_n2d_1d
+FROM t q WHERE q.role = 'user'
+"""
+
+
 # ------------------------------------------------------- cumulative source
 
 
@@ -442,6 +496,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_multi_part": _q_multi_part,
     "entity_state_cdc": _q_entity_state,
     "cumulative_events_scan": _q_cumulative,
+    "chained_join_source": _q_chained,
 }
 
 ORACLES: dict[str, str] = {
@@ -453,4 +508,5 @@ ORACLES: dict[str, str] = {
     "join_multi_part": _SQL_MULTI_PART,
     "entity_state_cdc": _SQL_ENTITY_STATE,
     "cumulative_events_scan": _SQL_CUMULATIVE,
+    "chained_join_source": _SQL_CHAINED,
 }
