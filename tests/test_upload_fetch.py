@@ -1,0 +1,92 @@
+"""Fetcher consistency: batch-IR upload + fetch-time merge must equal the
+offline sawtooth backfill at every (key, ts) — the reference's ConsistencyJob
+contract (spark/.../stats/ConsistencyJob.scala:96-154) run as a pytest gate."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from chronon_spark.api import Aggregation, GroupBy, Op
+from chronon_spark.jobs.upload import build_batch_irs, fetch_features
+from chronon_spark.operators.asof_join import asof_join
+from chronon_spark.sources.synth import synth_queries, synth_transcripts
+from tests.oracle import assert_frames_allclose
+
+BATCH_END_US = pd.Timestamp("2024-01-20").value // 1000
+
+
+def _gb():
+    return GroupBy(
+        keys=["conv_id"],
+        aggregations=[
+            Aggregation("turn_idx", Op.COUNT, windows=("13d",)),
+            Aggregation("n_chars", Op.SUM, windows=("7d",)),
+            Aggregation("n_chars", Op.AVERAGE, windows=("7d",)),
+            Aggregation("n_chars", Op.MIN, windows=("1d",)),
+            Aggregation("n_chars", Op.MAX, windows=("13d",)),
+            Aggregation("turn_idx", Op.COUNT, windows=(None,)),
+        ],
+        tie_breakers=["turn_idx"],
+        sawtooth=True,
+    )
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    ev = synth_transcripts(n_rows=3000, n_convs=30)
+    q = synth_queries(ev, n_queries=3000)
+    # fetch window: [batchEnd, batchEnd + tailBuffer)
+    lo = pd.Timestamp(BATCH_END_US, unit="us")
+    hi = lo + pd.Timedelta(days=2)
+    q = q[(q["ts"] >= lo) & (q["ts"] < hi)].reset_index(drop=True)
+    assert len(q) > 50, "need a meaningful fetch-query slice"
+    return ev, q
+
+
+def test_fetch_matches_offline_backfill(spark, data):
+    ev, q = data
+    events = spark.createDataFrame(ev)
+    queries = spark.createDataFrame(q)
+    gb = _gb()
+    irs = build_batch_irs(events, gb, BATCH_END_US)
+    got = fetch_features(queries, irs, events, gb, BATCH_END_US).toPandas()
+    want = asof_join(queries, events, gb).toPandas()
+    assert_frames_allclose(got, want, sort_by=["query_id"])
+
+
+def test_fetch_key_with_no_batch_ir(spark, data):
+    """Keys born after batchEnd exist only in streaming — fetch must still
+    serve them (reference: null batch IR branch, SawtoothOnlineAggregator:95)."""
+    ev, q = data
+    post = ev[ev["ts"] >= pd.Timestamp(BATCH_END_US, unit="us")].copy()
+    post["conv_id"] = "brand_new_conv"
+    ev2 = pd.concat([ev, post], ignore_index=True)
+    qn = q.head(20).copy()
+    qn["conv_id"] = "brand_new_conv"
+    gb = _gb()
+    events = spark.createDataFrame(ev2)
+    queries = spark.createDataFrame(qn)
+    irs = build_batch_irs(events, gb, BATCH_END_US)
+    got = fetch_features(queries, irs, events, gb, BATCH_END_US).toPandas()
+    want = asof_join(queries, events, gb).toPandas()
+    assert_frames_allclose(got, want, sort_by=["query_id"])
+
+
+def test_fetch_before_batch_end_raises(spark, data):
+    ev, _ = data
+    gb = _gb()
+    events = spark.createDataFrame(ev)
+    early = spark.createDataFrame(
+        pd.DataFrame({"conv_id": ["conv_1"], "query_id": ["q0"],
+                      "ts": [pd.Timestamp(BATCH_END_US - 1, unit="us")]})
+    )
+    irs = build_batch_irs(events, gb, BATCH_END_US)
+    with pytest.raises(Exception, match="batchEndTs"):
+        fetch_features(early, irs, events, gb, BATCH_END_US).collect()
+
+
+def test_misaligned_batch_end_raises(spark, data):
+    ev, _ = data
+    with pytest.raises(ValueError, match="not aligned"):
+        build_batch_irs(spark.createDataFrame(ev), _gb(), BATCH_END_US + 1)
