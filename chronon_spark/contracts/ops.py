@@ -485,6 +485,66 @@ FROM events GROUP BY user_id
 """
 
 
+# ------------------------------------------------------- stats & drift
+
+
+def _q_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column summary stats in one aggregate pass (reference
+    stats/StatsCompute.scala) — long format (column, metric, value)."""
+    from chronon_spark.jobs.stats import summarize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return summarize(ev, columns=["value", "event_type", "user_id"])
+
+
+def _stats_sql() -> str:
+    num = ["value", "user_id"]
+    pieces = []
+    for c in ["value", "event_type", "user_id"]:
+        pieces += [
+            f"SELECT '{c}' AS \"column\", 'count' AS metric, CAST(COUNT({c}) AS DOUBLE) AS value FROM events",
+            f"SELECT '{c}', 'nulls', CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS DOUBLE) FROM events",
+            f"SELECT '{c}', 'distinct', CAST(COUNT(DISTINCT {c}) AS DOUBLE) FROM events",
+        ]
+        if c in num:
+            pieces += [
+                f"SELECT '{c}', 'mean', ROUND(AVG({c}), 6) FROM events",
+                f"SELECT '{c}', 'min', CAST(MIN({c}) AS DOUBLE) FROM events",
+                f"SELECT '{c}', 'max', CAST(MAX({c}) AS DOUBLE) FROM events",
+            ]
+    return "\nUNION ALL\n".join(pieces)
+
+
+_DRIFT_MID = "2024-01-16"
+
+
+def _q_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical PSI drift between two time slices (reference
+    stats/drift/Summarizer.scala family)."""
+    from chronon_spark.jobs.stats import categorical_psi
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    mid = F.lit(_DRIFT_MID).cast("timestamp")
+    return categorical_psi(
+        ev.where(F.col("ts") < mid), ev.where(F.col("ts") >= mid), "event_type"
+    )
+
+
+_SQL_DRIFT = f"""
+WITH a AS (SELECT event_type, COUNT(*) AS na FROM events
+            WHERE ts < TIMESTAMP '{_DRIFT_MID}' AND event_type IS NOT NULL GROUP BY 1),
+     b AS (SELECT event_type, COUNT(*) AS nb FROM events
+            WHERE ts >= TIMESTAMP '{_DRIFT_MID}' AND event_type IS NOT NULL GROUP BY 1),
+     ta AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM events
+            WHERE ts < TIMESTAMP '{_DRIFT_MID}' AND event_type IS NOT NULL),
+     tb AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM events
+            WHERE ts >= TIMESTAMP '{_DRIFT_MID}' AND event_type IS NOT NULL)
+SELECT ROUND(SUM((na / ta.t - nb / tb.t) * ln((na / ta.t) / (nb / tb.t))), 6) AS psi,
+       COUNT(*) AS n_categories
+FROM a JOIN b USING (event_type), ta, tb
+"""
+
+
 # ------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -497,6 +557,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "entity_state_cdc": _q_entity_state,
     "cumulative_events_scan": _q_cumulative,
     "chained_join_source": _q_chained,
+    "stats_summary": _q_stats,
+    "drift_psi": _q_drift,
 }
 
 ORACLES: dict[str, str] = {
@@ -509,4 +571,6 @@ ORACLES: dict[str, str] = {
     "entity_state_cdc": _SQL_ENTITY_STATE,
     "cumulative_events_scan": _SQL_CUMULATIVE,
     "chained_join_source": _SQL_CHAINED,
+    "stats_summary": _stats_sql(),
+    "drift_psi": _SQL_DRIFT,
 }
