@@ -545,6 +545,28 @@ FROM a JOIN b USING (event_type), ta, tb
 """
 
 
+# ------------------------------------------------------- sketch scale path
+
+
+def _q_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB sketch path for APPROX_UNIQUE_COUNT / APPROX_PERCENTILE:
+    JVM HLL++ (`approx_count_distinct`) and `percentile_approx` per
+    (user, day). The reference uses CPC/KLL sketches
+    (SimpleAggregators.scala:499,545) — sketch values are impl-specific, so
+    this query has NO SQL oracle (rows-only driver check); the error-bound
+    gate lives in tests/test_sketches.py, mirroring the reference's
+    ApproxDistinctTest/ApproxPercentilesTest."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy("user_id", F.date_format("ts", "yyyy-MM-dd").alias("ds"))
+        .agg(
+            F.approx_count_distinct("event_type").alias("types_approx"),
+            F.percentile_approx("value", 0.5).alias("p50_value"),
+            F.percentile_approx("value", 0.9).alias("p90_value"),
+        )
+    )
+
+
 # ------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -559,6 +581,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chained_join_source": _q_chained,
     "stats_summary": _q_stats,
     "drift_psi": _q_drift,
+    "approx_sketch_daily": _q_sketches,  # no SQL oracle: sketch values are impl-specific
 }
 
 ORACLES: dict[str, str] = {
