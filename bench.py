@@ -33,6 +33,11 @@ BENCH_QUERIES = [
     "asof_moments",
     "join_multi_part",
     "entity_state_cdc",
+    "chained_join_source",
+    "cumulative_events_scan",
+    "stats_summary",
+    "drift_psi",
+    "approx_sketch_daily",
     "doc_stats",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",

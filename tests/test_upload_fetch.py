@@ -32,6 +32,20 @@ def _gb():
     )
 
 
+def _gb_short():
+    """5-minute-hop regime: windows < 12 h (Resolution.scala:38-63)."""
+    return GroupBy(
+        keys=["conv_id"],
+        aggregations=[
+            Aggregation("turn_idx", Op.COUNT, windows=("90m",)),
+            Aggregation("n_chars", Op.AVERAGE, windows=("2h",)),
+            Aggregation("n_chars", Op.MIN, windows=("6h",)),
+        ],
+        tie_breakers=["turn_idx"],
+        sawtooth=True,
+    )
+
+
 @pytest.fixture(scope="module")
 def data(spark):
     ev = synth_transcripts(n_rows=3000, n_convs=30)
@@ -44,11 +58,12 @@ def data(spark):
     return ev, q
 
 
-def test_fetch_matches_offline_backfill(spark, data):
+@pytest.mark.parametrize("gb_fn", [_gb, _gb_short])
+def test_fetch_matches_offline_backfill(spark, data, gb_fn):
     ev, q = data
     events = spark.createDataFrame(ev)
     queries = spark.createDataFrame(q)
-    gb = _gb()
+    gb = gb_fn()
     irs = build_batch_irs(events, gb, BATCH_END_US)
     got = fetch_features(queries, irs, events, gb, BATCH_END_US).toPandas()
     want = asof_join(queries, events, gb).toPandas()
