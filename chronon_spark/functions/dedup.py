@@ -146,10 +146,11 @@ def minhash_lsh_dedup(
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3, threshold: float = 0.5
 ) -> DataFrame:
-    """EXACT all-pairs Jaccard ≥ threshold via an inverted-index self-join:
-    explode distinct shingles, equi-join on the shingle, count co-occurrences,
-    then |A∩B| / (|A| + |B| − |A∩B|). Never materializes the N² cross join —
-    only pairs sharing ≥1 shingle exist, which threshold > 0 requires anyway.
+    """EXACT all-pairs Jaccard ≥ threshold via an inverted index: explode
+    distinct shingles, build posting lists per shingle, emit co-occurring
+    pairs from each posting, then |A∩B| / (|A| + |B| − |A∩B|). Never
+    materializes the N² cross join — only pairs sharing ≥1 shingle exist,
+    which threshold > 0 requires anyway.
 
     Scale: the shuffle is keyed by shingle; stop-shingles (appearing in a huge
     fraction of docs) are the skew risk — prune shingles with document
@@ -160,10 +161,24 @@ def ngram_jaccard_pairs(
     ).where(F.size("sh") > 0)
     sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
     ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    # posting lists instead of a self-join: ONE shuffle keyed by shingle
+    # (collect_list), then the k·(k−1)/2 pairs per posting explode in-stage
+    # (posexplode + slice) with no join and shingles computed once — the
+    # self-join shape shuffles the exploded table twice and re-derives the
+    # shingles on both sides.
+    postings = (
+        ex.groupBy("s")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .where(F.size("docs") > 1)
+        .select("docs")
+    )
     co = (
-        ex.alias("x")
-        .join(ex.alias("y"), (F.col("x.s") == F.col("y.s")) & (F.col("x.doc_id") < F.col("y.doc_id")))
-        .groupBy(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
+        postings.select(F.posexplode("docs").alias("pos", "id_a"), F.col("docs"))
+        .select(
+            "id_a",
+            F.explode(F.slice("docs", F.col("pos") + F.lit(2), F.size("docs"))).alias("id_b"),
+        )
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"))

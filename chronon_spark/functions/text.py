@@ -124,14 +124,20 @@ def fingerprint(text: Column | str) -> Column:
 
 
 def word_shingles(text: Column | str, n: int = 3, distinct: bool = True) -> Column:
-    """Word n-gram shingles (the MinHash/Jaccard input set)."""
+    """Word n-gram shingles (the MinHash/Jaccard input set).
+
+    Built as an n-way ``zip_with`` of shifted token slices, NOT as
+    ``transform(sequence(1, T), i -> slice(tokens, i, n))``: a lambda that
+    references the token array inlines its child expression, so the
+    tokenizing regex split would re-run once PER SHINGLE (O(T²) per doc —
+    measured 4 s for 5000 small docs). The slice form evaluates the split
+    n times per row total.
+    """
     t = tokens(text)
-    # guard: F.sequence(1, x) with x < 1 would generate a DESCENDING sequence
-    sh = F.when(
-        F.size(t) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    win = F.greatest(F.size(t) - (n - 1), F.lit(0))  # 0 when fewer than n tokens
+    sh = F.slice(t, 1, win)
+    for i in range(1, n):
+        sh = F.zip_with(sh, F.slice(t, i + 1, win), lambda a, b: F.concat_ws(" ", a, b))
+    # null text -> empty shingle set (not null), as before
+    sh = F.coalesce(sh, F.array().cast("array<string>"))
     return F.array_distinct(sh) if distinct else sh
