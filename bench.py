@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "doc_stats",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_simhash",
     "embedding_topk",
     "ann_lsh_topk",
 ]

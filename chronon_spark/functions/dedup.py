@@ -122,28 +122,37 @@ def minhash_lsh_dedup(
         for b in range(bands)
     ]
     base = sig.select("doc_id", F.array(*band_cols).alias("bk")).join(docs, "doc_id")
-    banded = base.select("doc_id", "sh", F.posexplode("bk").alias("band_idx", "band_key"))
+    banded = base.select("doc_id", "sh", "bk", F.posexplode("bk").alias("band_idx", "band_key"))
     a = banded.select(
-        F.col("band_idx"), F.col("band_key"), F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")
+        F.col("band_idx"), F.col("band_key"), F.col("doc_id").alias("id_a"),
+        F.col("sh").alias("sh_a"), F.col("bk").alias("bk_a"),
     )
     b = banded.select(
         F.col("band_idx").alias("band_idx_b"),
         F.col("band_key").alias("band_key_b"),
         F.col("doc_id").alias("id_b"),
         F.col("sh").alias("sh_b"),
+        F.col("bk").alias("bk_b"),
     )
-    cand = (
-        a.join(
-            b,
-            (a.band_idx == b.band_idx_b) & (a.band_key == b.band_key_b) & (a.id_a < b.id_b),
-            "inner",
+    cand = a.join(
+        b,
+        (a.band_idx == b.band_idx_b) & (a.band_key == b.band_key_b) & (a.id_a < b.id_b),
+        "inner",
+    )
+    # keep each pair only in its FIRST colliding band — a pure projection
+    # predicate over the band-key arrays, replacing a dropDuplicates shuffle
+    # that would move the shingle-laden candidate rows a second time
+    first_band = F.lit(True)
+    for j in range(bands - 1):
+        first_band = first_band & (
+            (F.col("band_idx") <= j)
+            | (F.element_at("bk_a", j + 1) != F.element_at("bk_b", j + 1))
         )
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .dropDuplicates(["id_a", "id_b"])
+    return (
+        cand.where(first_band)
+        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
     )
-    return cand.select(
-        "id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard")
-    ).where(F.col("jaccard") >= threshold)
 
 
 # ---------------------------------------------------------------- exact jaccard
