@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "asof_order_ops",
     "asof_moments",
     "join_multi_part",
+    "join_snapshot_accuracy",
     "entity_state_cdc",
     "chained_join_source",
     "cumulative_events_scan",

@@ -169,6 +169,10 @@ class GroupBy:
     tie_breakers: list[str] = field(default_factory=list)
     accuracy: Accuracy = Accuracy.TEMPORAL
     include_equal: bool = False  # True reproduces reference batch `<=` boundary
+    # post-aggregation projection over key + output columns ("*" passthrough
+    # supported) — reference GroupBy.derivations (thrift/api.thrift:379,
+    # projection semantics api/.../Extensions.scala:1261-1296)
+    derivations: dict[str, str] | None = None
     # sawtooth mode: round window start down to hop boundaries (reference
     # Resolution.scala:38-63). None = exact window start (the default here:
     # exact is SQL-oracle-expressible and strictly more accurate).

@@ -401,6 +401,59 @@ FROM t q WHERE q.role = 'user'
 """
 
 
+# ------------------------------------------------------- snapshot accuracy
+
+
+def _q_snap_acc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-accuracy multi-part join: a TEMPORAL part (exact as-of at the
+    query ts) + a SNAPSHOT part (features as of the most recent midnight —
+    reference JoinPartJob.scala:217-247), plus a GroupBy-level derivation
+    (Extensions.scala:1261-1296 '*' passthrough)."""
+    from chronon_spark.api import Accuracy
+
+    t = _transcripts(spark, sf_dir)
+    left = _user_left(t)
+    gb_t = GroupBy(
+        keys=["conv_id"],
+        aggregations=[Aggregation("turn_idx", Op.COUNT, windows=("1d",))],
+        tie_breakers=["turn_idx"],
+        derivations={"*": "*", "dbl_1d": "turn_idx_count_1d * 2"},
+    )
+    gb_s = GroupBy(
+        keys=["conv_id"],
+        aggregations=[Aggregation("turn_idx", Op.COUNT, windows=("7d",))],
+        tie_breakers=["turn_idx"],
+        accuracy=Accuracy.SNAPSHOT,
+    )
+    join = Join(
+        left_time_column="ts",
+        join_parts=[JoinPart(gb_t, t), JoinPart(gb_s, t, prefix="snap")],
+    )
+    out = compute_join(left, join)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "tus",
+        F.col("turn_idx_count_1d").alias("n_1d_live"),
+        F.col("dbl_1d").alias("n_1d_doubled"),
+        F.col("snap_turn_idx_count_7d").alias("n_7d_midnight"),
+    )
+
+
+_SQL_SNAP_ACC = f"""
+WITH t AS ({_DUCK_T}),
+q AS (SELECT conv_id, turn_idx, tus, (tus // {US_D}) * {US_D} AS d0 FROM t WHERE role = 'user')
+SELECT q.conv_id AS conv_id, q.turn_idx AS turn_idx, q.tus AS tus,
+       (SELECT NULLIF(COUNT(*), 0) FROM t e
+         WHERE e.conv_id = q.conv_id AND e.tus < q.tus AND e.tus >= q.tus - {US_D}) AS n_1d_live,
+       (SELECT NULLIF(COUNT(*), 0) * 2 FROM t e
+         WHERE e.conv_id = q.conv_id AND e.tus < q.tus AND e.tus >= q.tus - {US_D}) AS n_1d_doubled,
+       (SELECT NULLIF(COUNT(*), 0) FROM t e
+         WHERE e.conv_id = q.conv_id AND e.tus < q.d0 AND e.tus >= q.d0 - {7 * US_D}) AS n_7d_midnight
+FROM q
+"""
+
+
 # ------------------------------------------------------- chained JoinSource
 
 
@@ -579,6 +632,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "entity_state_cdc": _q_entity_state,
     "cumulative_events_scan": _q_cumulative,
     "chained_join_source": _q_chained,
+    "join_snapshot_accuracy": _q_snap_acc,
     "stats_summary": _q_stats,
     "drift_psi": _q_drift,
     "approx_sketch_daily": _q_sketches,  # no SQL oracle: sketch values are impl-specific
@@ -594,6 +648,7 @@ ORACLES: dict[str, str] = {
     "entity_state_cdc": _SQL_ENTITY_STATE,
     "cumulative_events_scan": _SQL_CUMULATIVE,
     "chained_join_source": _SQL_CHAINED,
+    "join_snapshot_accuracy": _SQL_SNAP_ACC,
     "stats_summary": _stats_sql(),
     "drift_psi": _SQL_DRIFT,
 }

@@ -27,7 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from chronon_spark.aggregators.kernels import EventColumns, compute_parts
-from chronon_spark.api import GroupBy, Join, JoinPart
+from chronon_spark.api import Accuracy, GroupBy, Join, JoinPart
 from chronon_spark.types import part_output_type
 
 _TS_US = "__ts_us"
@@ -198,12 +198,17 @@ def asof_join(
         lb = l.withColumn("__b", F.pmod(F.xxhash64(*left_keys), F.lit(coarse_buckets)))
         rb = r.withColumn("__r___b", F.pmod(F.xxhash64(*[f"__r_{c}" for c in right_keys]), F.lit(coarse_buckets)))
         grouped = lb.groupby(F.col("__b")).cogroup(rb.groupby(F.col("__r___b")))
-        return grouped.applyInPandas(fn_bucketed, schema=out_schema)
-
-    grouped = l.groupby(*[F.col(c) for c in left_keys]).cogroup(
-        r.groupby(*[F.col(f"__r_{c}") for c in right_keys])
-    )
-    return grouped.applyInPandas(fn, schema=out_schema)
+        out = grouped.applyInPandas(fn_bucketed, schema=out_schema)
+    else:
+        grouped = l.groupby(*[F.col(c) for c in left_keys]).cogroup(
+            r.groupby(*[F.col(f"__r_{c}") for c in right_keys])
+        )
+        out = grouped.applyInPandas(fn, schema=out_schema)
+    if gb.derivations:
+        exprs = [F.col(c) for c in out.columns] if "*" in gb.derivations else []
+        exprs += [F.expr(e).alias(n) for n, e in gb.derivations.items() if n != "*"]
+        out = out.select(*exprs)
+    return out
 
 
 def compute_join(left: DataFrame, join: Join, prefilter: str | None = None) -> DataFrame:
@@ -217,15 +222,27 @@ def compute_join(left: DataFrame, join: Join, prefilter: str | None = None) -> D
             out = out.where(~F.col(col).isin(vals) | F.col(col).isNull())
     for jp in join.join_parts:
         right = jp.right_df
+        # SNAPSHOT-accuracy part: features as of the most recent midnight
+        # before the left row (reference decision table EVENTS x EVENTS x
+        # SNAPSHOT -> -1d shift + ts_ds join, batch/JoinPartJob.scala:217-247,
+        # day-shift JoinUtils.scala:401-423) — expressed as an as-of at the
+        # day-truncated query timestamp.
+        tc = join.left_time_column
+        if jp.group_by.accuracy == Accuracy.SNAPSHOT:
+            snap = "__snapshot_ts"
+            out = out.withColumn(snap, F.date_trunc("day", F.col(tc).cast("timestamp")))
+            tc = snap
         out = asof_join(
             out,
             right,
             jp.group_by,
-            left_time_column=join.left_time_column,
+            left_time_column=tc,
             key_mapping=jp.key_mapping,
             prefix=jp.prefix,
             prefilter=prefilter,
         )
+        if tc == "__snapshot_ts":
+            out = out.drop(tc)
     if join.derivations:
         exprs = [F.col(c) for c in out.columns] if "*" in join.derivations else []
         exprs += [F.expr(e).alias(n) for n, e in join.derivations.items() if n != "*"]
