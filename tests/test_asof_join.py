@@ -201,3 +201,24 @@ def test_output_cardinality_equals_left(spark, data):
     assert len(got) == len(q2)
     row = got[got["query_id"] == "qx"]
     assert row["turn_idx_count_7d"].isna().all()
+
+
+def test_composite_keys(spark, data):
+    """Multi-column group-by keys through both cogroup modes (per-key and
+    coarse-bucket) — the key tuple, not any single column, is the entity."""
+    ev, q = data
+    # queries carry a role column drawn from the event stream
+    q2 = q.copy()
+    q2["role"] = [ev["role"].iloc[i % len(ev)] for i in range(len(q2))]
+    gb = GroupBy(
+        keys=["conv_id", "role"],
+        aggregations=[
+            Aggregation("turn_idx", Op.COUNT, windows=("7d",)),
+            Aggregation("n_chars", Op.SUM, windows=("7d",)),
+        ],
+        tie_breakers=["turn_idx"],
+    )
+    want = naive_features(ev, q2, gb)
+    for kw in ({}, {"coarse_buckets": 16}):
+        got = asof_join(spark.createDataFrame(q2), spark.createDataFrame(ev), gb, **kw).toPandas()
+        assert_frames_allclose(got, want, sort_by=["query_id"])
