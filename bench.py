@@ -48,6 +48,29 @@ BENCH_QUERIES = [
 ]
 
 
+def ambient_probe() -> dict:
+    """Fixed-work single-thread probes so each bench JSON carries its own
+    host calibration: the sandbox's available CPU and memory bandwidth drift
+    several-fold between runs (see BASELINE.md), so absolute query times are
+    only comparable after dividing by these."""
+    import hashlib
+
+    import numpy as np
+
+    t0 = time.time()
+    h = hashlib.sha256(b"x")
+    for _ in range(1_000_000):
+        h = hashlib.sha256(h.digest())
+    cpu_ms = (time.time() - t0) * 1000
+    a = np.random.default_rng(0).random(20_000_000)
+    t0 = time.time()
+    s = 0.0
+    for _ in range(4):
+        s += a.sum()
+    membw_ms = (time.time() - t0) * 1000
+    return {"ambient_cpu_ms": round(cpu_ms, 1), "ambient_membw_ms": round(membw_ms, 1)}
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
@@ -85,6 +108,7 @@ def main() -> int:
                 "cpus": int(cpus),
                 "events_rows": n_events,
                 "turns_per_sec_asof": round(n_events / asof_sec, 1),
+                **ambient_probe(),
             }
         )
     )
