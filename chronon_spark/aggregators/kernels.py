@@ -30,7 +30,9 @@ import pandas as pd
 from chronon_spark.api import AggregationPart, Op
 from chronon_spark.resolution import tail_hop_millis
 
-__all__ = ["EventColumns", "compute_parts"]
+__all__ = ["EventColumns", "MultiKeyEventColumns", "compute_parts", "compute_parts_multikey"]
+
+_US_D = 86_400_000_000  # one day in micros — the largest hop size
 
 
 def _is_integral(arr: np.ndarray) -> bool:
@@ -101,6 +103,121 @@ class EventColumns:
             cs = _ColumnSeries(ts, arr)
         self._cols[key] = cs
         return cs
+
+
+class MultiKeyEventColumns:
+    """Bucket-wide event store: EVERY key's events in one structure, sorted by
+    (key_code, ts, tie_breakers), addressed through a composite int64 index
+    ``key_code * block + (ts − base)``.
+
+    Why: the per-key wrapper costs one pandas groupby slice + EventColumns
+    sort + kernel dispatch PER KEY — ~100 µs/query at 160 rows/key, and it
+    dominates the flagship backfill. Every ``_kernel`` primitive (prefix
+    sums, sparse tables, flat-range gathers, per-query slice loops) is
+    range-local, so with per-query [s, e) ranges confined to their key's
+    segment the SAME kernels run unchanged across all keys of an Arrow batch
+    at once — one searchsorted for the whole bucket instead of one per key.
+
+    ``base`` is day-aligned so sawtooth hop rounding (1d/1h/5m all divide a
+    day) commutes with the rebasing; ``block`` exceeds every relative ts so
+    windows clamped to the block start never cross into another key.
+    """
+
+    def __init__(
+        self,
+        events: pd.DataFrame,
+        key_codes: np.ndarray,
+        ts_us: np.ndarray,
+        tie_breakers: list[str],
+        base_ts_us: int,
+        block_us: int,
+    ):
+        self.base = base_ts_us
+        self.block = block_us
+        if len(events):
+            rel = ts_us - base_ts_us
+            comp = key_codes.astype(np.int64) * block_us + rel
+            ties = [events[c].to_numpy() for c in tie_breakers if c in events.columns]
+            order = np.lexsort(tuple(reversed([comp] + ties)))
+            self.events = events.iloc[order].reset_index(drop=True)
+            self.comp = comp[order]
+        else:
+            self.events = events
+            self.comp = np.empty(0, np.int64)
+        self._cols: dict[str, _ColumnSeries] = {}
+
+    def column(self, name: str) -> _ColumnSeries:
+        """Compacted (non-null, arrays exploded) series keyed by composite ts."""
+        if name in self._cols:
+            return self._cols[name]
+        if not len(self.events):
+            cs = _ColumnSeries(np.empty(0, np.int64), np.empty(0, object))
+        else:
+            s = self.events[name]
+            comp = self.comp
+            nn = s.dropna()
+            if len(nn) and isinstance(nn.iloc[0], dict):
+                raise _MapInput(name)
+            if len(nn) and isinstance(nn.iloc[0], (list, np.ndarray)):
+                lens = s.map(lambda v: len(v) if isinstance(v, (list, np.ndarray)) else 0).to_numpy(np.int64)
+                comp = np.repeat(comp, lens)
+                flat = [x for v in s if isinstance(v, (list, np.ndarray)) for x in v]
+                vals = pd.Series(flat)
+            else:
+                vals = s
+                mask = vals.notna().to_numpy()
+                comp, vals = comp[mask], vals[mask]
+            arr = _to_numpy(vals)
+            if arr.dtype == object:
+                keep = pd.notna(arr)
+                comp, arr = comp[keep], arr[keep]
+            cs = _ColumnSeries(comp, arr)
+        self._cols[name] = cs
+        return cs
+
+
+class _MapInput(Exception):
+    """Raised when a column is map-typed — the multikey fast path defers to
+    the per-key wrapper (per-map-key grouping stays per key)."""
+
+
+def compute_parts_multikey(
+    mec: MultiKeyEventColumns,
+    parts: list[AggregationPart],
+    q_key_codes: np.ndarray,
+    q_ts: np.ndarray,
+    include_equal: bool = False,
+    sawtooth: bool = False,
+) -> dict[str, np.ndarray]:
+    """compute_parts over MANY keys at once: queries carry their key code;
+    window ranges are resolved in composite space. Buckets/map inputs are not
+    handled here (callers fall back to the per-key path)."""
+    side = "right" if include_equal else "left"
+    kc = q_key_codes.astype(np.int64)
+    rel_q = q_ts - mec.base
+    comp_q = kc * mec.block + rel_q
+    # null-key queries (code < 0): empty range regardless
+    nullkey = kc < 0
+    if nullkey.any():
+        comp_q = np.where(nullkey, np.int64(-1), comp_q)
+    out: dict[str, np.ndarray] = {}
+    for part in parts:
+        if part.bucket is not None:
+            raise ValueError("bucketed parts take the per-key path")
+        w_us = None if part.window.millis is None else part.window.millis * 1000
+        if w_us is None:
+            rel_start = np.zeros(len(q_ts), np.int64)
+        else:
+            abs_start = q_ts - w_us
+            if sawtooth:
+                hop_us = tail_hop_millis(part.window.millis) * 1000
+                abs_start = (abs_start // hop_us) * hop_us
+            rel_start = np.maximum(abs_start - mec.base, 0)
+        comp_start = np.where(nullkey, np.int64(0), kc * mec.block + rel_start)
+        cs = mec.column(part.input_column)
+        s, e = cs.bounds(comp_start, comp_q, side)
+        out[part.output_name] = _kernel(part, cs, s, e)
+    return out
 
 
 def _to_numpy(s: pd.Series) -> np.ndarray:

@@ -23,10 +23,18 @@ Scale notes (100 TB / 1000 executors):
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
-from chronon_spark.aggregators.kernels import EventColumns, compute_parts
+from chronon_spark.aggregators.kernels import (
+    _US_D,
+    EventColumns,
+    MultiKeyEventColumns,
+    _MapInput,
+    compute_parts,
+    compute_parts_multikey,
+)
 from chronon_spark.api import Accuracy, GroupBy, Join, JoinPart
 from chronon_spark.types import part_output_type
 
@@ -174,11 +182,48 @@ def asof_join(
         rpdf = rpdf.rename(columns=lambda c: c[4:] if c.startswith("__r_") else c)
         return one_key(lpdf, rpdf)
 
+    has_buckets = any(p.bucket for p in part_list)
+
+    def fn_multikey(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        """Whole-bucket vectorized path: one composite-index searchsorted
+        resolves every query's window across ALL keys in the Arrow batch —
+        no per-key pandas slicing (5-10x on many-small-keys workloads)."""
+        if len(left_keys) == 1:
+            joint = pd.concat([lpdf[left_keys[0]], rpdf[right_keys[0]]], ignore_index=True)
+            codes = pd.factorize(joint, use_na_sentinel=True)[0]
+        else:
+            arrays = [
+                pd.concat([lpdf[lk], rpdf[rk]], ignore_index=True)
+                for lk, rk in zip(left_keys, right_keys)
+            ]
+            codes = pd.MultiIndex.from_arrays(arrays).factorize()[0]
+        lcodes, rcodes = codes[: len(lpdf)], codes[len(lpdf) :]
+        q_ts = lpdf[_TS_US].to_numpy("int64")
+        r_ts = rpdf[_TS_US].to_numpy("int64") if len(rpdf) else np.empty(0, "int64")
+        lo = int(min(q_ts.min(), r_ts.min())) if len(r_ts) else int(q_ts.min())
+        hi = int(max(q_ts.max(), r_ts.max())) if len(r_ts) else int(q_ts.max())
+        base = (lo // _US_D) * _US_D  # day-aligned: sawtooth rounding commutes
+        block = (hi - base) + 2
+        if (int(codes.max(initial=0)) + 2) * block > 2**62:
+            raise _MapInput("composite-index overflow")  # fall back per-key
+        mec = MultiKeyEventColumns(rpdf, rcodes, r_ts, tie, base, block)
+        feats = compute_parts_multikey(mec, part_list, lcodes, q_ts, include_equal, sawtooth)
+        out = lpdf[left_cols].copy()
+        for p, fname in zip(part_list, feat_names):
+            out[fname] = feats[p.output_name]
+        return out
+
     def fn_bucketed(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
-        """One Arrow batch holds MANY keys: loop per-key kernels in-process."""
+        """One Arrow batch holds MANY keys: vectorized across keys when
+        possible, else per-key kernels in-process."""
         if not len(lpdf):
             return pd.DataFrame(columns=left_cols + feat_names)
         rpdf = rpdf.rename(columns=lambda c: c[4:] if c.startswith("__r_") else c)
+        if not has_buckets:
+            try:
+                return fn_multikey(lpdf, rpdf)
+            except _MapInput:
+                pass  # map-typed input: per-map-key grouping stays per key
 
         def norm(k):
             return k if isinstance(k, tuple) else (k,)
