@@ -61,6 +61,9 @@ spark.stop()
 """
 
 
+BASE_ROWS = 8_000_000
+
+
 def ensure_data(n_rows: int) -> None:
     if os.path.exists(DATA):
         import pyarrow.parquet as pq
@@ -69,10 +72,35 @@ def ensure_data(n_rows: int) -> None:
             return
     os.makedirs(os.path.dirname(DATA), exist_ok=True)
     sys.path.insert(0, str(ROOT))
-    from chronon_spark.sources.synth import synth_transcripts
+    base_path = DATA + f".base{BASE_ROWS}"
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
 
-    pdf = synth_transcripts(n_rows=n_rows, n_convs=max(n_rows // 160, 1))
-    pdf.to_parquet(DATA, index=False)
+    if not os.path.exists(base_path):
+        if os.path.exists(DATA) and pq.read_metadata(DATA).num_rows == BASE_ROWS:
+            os.rename(DATA, base_path)  # adopt a previously generated base
+        else:
+            from chronon_spark.sources.synth import synth_transcripts
+
+            # pandas synth is single-threaded and O(minutes) at 8M — cache it
+            pdf = synth_transcripts(n_rows=BASE_ROWS, n_convs=max(BASE_ROWS // 160, 1))
+            pdf.to_parquet(base_path, index=False)
+    if n_rows == BASE_ROWS:
+        if os.path.exists(DATA):
+            os.remove(DATA)
+        os.link(base_path, DATA)
+        return
+    if n_rows % BASE_ROWS:
+        raise ValueError(f"n_rows must be a multiple of {BASE_ROWS} (tiled from the cached base)")
+    # tile the base k times with disjoint conv_id namespaces (pyarrow C++,
+    # seconds instead of the pandas generator's tens of minutes at 32M)
+    base = pq.read_table(base_path)
+    chunks = []
+    for i in range(n_rows // BASE_ROWS):
+        conv = pc.binary_join_element_wise(base.column("conv_id").cast(pa.string()), f"_{i}", "")
+        chunks.append(base.set_column(base.schema.get_field_index("conv_id"), "conv_id", conv))
+    pq.write_table(pa.concat_tables(chunks), DATA)
 
 
 def run_level(cores: int) -> dict:
