@@ -87,7 +87,9 @@ def _q_asof_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("turn_idx_count_7d").alias("turns_7d"),
         F.col("turn_idx_count_1h").alias("turns_1h"),
         F.round(F.col("score_sum_7d"), 3).alias("score_sum_7d"),
-        F.col("text_last_k3_2d").alias("last3_texts_2d"),
+        # driver-canonicalizable: serialize the list feature (the driver's
+        # canonicalizer sorts on raw cells and crashes on python lists)
+        F.array_join(F.col("text_last_k3_2d"), "|").alias("last3_texts_2d"),
     )
 
 
@@ -103,7 +105,7 @@ SELECT q.conv_id AS conv_id,
        (SELECT ROUND(SUM(e.score), 3) FROM t e
          WHERE e.conv_id = q.conv_id AND e.tus < q.tus AND e.tus >= q.tus - {7 * US_D}) AS score_sum_7d,
        (SELECT CASE WHEN COUNT(*) = 0 THEN NULL
-                    ELSE list(text ORDER BY tus DESC, turn_idx DESC) END
+                    ELSE array_to_string(list(text ORDER BY tus DESC, turn_idx DESC), '|') END
           FROM (SELECT e.text, e.tus, e.turn_idx FROM t e
                  WHERE e.conv_id = q.conv_id AND e.tus < q.tus AND e.tus >= q.tus - {2 * US_D}
                  ORDER BY e.tus DESC, e.turn_idx DESC LIMIT 3)) AS last3_texts_2d
@@ -166,7 +168,7 @@ g AS (SELECT conv_id, turn_idx, tus,
                   OR tus - lag(tus) OVER w >= {30 * 60_000_000} THEN 1 ELSE 0 END AS new_sess
       FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY tus, turn_idx))
 SELECT conv_id, turn_idx, tus,
-       SUM(new_sess) OVER (PARTITION BY conv_id ORDER BY tus, turn_idx) - 1 AS session_id
+       CAST(SUM(new_sess) OVER (PARTITION BY conv_id ORDER BY tus, turn_idx) - 1 AS BIGINT) AS session_id
 FROM g
 """
 

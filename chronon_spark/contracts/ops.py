@@ -63,15 +63,22 @@ def _q_order_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         tie_breakers=["turn_idx"],
     )
     out = asof_join(_user_left(t), t, gb)
+    # list features are projected to scalar columns / joined strings so the
+    # driver's canonicalizer (which sorts on raw cells) can hash them
+    top, bot = F.col("score_top_k3_7d"), F.col("score_bottom_k3_7d")
     return out.select(
         "conv_id",
         "turn_idx",
         "tus",
         F.col("score_first_7d").alias("first_score"),
         F.col("score_last_7d").alias("last_score"),
-        F.col("text_first_k2_2d").alias("first2_texts"),
-        F.col("score_top_k3_7d").alias("top3"),
-        F.col("score_bottom_k3_7d").alias("bottom3"),
+        F.array_join(F.col("text_first_k2_2d"), "|").alias("first2_texts"),
+        F.try_element_at(top, F.lit(1)).alias("top3_1"),
+        F.try_element_at(top, F.lit(2)).alias("top3_2"),
+        F.try_element_at(top, F.lit(3)).alias("top3_3"),
+        F.try_element_at(bot, F.lit(1)).alias("bottom3_1"),
+        F.try_element_at(bot, F.lit(2)).alias("bottom3_2"),
+        F.try_element_at(bot, F.lit(3)).alias("bottom3_3"),
         F.col("role_unique_count_7d").alias("n_roles"),
         F.col("score_min_7d").alias("min_score"),
         F.col("score_max_7d").alias("max_score"),
@@ -79,7 +86,8 @@ def _q_order_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_ORDER_OPS = f"""
-WITH t AS ({_DUCK_T})
+WITH t AS ({_DUCK_T}),
+base AS (
 SELECT q.conv_id AS conv_id, q.turn_idx AS turn_idx, q.tus AS tus,
        (SELECT e.score FROM t e WHERE e.conv_id = q.conv_id AND e.tus < q.tus
          AND e.tus >= q.tus - {7 * US_D} AND e.score IS NOT NULL
@@ -87,15 +95,16 @@ SELECT q.conv_id AS conv_id, q.turn_idx AS turn_idx, q.tus AS tus,
        (SELECT e.score FROM t e WHERE e.conv_id = q.conv_id AND e.tus < q.tus
          AND e.tus >= q.tus - {7 * US_D} AND e.score IS NOT NULL
          ORDER BY e.tus DESC, e.turn_idx DESC LIMIT 1) AS last_score,
-       (SELECT CASE WHEN COUNT(*) = 0 THEN NULL ELSE list(text ORDER BY tus, turn_idx) END
+       (SELECT CASE WHEN COUNT(*) = 0 THEN NULL
+                    ELSE array_to_string(list(text ORDER BY tus, turn_idx), '|') END
           FROM (SELECT e.text, e.tus, e.turn_idx FROM t e
                  WHERE e.conv_id = q.conv_id AND e.tus < q.tus AND e.tus >= q.tus - {2 * US_D}
                  ORDER BY e.tus, e.turn_idx LIMIT 2)) AS first2_texts,
-       (SELECT CASE WHEN COUNT(*) = 0 THEN NULL ELSE list(score ORDER BY score DESC) END
+       (SELECT list(score ORDER BY score DESC)
           FROM (SELECT e.score FROM t e
                  WHERE e.conv_id = q.conv_id AND e.tus < q.tus AND e.tus >= q.tus - {7 * US_D}
                    AND e.score IS NOT NULL ORDER BY e.score DESC LIMIT 3)) AS top3,
-       (SELECT CASE WHEN COUNT(*) = 0 THEN NULL ELSE list(score ORDER BY score) END
+       (SELECT list(score ORDER BY score)
           FROM (SELECT e.score FROM t e
                  WHERE e.conv_id = q.conv_id AND e.tus < q.tus AND e.tus >= q.tus - {7 * US_D}
                    AND e.score IS NOT NULL ORDER BY e.score LIMIT 3)) AS bottom3,
@@ -105,7 +114,16 @@ SELECT q.conv_id AS conv_id, q.turn_idx AS turn_idx, q.tus AS tus,
          WHERE e.conv_id = q.conv_id AND e.tus < q.tus AND e.tus >= q.tus - {7 * US_D}) AS min_score,
        (SELECT MAX(e.score) FROM t e
          WHERE e.conv_id = q.conv_id AND e.tus < q.tus AND e.tus >= q.tus - {7 * US_D}) AS max_score
-FROM t q WHERE q.role = 'user'
+FROM t q WHERE q.role = 'user')
+SELECT conv_id, turn_idx, tus, first_score, last_score, first2_texts,
+       list_extract(top3, 1) AS top3_1,
+       list_extract(top3, 2) AS top3_2,
+       list_extract(top3, 3) AS top3_3,
+       list_extract(bottom3, 1) AS bottom3_1,
+       list_extract(bottom3, 2) AS bottom3_2,
+       list_extract(bottom3, 3) AS bottom3_3,
+       n_roles, min_score, max_score
+FROM base
 """
 
 
@@ -133,6 +151,7 @@ def _q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     def r4(c):
         return F.round(c + F.lit(1e-10), 4)
 
+    pct = F.col("score_approx_percentile_7d")
     return out.select(
         "conv_id",
         "turn_idx",
@@ -140,7 +159,10 @@ def _q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.col("score_variance_7d")).alias("var_7d"),
         r4(F.col("score_skew_7d")).alias("skew_7d"),
         r4(F.col("score_kurtosis_7d")).alias("kurt_7d"),
-        F.transform(F.col("score_approx_percentile_7d"), lambda x: r4(x)).alias("pct_7d"),
+        # one scalar column per requested percentile (driver-canonicalizable)
+        r4(F.try_element_at(pct, F.lit(1)).cast("double")).alias("p25_7d"),
+        r4(F.try_element_at(pct, F.lit(2)).cast("double")).alias("p50_7d"),
+        r4(F.try_element_at(pct, F.lit(3)).cast("double")).alias("p75_7d"),
     )
 
 
@@ -162,7 +184,9 @@ SELECT q.conv_id AS conv_id, q.turn_idx AS turn_idx, q.tus AS tus,
        ROUND(c.m2 + 1e-10, 4) AS var_7d,
        CASE WHEN c.n >= 3 AND c.m2 > 0 THEN ROUND(c.m3 / POWER(c.m2, 1.5) + 1e-10, 4) END AS skew_7d,
        CASE WHEN c.n >= 4 AND c.m2 > 0 THEN ROUND(c.m4 / (c.m2 * c.m2) - 3 + 1e-10, 4) END AS kurt_7d,
-       list_transform(c.pct, x -> ROUND(x + 1e-10, 4)) AS pct_7d
+       ROUND(list_extract(c.pct, 1) + 1e-10, 4) AS p25_7d,
+       ROUND(list_extract(c.pct, 2) + 1e-10, 4) AS p50_7d,
+       ROUND(list_extract(c.pct, 3) + 1e-10, 4) AS p75_7d
 FROM q LEFT JOIN c ON c.conv_id = q.conv_id AND c.qi = q.turn_idx AND c.qtus = q.tus
 """
 
@@ -178,14 +202,16 @@ def _q_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         tie_breakers=["turn_idx"],
     )
     out = asof_join(_user_left(t), t, gb)
+    # the bucket domain is the 3 role values — project the Map[bucket -> sum]
+    # feature to one scalar column per bucket (driver-canonicalizable)
     m = F.col("score_sum_7d_by_role")
-    keys = F.array_sort(F.map_keys(m))
     return out.select(
         "conv_id",
         "turn_idx",
         "tus",
-        keys.alias("roles"),
-        F.transform(keys, lambda k: F.round(F.element_at(m, k), 3)).alias("sums"),
+        F.round(F.try_element_at(m, F.lit("user")), 3).alias("sum_user"),
+        F.round(F.try_element_at(m, F.lit("tool")), 3).alias("sum_tool"),
+        F.round(F.try_element_at(m, F.lit("assistant")), 3).alias("sum_assistant"),
     )
 
 
@@ -196,10 +222,13 @@ w AS (SELECT q.conv_id, q.turn_idx AS qi, q.tus AS qtus, e.role, e.score
       FROM q JOIN t e ON e.conv_id = q.conv_id AND e.tus < q.tus
        AND e.tus >= q.tus - {7 * US_D} AND e.score IS NOT NULL AND e.role IS NOT NULL),
 g AS (SELECT conv_id, qi, qtus, role, SUM(score) AS s FROM w GROUP BY 1, 2, 3, 4),
-a AS (SELECT conv_id, qi, qtus, list(role ORDER BY role) AS roles,
-             list(ROUND(s, 3) ORDER BY role) AS sums
+a AS (SELECT conv_id, qi, qtus,
+             MAX(CASE WHEN role = 'user'      THEN ROUND(s, 3) END) AS sum_user,
+             MAX(CASE WHEN role = 'tool'      THEN ROUND(s, 3) END) AS sum_tool,
+             MAX(CASE WHEN role = 'assistant' THEN ROUND(s, 3) END) AS sum_assistant
       FROM g GROUP BY 1, 2, 3)
-SELECT q.conv_id AS conv_id, q.turn_idx AS turn_idx, q.tus AS tus, a.roles AS roles, a.sums AS sums
+SELECT q.conv_id AS conv_id, q.turn_idx AS turn_idx, q.tus AS tus,
+       a.sum_user AS sum_user, a.sum_tool AS sum_tool, a.sum_assistant AS sum_assistant
 FROM q LEFT JOIN a ON a.conv_id = q.conv_id AND a.qi = q.turn_idx AND a.qtus = q.tus
 """
 
@@ -219,19 +248,28 @@ def _q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         tie_breakers=["turn_idx"],
     )
     out = asof_join(_user_left(t), t, gb)
+    # maps serialize to a canonical 'k=v|k=v' string (keys sorted); the
+    # unique-top-k list becomes 3 scalar columns (driver-canonicalizable)
     h = F.col("role_histogram_7d")
-    hk = F.array_sort(F.map_keys(h))
     fk = F.col("role_approx_frequent_k2_7d")
-    fkk = F.array_sort(F.map_keys(fk))
+    td = F.col("score_unique_top_k3_7d")
+
+    def map_str(m):
+        keys = F.array_sort(F.map_keys(m))
+        return F.array_join(
+            F.transform(keys, lambda x: F.concat(x, F.lit("="), F.element_at(m, x).cast("string"))),
+            "|",
+        )
+
     return out.select(
         "conv_id",
         "turn_idx",
         "tus",
-        hk.alias("hist_keys"),
-        F.transform(hk, lambda x: F.element_at(h, x)).alias("hist_counts"),
-        fkk.alias("freq_keys"),
-        F.transform(fkk, lambda x: F.element_at(fk, x)).alias("freq_counts"),
-        F.col("score_unique_top_k3_7d").alias("top3_distinct"),
+        map_str(h).alias("hist"),
+        map_str(fk).alias("freq2"),
+        F.try_element_at(td, F.lit(1)).alias("td_1"),
+        F.try_element_at(td, F.lit(2)).alias("td_2"),
+        F.try_element_at(td, F.lit(3)).alias("td_3"),
     )
 
 
@@ -241,12 +279,12 @@ q AS (SELECT conv_id, turn_idx, tus FROM t WHERE role = 'user'),
 w AS (SELECT q.conv_id, q.turn_idx AS qi, q.tus AS qtus, e.role, e.score
       FROM q JOIN t e ON e.conv_id = q.conv_id AND e.tus < q.tus AND e.tus >= q.tus - {7 * US_D}),
 g AS (SELECT conv_id, qi, qtus, role, COUNT(*) AS c FROM w WHERE role IS NOT NULL GROUP BY 1, 2, 3, 4),
-hist AS (SELECT conv_id, qi, qtus, list(role ORDER BY role) AS hist_keys,
-                list(c ORDER BY role) AS hist_counts
+hist AS (SELECT conv_id, qi, qtus,
+                array_to_string(list(role || '=' || CAST(c AS VARCHAR) ORDER BY role), '|') AS hist
          FROM g GROUP BY 1, 2, 3),
 rk AS (SELECT *, row_number() OVER (PARTITION BY conv_id, qi, qtus ORDER BY c DESC, role) AS r FROM g),
-freq AS (SELECT conv_id, qi, qtus, list(role ORDER BY role) AS freq_keys,
-                list(c ORDER BY role) AS freq_counts
+freq AS (SELECT conv_id, qi, qtus,
+                array_to_string(list(role || '=' || CAST(c AS VARCHAR) ORDER BY role), '|') AS freq2
          FROM rk WHERE r <= 2 GROUP BY 1, 2, 3),
 topd AS (SELECT conv_id, qi, qtus, list(v ORDER BY v DESC) AS top3_distinct
          FROM (SELECT conv_id, qi, qtus, score AS v,
@@ -254,9 +292,10 @@ topd AS (SELECT conv_id, qi, qtus, list(v ORDER BY v DESC) AS top3_distinct
                FROM (SELECT DISTINCT conv_id, qi, qtus, score FROM w WHERE score IS NOT NULL))
          WHERE r <= 3 GROUP BY 1, 2, 3)
 SELECT q.conv_id AS conv_id, q.turn_idx AS turn_idx, q.tus AS tus,
-       hist.hist_keys AS hist_keys, hist.hist_counts AS hist_counts,
-       freq.freq_keys AS freq_keys, freq.freq_counts AS freq_counts,
-       topd.top3_distinct AS top3_distinct
+       hist.hist AS hist, freq.freq2 AS freq2,
+       list_extract(topd.top3_distinct, 1) AS td_1,
+       list_extract(topd.top3_distinct, 2) AS td_2,
+       list_extract(topd.top3_distinct, 3) AS td_3
 FROM q
 LEFT JOIN hist ON hist.conv_id = q.conv_id AND hist.qi = q.turn_idx AND hist.qtus = q.tus
 LEFT JOIN freq ON freq.conv_id = q.conv_id AND freq.qi = q.turn_idx AND freq.qtus = q.tus

@@ -26,11 +26,15 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         s = df[c]
         if s.dtype == object:
-            df[c] = s.map(
-                lambda v: tuple(v.tolist() if isinstance(v, np.ndarray) else v)
-                if isinstance(v, (list, np.ndarray))
-                else (tuple(sorted(v.items())) if isinstance(v, dict) else v)
-            )
+            # the DRIVER's canonicalizer sorts on raw cells and crashes on
+            # python lists/dicts — treat any complex cell as a hard failure
+            # here so local green implies driver green
+            bad = s.map(lambda v: isinstance(v, (list, np.ndarray, dict))).any()
+            if bad:
+                raise TypeError(
+                    f"column {c!r} contains list/map cells — serialize it "
+                    "(array_join/element_at/to_json) or the driver gate will crash"
+                )
         elif str(s.dtype).startswith("datetime"):
             df[c] = s.astype("datetime64[us]")
         elif s.dtype.kind in "iu" or str(s.dtype) in ("Int64", "Int32", "UInt32"):
@@ -45,7 +49,18 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
     if sorted(got.columns) != sorted(want.columns):
         errs.append(f"columns {sorted(got.columns)} != {sorted(want.columns)}")
         return errs
-    g, w = _canon(got), _canon(want)
+    try:
+        g, w = _canon(got), _canon(want)
+    except TypeError as ex:
+        errs.append(str(ex))
+        return errs
+    # driver hashes raw values: int64 0 != float64 0.0 — flag kind mismatches
+    for c in got.columns:
+        a, b = got[c].dtype, want[c].dtype
+        ka = "f" if str(a) in ("Float64",) else getattr(a, "kind", "O")
+        kb = "f" if str(b) in ("Float64",) else getattr(b, "kind", "O")
+        if {ka, kb} == {"i", "f"} or ({ka, kb} & {"i", "f"} and "O" in {ka, kb}):
+            errs.append(f"col {c}: dtype kind mismatch spark={a} oracle={b} (driver hash would differ)")
     if len(g) == len(w):
         for c in g.columns:
             a, b = g[c], w[c]
