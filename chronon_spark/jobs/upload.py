@@ -101,7 +101,11 @@ def build_batch_irs(
             continue
         hop_us = tail_hop_millis(p.window.millis) * 1000
         tail = batch_end_ts_us - p.window.millis * 1000
-        sl = ev.where((F.col(_TS_US) > tail) & (F.col(_TS_US) < min(tail + buf_us, batch_end_ts_us)))
+        # >= tail: an event exactly at batchEnd - window must land in the tail
+        # hops (collapsed starts at tail + buf), or fetch undercounts vs the
+        # sawtooth backfill whose hop-rounded window start is inclusive;
+        # hops below a query's rounded wstart are filtered at fetch time
+        sl = ev.where((F.col(_TS_US) >= tail) & (F.col(_TS_US) < min(tail + buf_us, batch_end_ts_us)))
         c = F.col(p.input_column)
         hops = (
             sl.withColumn("__hop", (F.col(_TS_US) / F.lit(hop_us)).cast("long") * F.lit(hop_us))

@@ -142,7 +142,10 @@ def asof_join(
     if prefilter:
         right = prefilter_right_keys(left, right, key_mapping, mode=prefilter)
     if coarse_buckets == "auto":
-        sp = int(left.sparkSession.conf.get("spark.sql.shuffle.partitions", "64"))
+        try:
+            sp = int(left.sparkSession.conf.get("spark.sql.shuffle.partitions", "64"))
+        except ValueError:  # conf can be the string "auto" under AQE-managed envs
+            sp = left.sparkSession.sparkContext.defaultParallelism or 64
         coarse_buckets = max(sp * 4, 64)
 
     parts = gb.parts()
@@ -280,8 +283,15 @@ def compute_join(left: DataFrame, join: Join, prefilter: str | None = None) -> D
         # day-truncated query timestamp.
         tc = join.left_time_column
         if jp.group_by.accuracy == Accuracy.SNAPSHOT:
+            # derive the midnight from normalized micros, NOT from a cast of
+            # the raw column: a bigint left ts is epoch MILLIS (the reference
+            # convention, GroupBy.scala:630) and cast-to-timestamp would read
+            # it as seconds, silently shifting the snapshot into the future
             snap = "__snapshot_ts"
-            out = out.withColumn(snap, F.date_trunc("day", F.col(tc).cast("timestamp")))
+            out = ensure_ts_us(out, tc, out="__snap_us")
+            out = out.withColumn(
+                snap, F.timestamp_micros(F.expr(f"(__snap_us div {_US_D}) * {_US_D}"))
+            ).drop("__snap_us")
             tc = snap
         out = asof_join(
             out,

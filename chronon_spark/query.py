@@ -28,10 +28,13 @@ class Query:
         spark = df.sparkSession
         for stmt in self.setups:
             spark.sql(stmt)
-        if self.selects:
-            df = df.selectExpr(*[f"{expr} AS {alias}" for alias, expr in self.selects.items()])
+        # wheres BEFORE the projection: the reference renders
+        # `SELECT selects FROM t WHERE wheres` (QueryUtils.build), so
+        # predicates see BASE columns even when selects rename/drop them
         for w in self.wheres:
             df = df.where(w)
+        if self.selects:
+            df = df.selectExpr(*[f"{expr} AS {alias}" for alias, expr in self.selects.items()])
         return df
 
 

@@ -151,9 +151,13 @@ def stream_running_features(stream: DataFrame, gb: GroupBy, time_col: str = "ts"
             st = dict(zip(names, state.get))
         else:
             st = {n: (0 if n.endswith("__cnt") else None) for n in names}
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
+        # materialize ALL Arrow chunks before sorting: a micro-batch larger
+        # than arrow maxRecordsPerBatch arrives as multiple chunks that are
+        # NOT time-ordered — scanning them independently with state merged
+        # in between would let an early-ts row in a later chunk see later
+        # events (violating strict ts' < ts)
+        chunks = [p for p in pdfs if len(p)]
+        for pdf in ([pd.concat(chunks, ignore_index=True)] if chunks else []):
             pdf = pdf.sort_values([time_col] + tie, kind="stable").reset_index(drop=True)
             out = pdf[in_names].copy()
             # strict ts' < ts, same as the batch as-of kernel: a row sees only

@@ -222,3 +222,26 @@ def test_composite_keys(spark, data):
     for kw in ({}, {"coarse_buckets": 16}):
         got = asof_join(spark.createDataFrame(q2), spark.createDataFrame(ev), gb, **kw).toPandas()
         assert_frames_allclose(got, want, sort_by=["query_id"])
+
+
+def test_snapshot_accuracy_bigint_millis_left_ts(spark, data):
+    """SNAPSHOT dispatch must derive the midnight from normalized micros: a
+    bigint left ts is epoch MILLIS (reference GroupBy.scala:630), and a naive
+    cast-to-timestamp would read it as seconds, shifting the snapshot ~56k
+    years into the future (all features spuriously non-null/wrong)."""
+    from pyspark.sql import functions as F
+
+    ev, q = data
+    gb = GroupBy(
+        keys=["conv_id"],
+        aggregations=[Aggregation("turn_idx", Op.COUNT, windows=("7d",))],
+        tie_breakers=["turn_idx"],
+        accuracy=Accuracy.SNAPSHOT,
+    )
+    join = Join(left_time_column="ts", join_parts=[JoinPart(gb, spark.createDataFrame(ev))])
+    left_ts = spark.createDataFrame(q)
+    want = compute_join(left_ts, join).toPandas()
+    left_ms = left_ts.withColumn("ts", F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1000))
+    left_ms = left_ms.withColumn("ts", F.col("ts").cast("long"))
+    got = compute_join(left_ms, join).toPandas().drop(columns=["ts"])
+    assert_frames_allclose(got, want.drop(columns=["ts"]), sort_by=["query_id"])

@@ -115,3 +115,22 @@ def test_windowed_request_rejected(spark, data):
     df = spark.createDataFrame(data)
     with pytest.raises(ValueError, match="unbounded"):
         stream_running_features(df, gb)
+
+
+def test_multi_chunk_arrow_batch_parity(spark, data, tmp_path_factory):
+    """A micro-batch larger than arrow maxRecordsPerBatch reaches the state
+    function as MULTIPLE non-time-ordered chunks; the operator must sort the
+    whole batch before the prefix scan (chunk-local scans + state merge
+    in between would leak later events into earlier rows)."""
+    shuffled = data.sample(frac=1.0, random_state=7).reset_index(drop=True)
+    d = str(tmp_path_factory.mktemp("run_chunks"))
+    spark.createDataFrame(shuffled).coalesce(1).write.parquet(f"{d}/all")
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "40")
+    try:
+        schema = spark.read.parquet(f"{d}/all").schema
+        stream = spark.readStream.schema(schema).option("recursiveFileLookup", "true").parquet(d)
+        _drain(stream_running_features(stream, _gb()), "t_run_chunks")
+        _compare(spark, "t_run_chunks", _batch_expected(spark, data))
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)

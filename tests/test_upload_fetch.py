@@ -105,3 +105,32 @@ def test_misaligned_batch_end_raises(spark, data):
     ev, _ = data
     with pytest.raises(ValueError, match="not aligned"):
         build_batch_irs(spark.createDataFrame(ev), _gb(), BATCH_END_US + 1)
+
+
+def test_event_exactly_at_window_tail_boundary(spark, data):
+    """An event at EXACTLY batchEnd - window (midnight-aligned, the common
+    production case) must land in the tail hops: the hop-rounded window start
+    of a query just after batchEnd equals that boundary, and sawtooth window
+    starts are inclusive — a strict (ts > tail) slice would drop it from both
+    collapsed and tails, undercounting fetch vs backfill."""
+    ev, q = data
+    gb = _gb()
+    w13_us = 13 * 24 * 3600 * 1_000_000
+    planted = pd.DataFrame(
+        {
+            "conv_id": [q["conv_id"].iloc[0]],
+            "turn_idx": [999999],
+            "role": ["user"],
+            "text": ["boundary"],
+            "tool": [None],
+            "n_chars": [7.0],
+            "ts": [pd.Timestamp(BATCH_END_US - w13_us, unit="us")],
+        }
+    )
+    ev2 = pd.concat([ev[planted.columns.tolist()], planted], ignore_index=True)
+    events = spark.createDataFrame(ev2)
+    queries = spark.createDataFrame(q)
+    irs = build_batch_irs(events, gb, BATCH_END_US)
+    got = fetch_features(queries, irs, events, gb, BATCH_END_US).toPandas()
+    want = asof_join(queries, events, gb).toPandas()
+    assert_frames_allclose(got, want, sort_by=["query_id"])
