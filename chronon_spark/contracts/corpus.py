@@ -193,17 +193,29 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_sql() -> str:
-    terms = "\n           + ".join(
-        f"CASE WHEN 2 * len(list_filter(hs, x -> strpos('89abcdef', substring(x, {j}, 1)) > 0))"
-        f" > len(hs) THEN {1 << (32 - j)} ELSE 0 END"
-        for j in range(1, 33)
-    )
+    # 64-bit two-half signature: hex digit j votes two bits — its high bit
+    # (pattern 89abcdef) and its second bit (4567cdef); digits 1-16 build hi,
+    # 17-32 build lo (mirrors dedup.simhash64_from_hashes exactly)
+    def term(j: int, pattern: str, weight: int) -> str:
+        return (
+            f"CASE WHEN 2 * len(list_filter(hs, x -> strpos('{pattern}', substring(x, {j}, 1)) > 0))"
+            f" > len(hs) THEN {weight} ELSE 0 END"
+        )
+
+    def half(digits: range) -> str:
+        terms = []
+        for idx, j in enumerate(digits):
+            terms.append(term(j, "89abcdef", 1 << (32 - (2 * idx + 1))))
+            terms.append(term(j, "4567cdef", 1 << (32 - (2 * idx + 2))))
+        return "\n           + ".join(terms)
+
     return f"""
 WITH h AS (SELECT doc_id, list_transform({_TOKS}, t -> md5(t)) AS hs FROM documents),
-sig AS (SELECT doc_id, ({terms}) AS sig FROM h)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b, bit_count(xor(a.sig, b.sig)) AS hamming
+sig AS (SELECT doc_id, ({half(range(1, 17))}) AS hi, ({half(range(17, 33))}) AS lo FROM h)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS hamming
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.sig, b.sig)) <= {_MAX_HAMMING}
+WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= {_MAX_HAMMING}
 """
 
 
@@ -241,9 +253,9 @@ def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_EMBEDDING_NEAR_DUPS = f"""
-SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cos_sql("a.embedding", "b.embedding")} AS cos
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND({_cos_sql("a.embedding", "b.embedding")}, 6) AS cos
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE {_cos_sql("a.embedding", "b.embedding")} >= 0.4
+WHERE ROUND({_cos_sql("a.embedding", "b.embedding")}, 6) >= 0.4
 """
 
 _ANN_TABLES, _ANN_PLANES = 4, 4

@@ -260,13 +260,61 @@ def simhash(text_col: str | Column, bits: int = 32) -> Column:
     return simhash_from_hashes(F.transform(tokens(text_col), F.md5), bits)
 
 
-def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, bits: int = 32) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+_BIT2_HEX = ("4", "5", "6", "7", "c", "d", "e", "f")
 
-    Candidate generation: split the signature into (max_hamming+1) bands —
-    pigeonhole guarantees any pair within the radius agrees on ≥1 whole band,
+
+def simhash64_from_hashes(hashes: Column) -> Column:
+    """64-bit SimHash as a struct of two 32-bit halves (hi, lo), each a
+    non-negative long — one md5 per token, two bits per hex digit (the high
+    bit and the second bit of the digit), so the wider signature costs no
+    extra hashing. Two halves instead of one packed long because bit 63 does
+    not fit a positive Spark LongType literal and ANSI arithmetic would
+    overflow-throw; xor/bit_count distribute over the halves anyway.
+
+    Same single-left-fold shape as `simhash_from_hashes` (see its comment on
+    lambda inlining): `hashes` is evaluated O(1) times regardless of width.
+    """
+    def bitvec(hx):
+        # digit j contributes bits (2j-1, 2j): its high bit and second bit
+        return F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(32)),
+                lambda j: F.array(
+                    hx.substr(j, F.lit(1)).isin(*_HI_HEX).cast("int"),
+                    hx.substr(j, F.lit(1)).isin(*_BIT2_HEX).cast("int"),
+                ),
+            )
+        )
+
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, hx: F.zip_with(acc, bitvec(hx), lambda a, b: a + b),
+    )
+    n_rep = F.array_repeat(F.size(hashes), 64)
+    votes = F.zip_with(counts, n_rep, lambda c, nn: (c * 2 > nn).cast("long"))
+    powers = F.array(*[F.lit(1 << (32 - j)).cast("long") for j in range(1, 33)] * 2)
+    weighted = F.zip_with(votes, powers, lambda v, p: v * p)
+    half_sum = lambda arr: F.aggregate(arr, F.lit(0).cast("long"), lambda a, x: a + x)  # noqa: E731
+    return F.struct(
+        half_sum(F.slice(weighted, 1, 32)).alias("hi"),
+        half_sum(F.slice(weighted, 33, 32)).alias("lo"),
+    )
+
+
+def simhash64(text_col: str | Column) -> Column:
+    return simhash64_from_hashes(F.transform(tokens(text_col), F.md5))
+
+
+def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash64) ≤ max_hamming (≤ 7).
+
+    Candidate generation: the 64-bit signature splits into 8 bands of 8 bits —
+    pigeonhole guarantees any pair within radius ≤ 7 agrees on ≥1 whole band,
     so the equi-join on (band_idx, band_bits) finds all true pairs without a
-    cross join. Verify with bit_count(xor).
+    cross join. 256 buckets per band keep the per-band self-join ~N²/256
+    (the 32-bit/4-bit-band layout degenerated to 16 buckets per band —
+    candidates approached N²/16). Verify with bit_count(xor) over the halves.
 
     Dedup without a shuffle: a pair colliding in k bands would appear k
     times, but instead of dropDuplicates over the (possibly huge, skew-prone)
@@ -274,33 +322,70 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 
     projection predicate on (sig_a, sig_b, band_idx), since whether the pair
     also collides in any earlier band is recomputable from the signatures.
     """
-    n_bands = max_hamming + 1
-    band_w = bits // n_bands
-    sig = df.select(
-        F.col(id_col).alias("doc_id"), F.transform(tokens(text_col), F.md5).alias("__h")
-    ).select("doc_id", simhash_from_hashes(F.col("__h"), bits).alias("sig"))
-    bandkeys = F.array(
-        *[F.shiftrightunsigned(F.col("sig"), b * band_w) % F.lit(1 << band_w) for b in range(n_bands)]
-    )
-    banded = sig.select("doc_id", "sig", F.posexplode(bandkeys).alias("band_idx", "band_bits"))
-    a = banded.select("band_idx", "band_bits", F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
-    b = banded.select(
-        F.col("band_idx").alias("bi"), F.col("band_bits").alias("bb"),
-        F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"),
-    )
-    cand = a.join(b, (a.band_idx == b.bi) & (a.band_bits == b.bb) & (a.id_a < b.id_b)).select(
-        "id_a", "id_b", "sig_a", "sig_b", "band_idx"
+    if max_hamming > 7:
+        raise ValueError("simhash_pairs: max_hamming must be <= 7 (8 bands of 8 bits)")
+    band_w, n_bands = 8, 8
+    # Signature via explode + groupBy (same shape and reason as minhash):
+    # each token is md5'd ONCE inside codegen'd sum() aggregates, and the
+    # aggregation is a materialization barrier — the per-row fold variant
+    # gets re-inlined by CollapseProject into every one of the 8 band
+    # expressions downstream (measured 12.6 s -> 72 s total at sf0.1).
+    ex = df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("tok"))
+    ex = ex.select("doc_id", F.md5("tok").alias("hx"))
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for j in range(1, 33):
+        d = F.col("hx").substr(j, 1)
+        aggs.append(F.sum(d.isin(*_HI_HEX).cast("int")).alias(f"c{2 * j - 1}"))
+        aggs.append(F.sum(d.isin(*_BIT2_HEX).cast("int")).alias(f"c{2 * j}"))
+    counts = ex.groupBy("doc_id").agg(*aggs)
+
+    def half(first_bit: int) -> F.Column:
+        acc = F.lit(0).cast("long")
+        for p in range(32):
+            b = first_bit + p
+            acc = acc + (F.col(f"c{b}") * 2 > F.col("n")).cast("long") * F.lit(1 << (31 - p))
+        return acc
+
+    sig = counts.select("doc_id", half(1).alias("hi"), half(33).alias("lo"))
+    # token-less docs vanish from the explode — the contract gives them the
+    # all-zero signature (ties vote 0), same as the per-row fold
+    all_ids = df.select(F.col(id_col).alias("doc_id"))
+    sig = all_ids.join(sig, "doc_id", "left").select(
+        "doc_id", F.coalesce("hi", F.lit(0)).alias("hi"), F.coalesce("lo", F.lit(0)).alias("lo")
     )
 
-    def band_of(col, j):
-        return F.shiftrightunsigned(col, j * band_w) % F.lit(1 << band_w)
+    def band_of(half, j_in_half):
+        return F.shiftrightunsigned(half, (3 - j_in_half) * band_w) % F.lit(1 << band_w)
+
+    bandkeys = F.array(
+        *[band_of(F.col("hi"), j) for j in range(4)],
+        *[band_of(F.col("lo"), j) for j in range(4)],
+    )
+    banded = sig.select("doc_id", "hi", "lo", F.posexplode(bandkeys).alias("band_idx", "band_bits"))
+    a = banded.select(
+        "band_idx", "band_bits", F.col("doc_id").alias("id_a"),
+        F.col("hi").alias("hi_a"), F.col("lo").alias("lo_a"),
+    )
+    b = banded.select(
+        F.col("band_idx").alias("bi"), F.col("band_bits").alias("bb"),
+        F.col("doc_id").alias("id_b"), F.col("hi").alias("hi_b"), F.col("lo").alias("lo_b"),
+    )
+    cand = a.join(b, (a.band_idx == b.bi) & (a.band_bits == b.bb) & (a.id_a < b.id_b)).select(
+        "id_a", "id_b", "hi_a", "lo_a", "hi_b", "lo_b", "band_idx"
+    )
+
+    def band_pair(j):
+        half_a = F.col("hi_a") if j < 4 else F.col("lo_a")
+        half_b = F.col("hi_b") if j < 4 else F.col("lo_b")
+        return band_of(half_a, j % 4), band_of(half_b, j % 4)
 
     no_earlier_collision = F.lit(True)
     for j in range(n_bands - 1):
-        no_earlier_collision = no_earlier_collision & (
-            (F.col("band_idx") <= j) | (band_of(F.col("sig_a"), j) != band_of(F.col("sig_b"), j))
-        )
-    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        ba, bb = band_pair(j)
+        no_earlier_collision = no_earlier_collision & ((F.col("band_idx") <= j) | (ba != bb))
+    ham = F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b"))) + F.bit_count(
+        F.col("lo_a").bitwiseXOR(F.col("lo_b"))
+    )
     return (
         cand.where(no_earlier_collision)
         .select("id_a", "id_b", ham.alias("hamming"))

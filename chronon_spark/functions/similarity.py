@@ -64,16 +64,158 @@ def cosine_topk(
 
 
 def near_dup_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "auto",
+    n_blocks: int | None = None,
+    n_tables: int = 16,
+    n_planes: int = 8,
+    dims: int = 64,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold.
+
+    Two physical strategies, picked by how selective the threshold is:
+
+    - ``lsh`` — hyperplane-LSH bucket candidates + exact-cosine verify. Right
+      for genuine near-duplicate thresholds (≥ ~0.8, angle ≤ 37°): per-plane
+      collision probability 1 − θ/π ≥ 0.8, so a few tables give ~certain
+      recall while buckets stay tiny. WRONG for loose thresholds: at 0.4 the
+      per-plane probability is 0.63 and certain recall needs hundreds of
+      tables — more work than the exact path.
+    - ``blocked`` — EXACT all-pairs via hash-blocking: rows replicate to
+      B block-pair groups and each group's cross product runs as one BLAS
+      matrix multiply inside an Arrow kernel. Work is inherently O(N²) FLOPs
+      (exact dense all-pairs admits no pruning), but there is NO Catalyst
+      row-level cartesian — the join enumerates B(B+1)/2 block pairs, shuffle
+      volume is N·(B+1)/2 rows, per-task memory is two blocks, and the inner
+      loop is numpy `@` instead of per-pair expression evaluation.
+
+    ``auto`` routes threshold ≥ 0.8 to lsh, else blocked.
+    """
+    if method == "auto":
+        method = "lsh" if threshold >= 0.8 else "blocked"
+    if method == "bruteforce":
+        return near_dup_pairs_bruteforce(df, threshold, id_col, vec_col)
+    if method == "lsh":
+        return _near_dup_pairs_lsh(df, threshold, id_col, vec_col, n_tables, n_planes, dims)
+    return _near_dup_pairs_blocked(df, threshold, id_col, vec_col, n_blocks)
+
+
+def near_dup_pairs_bruteforce(
     df: DataFrame, threshold: float, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
-    """All pairs with cosine ≥ threshold. Brute force O(N²) — correct at any
-    N but quadratic; at corpus scale route through `lsh_ann_topk` buckets
-    first (same verify expression)."""
+    """Reference oracle: per-pair sequential-fold cosine over a non-equi self
+    join. O(N²) rows through Catalyst — tests only."""
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    return pairs.select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos")).where(
-        F.col("cos") >= threshold
+    return pairs.select(
+        "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos")
+    ).where(F.col("cos") >= threshold)
+
+
+def _near_dup_pairs_lsh(
+    df: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    n_tables: int,
+    n_planes: int,
+    dims: int,
+) -> DataFrame:
+    """Bucket-mate candidates (pair kept only in its FIRST colliding table —
+    a projection predicate over the small bucket arrays, no dedup shuffle),
+    then join BACK to the vectors for the exact verify: the candidate join
+    moves only (id, table, bucket, bucket-array), never the embeddings."""
+    buckets = F.array(*[lsh_bucket(F.col(vec_col), t, n_planes, dims) for t in range(n_tables)])
+    bk = df.select(F.col(id_col).alias("doc_id"), buckets.alias("bks"))
+    banded = bk.select("doc_id", "bks", F.posexplode("bks").alias("tbl", "bucket"))
+    a = banded.select("tbl", "bucket", F.col("doc_id").alias("id_a"), F.col("bks").alias("bks_a"))
+    b = banded.select(
+        F.col("tbl").alias("tbl_b"), F.col("bucket").alias("bucket_b"),
+        F.col("doc_id").alias("id_b"), F.col("bks").alias("bks_b"),
+    )
+    cand = a.join(
+        b, (a.tbl == b.tbl_b) & (a.bucket == b.bucket_b) & (a.id_a < b.id_b), "inner"
+    )
+    first_tbl = F.lit(True)
+    for j in range(n_tables - 1):
+        first_tbl = first_tbl & (
+            (F.col("tbl") <= j) | (F.element_at("bks_a", j + 1) != F.element_at("bks_b", j + 1))
+        )
+    cand = cand.where(first_tbl).select("id_a", "id_b")
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
+
+
+def _near_dup_pairs_blocked(
+    df: DataFrame, threshold: float, id_col: str, vec_col: str, n_blocks: int | None
+) -> DataFrame:
+    """Exact all-pairs: hash rows into B blocks, enumerate the B(B+1)/2 block
+    pairs, run each pair's cross product as one float64 matrix multiply in an
+    Arrow kernel. cos is rounded to 6 decimals (BLAS reassociates the dot sum;
+    1e-15-level reassociation error cannot flip a 1e-6 rounding boundary)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    if n_blocks is None:
+        n = df.count()
+        n_blocks = max(1, -(-n // 2000))  # ~2k vectors per block
+    base = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("blk"),
+    )
+    pairs = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)], "bi int, bj int"
+    )
+    # side A owns block bi of every pair, side B block bj; a (row, row) pair
+    # meets exactly once, in the (min_blk, max_blk) group
+    a = base.join(pairs, base.blk == pairs.bi).select("bi", "bj", F.col("vid").alias("ida"), F.col("vec").alias("va"))
+    b = base.join(pairs, base.blk == pairs.bj).select(
+        F.col("bi").alias("bi_b"), F.col("bj").alias("bj_b"), F.col("vid").alias("idb"), F.col("vec").alias("vb")
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", df.schema[id_col].dataType, False),
+            T.StructField("id_b", df.schema[id_col].dataType, False),
+            T.StructField("cos", T.DoubleType(), False),
+        ]
+    )
+
+    def kernel(apdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(apdf) or not len(bpdf):
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+        ma = np.stack(apdf["va"].to_numpy()).astype("float64")
+        mb = np.stack(bpdf["vb"].to_numpy()).astype("float64")
+        ma /= np.linalg.norm(ma, axis=1, keepdims=True)
+        mb /= np.linalg.norm(mb, axis=1, keepdims=True)
+        sims = ma @ mb.T
+        ia = apdf["ida"].to_numpy()
+        ib = bpdf["idb"].to_numpy()
+        hit = np.round(sims, 6) >= threshold
+        if apdf["bi"].iat[0] == apdf["bj"].iat[0]:
+            # diagonal block: each unordered pair appears twice — keep id_a < id_b
+            hit &= ia[:, None] < ib[None, :]
+        r, c = np.nonzero(hit)
+        # blocks are hash-assigned, so either id may be the smaller: normalize
+        lo, hi_ = np.minimum(ia[r], ib[c]), np.maximum(ia[r], ib[c])
+        return pd.DataFrame({"id_a": lo, "id_b": hi_, "cos": np.round(sims[r, c], 6)})
+
+    return (
+        a.groupby("bi", "bj")
+        .cogroup(b.groupby("bi_b", "bj_b"))
+        .applyInPandas(kernel, schema=out_schema)
     )
 
 

@@ -25,6 +25,15 @@ Supported ops: COUNT / SUM / MIN / MAX / AVERAGE (the decomposable subset —
 exactly what the reference can collapse; order-sensitive ops keep the raw
 path or the sliced path). Semantics are identical to
 `asof_join(..., sawtooth=True)`, which the tests assert.
+
+When to use which (measured, local[32]):
+- many keys + queries sparse in (key, hop): tiled wins — 4M events / 2000
+  keys / 2000 queries: 8.5 s vs 21 s plain (the cogroup moves 80k tile rows
+  + the 2.5% of raw events in query hops instead of all 4M raw rows);
+- small inputs or queries dense in hops: plain wins (the tile/semi-join
+  stages are fixed overhead and the head set approaches the full stream);
+- per-key event counts beyond Arrow-batch memory: tiled is the ONLY path
+  for decomposable ops (bounded per-key state), sliced for order ops.
 """
 
 from __future__ import annotations
@@ -76,9 +85,12 @@ def tiled_sawtooth_asof_join(
     left_time_column: str = "ts",
     key_mapping: dict[str, str] | None = None,
     prefix: str | None = None,
+    coarse_buckets: int | str | None = "auto",
 ) -> DataFrame:
     """Sawtooth-mode PITC as-of join where the window tail reads pre-
-    aggregated hop tiles instead of raw events."""
+    aggregated hop tiles instead of raw events. ``coarse_buckets`` as in
+    asof_join: cogroup on hash(keys) %% N so one Arrow batch carries many
+    keys and the whole-batch composite-index kernel resolves them at once."""
     parts = gb.parts()
     bad = [p.op for p in parts if p.op not in TILED_OPS]
     if bad:
@@ -127,9 +139,10 @@ def tiled_sawtooth_asof_join(
     )
 
     # 2) head events: raw rows only in hops that contain >=1 query of the key
-    q_hops = (
-        l.select(*[F.col(k).alias(rk) for k, rk in key_mapping.items()], hop_col.alias("__hop"))
-        .distinct()
+    # no .distinct(): left-semi ignores duplicate build rows, and dropping
+    # the dedup saves a whole shuffle stage (the hop set is small either way)
+    q_hops = l.select(
+        *[F.col(k).alias(rk) for k, rk in key_mapping.items()], hop_col.alias("__hop")
     )
     heads = (
         r.withColumn("__hop", hop_col)
@@ -161,42 +174,57 @@ def tiled_sawtooth_asof_join(
     feat_names = [f.name for f in feat_fields]
     part_list = list(parts)
 
-    def fn(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
-        if not len(lpdf):
-            return pd.DataFrame(columns=left_cols + feat_names)
-        rpdf = rpdf.rename(columns=lambda c: c[4:] if c.startswith("__r_") else c)
-        is_tile = rpdf["__is_tile"].to_numpy(bool)
-        tiles_pdf = rpdf[is_tile].sort_values(_TS_US, kind="stable")
-        # decomposable ops are order-insensitive within a timestamp: ts-only
-        # sort suffices (tie-breakers matter only for first/last/k ops)
-        heads_pdf = rpdf[~is_tile].sort_values(_TS_US, kind="stable")
-        t_ts = tiles_pdf[_TS_US].to_numpy(np.int64)
+    def kernel(lpdf: pd.DataFrame, rpdf: pd.DataFrame, lcodes: np.ndarray, rcodes: np.ndarray) -> pd.DataFrame:
+        """Whole-batch kernel in composite-index space: code·block + (ts−base)
+        makes every searchsorted resolve ALL keys of the Arrow batch at once
+        (same trick as kernels.MultiKeyEventColumns; per-key grouping is the
+        all-zero-codes special case). base is day-aligned so the sawtooth hop
+        rounding commutes with rebasing; clamping window offsets to [0, block)
+        keeps ranges inside their key's segment. Decomposable ops are
+        order-insensitive within a timestamp, so the comp-only sort suffices
+        (tie-breakers matter only for first/last/k ops, not served here)."""
         q_ts = lpdf[_TS_US].to_numpy(np.int64)
+        r_ts = rpdf[_TS_US].to_numpy(np.int64) if len(rpdf) else np.empty(0, np.int64)
+        lo = int(min(q_ts.min(), r_ts.min())) if len(r_ts) else int(q_ts.min())
+        hi = int(max(q_ts.max(), r_ts.max())) if len(r_ts) else int(q_ts.max())
+        base = (lo // 86_400_000_000) * 86_400_000_000
+        block = (hi - base) + 2
+        if (int(max(lcodes.max(initial=0), rcodes.max(initial=0))) + 2) * block > 2**62:
+            raise OverflowError("composite-index overflow")
+
+        is_tile = rpdf["__is_tile"].to_numpy(bool) if len(rpdf) else np.empty(0, bool)
+        rcomp = rcodes.astype(np.int64) * block + (r_ts - base)
+        tcomp_all, tiles_pdf = rcomp[is_tile], rpdf[is_tile]
+        torder = np.argsort(tcomp_all, kind="stable")
+        tiles_pdf, tcomp_all = tiles_pdf.iloc[torder], tcomp_all[torder]
+        hcomp_all, heads_pdf = rcomp[~is_tile], rpdf[~is_tile]
+        horder = np.argsort(hcomp_all, kind="stable")
+        heads_pdf, hcomp_all = heads_pdf.iloc[horder], hcomp_all[horder]
+
+        nullkey = lcodes < 0
         head_start = (q_ts // hop_us) * hop_us
+        kbase = lcodes.astype(np.int64) * block
+        comp_q = np.where(nullkey, np.int64(-1), kbase + (q_ts - base))
+        comp_h = np.where(nullkey, np.int64(0), kbase + np.clip(head_start - base, 0, block - 1))
 
         out = lpdf[left_cols].copy()
         for p, fname in zip(part_list, feat_names):
             w_us = p.window.millis * 1000
             p_hop_us = tail_hop_millis(p.window.millis) * 1000
             wstart = ((q_ts - w_us) // p_hop_us) * p_hop_us
+            comp_w = np.where(nullkey, np.int64(0), kbase + np.clip(wstart - base, 0, block - 1))
             c = p.input_column
 
-            # tail: tiles fully inside [wstart, head_start)
-            ts_idx_s = np.searchsorted(t_ts, wstart, side="left")
-            ts_idx_e = np.maximum(np.searchsorted(t_ts, head_start, side="left"), ts_idx_s)
-            # head: raw events in [head_start, q)
-            if len(heads_pdf):
-                h_series = heads_pdf[[_TS_US, c]].dropna(subset=[c])
-                h_ts = h_series[_TS_US].to_numpy(np.int64)
-                h_vals = h_series[c].to_numpy()
-                hs = np.searchsorted(h_ts, head_start, side="left")
-                he = np.maximum(np.searchsorted(h_ts, q_ts, side="left"), hs)
-            else:
-                h_ts = np.empty(0, np.int64)
-                h_vals = np.empty(0)
-                hs = he = np.zeros(len(q_ts), np.int64)
+            # head: raw events in [head_start, q), compacted per column
+            hmask = heads_pdf[c].notna().to_numpy() if len(heads_pdf) else np.empty(0, bool)
+            h_comp, h_vals = hcomp_all[hmask], heads_pdf[c].to_numpy()[hmask]
+            hs = np.searchsorted(h_comp, comp_h, side="left")
+            he = np.maximum(np.searchsorted(h_comp, comp_q, side="left"), hs)
 
             if p.op in (Op.COUNT, Op.SUM, Op.AVERAGE):
+                # tail: tiles fully inside [wstart, head_start)
+                ts_idx_s = np.searchsorted(tcomp_all, comp_w, side="left")
+                ts_idx_e = np.maximum(np.searchsorted(tcomp_all, comp_h, side="left"), ts_idx_s)
                 cnt_t = _range_sum(tiles_pdf[f"{c}__cnt"].to_numpy(np.float64), ts_idx_s, ts_idx_e)
                 n = cnt_t + (he - hs)  # non-null values in window
                 if p.op == Op.COUNT:
@@ -220,11 +248,10 @@ def tiled_sawtooth_asof_join(
             elif p.op in (Op.MIN, Op.MAX):
                 take_min = p.op == Op.MIN
                 tcol = f"{c}__{'min' if take_min else 'max'}"
-                tser = tiles_pdf[[_TS_US, tcol]].dropna(subset=[tcol])
-                tt = tser[_TS_US].to_numpy(np.int64)
-                tv = tser[tcol].to_numpy()
-                s2 = np.searchsorted(tt, wstart, side="left")
-                e2 = np.maximum(np.searchsorted(tt, head_start, side="left"), s2)
+                tmask = tiles_pdf[tcol].notna().to_numpy() if len(tiles_pdf) else np.empty(0, bool)
+                tt, tv = tcomp_all[tmask], tiles_pdf[tcol].to_numpy()[tmask]
+                s2 = np.searchsorted(tt, comp_w, side="left")
+                e2 = np.maximum(np.searchsorted(tt, comp_h, side="left"), s2)
                 part_t = _range_minmax(tv, s2, e2, take_min)
                 part_h = _range_minmax(h_vals, hs, he, take_min)
                 merged = []
@@ -238,7 +265,53 @@ def tiled_sawtooth_asof_join(
                 out[fname] = merged
         return out
 
+    def fn_perkey(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(lpdf):
+            return pd.DataFrame(columns=left_cols + feat_names)
+        rpdf = rpdf.rename(columns=lambda c: c[4:] if c.startswith("__r_") else c)
+        return kernel(lpdf, rpdf, np.zeros(len(lpdf), np.int64), np.zeros(len(rpdf), np.int64))
+
+    def fn_bucketed(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(lpdf):
+            return pd.DataFrame(columns=left_cols + feat_names)
+        rpdf = rpdf.rename(columns=lambda c: c[4:] if c.startswith("__r_") else c)
+        if len(left_keys) == 1:
+            joint = pd.concat([lpdf[left_keys[0]], rpdf[right_keys[0]]], ignore_index=True)
+            codes = pd.factorize(joint, use_na_sentinel=True)[0]
+        else:
+            arrays = [
+                pd.concat([lpdf[lk], rpdf[rk]], ignore_index=True)
+                for lk, rk in zip(left_keys, right_keys)
+            ]
+            codes = pd.MultiIndex.from_arrays(arrays).factorize()[0]
+        lcodes, rcodes = codes[: len(lpdf)], codes[len(lpdf) :]
+        try:
+            return kernel(lpdf, rpdf, lcodes, rcodes)
+        except OverflowError:  # huge time span x many keys: per-key in-process
+            pieces = []
+            for k in np.unique(lcodes):
+                lsub = lpdf[lcodes == k]
+                rsub = rpdf[rcodes == k] if k >= 0 else rpdf.iloc[0:0]
+                pieces.append(
+                    kernel(lsub, rsub, np.zeros(len(lsub), np.int64), np.zeros(len(rsub), np.int64))
+                )
+            return pd.concat(pieces, ignore_index=False)
+
+    if coarse_buckets == "auto":
+        try:
+            sp = int(left.sparkSession.conf.get("spark.sql.shuffle.partitions", "64"))
+        except ValueError:
+            sp = left.sparkSession.sparkContext.defaultParallelism or 64
+        coarse_buckets = max(sp * 4, 64)
+
+    if coarse_buckets:
+        lb = l.withColumn("__b", F.pmod(F.xxhash64(*left_keys), F.lit(coarse_buckets)))
+        ub = union.withColumn(
+            "__r___b", F.pmod(F.xxhash64(*[f"__r_{c}" for c in right_keys]), F.lit(coarse_buckets))
+        )
+        grouped = lb.groupby(F.col("__b")).cogroup(ub.groupby(F.col("__r___b")))
+        return grouped.applyInPandas(fn_bucketed, schema=out_schema)
     grouped = l.groupby(*[F.col(c) for c in left_keys]).cogroup(
         union.groupby(*[F.col(f"__r_{c}") for c in right_keys])
     )
-    return grouped.applyInPandas(fn, schema=out_schema)
+    return grouped.applyInPandas(fn_perkey, schema=out_schema)

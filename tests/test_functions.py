@@ -141,10 +141,20 @@ def test_simhash_properties(spark):
 
 def test_simhash_pairs_radius(spark, docs):
     pairs = dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=6).collect()
-    # verify every reported pair really is within the radius (brute check)
-    sig = {r["doc_id"]: r["s"] for r in docs.select("doc_id", dedup.simhash("text").alias("s")).collect()}
-    for r in pairs:
-        assert bin(sig[r["id_a"]] ^ sig[r["id_b"]]).count("1") == r["hamming"] <= 6
+    # brute-check completeness AND soundness against per-doc 64-bit signatures
+    sig = {
+        r["doc_id"]: (r["s"]["hi"], r["s"]["lo"])
+        for r in docs.select("doc_id", dedup.simhash64("text").alias("s")).collect()
+    }
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    ids = sorted(sig)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin(sig[a][0] ^ sig[b][0]).count("1") + bin(sig[a][1] ^ sig[b][1]).count("1")
+            if h <= 6:
+                want[(a, b)] = h
+    assert got == want
 
 
 # ---------------------------------------------------------------- similarity
@@ -188,6 +198,55 @@ def test_lsh_ann_recall(emb):
 def test_near_dup_pairs_symmetric_threshold(emb):
     pairs = similarity.near_dup_pairs(emb, threshold=0.4).collect()
     assert all(r["cos"] >= 0.4 and r["id_a"] < r["id_b"] for r in pairs)
+
+
+def test_near_dup_blocked_equals_bruteforce(emb):
+    """The blocked BLAS path is EXACT: same pair set and cos values (to the
+    shared 6-decimal rounding) as the non-equi-join brute force."""
+    want = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in similarity.near_dup_pairs_bruteforce(emb, threshold=0.4).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in similarity.near_dup_pairs(emb, threshold=0.4, method="blocked", n_blocks=7).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_near_dup_lsh_full_recall_on_tight_threshold(spark):
+    """At genuine near-dup thresholds (cos >= 0.9, per-plane collision
+    probability >= 0.9) the LSH path must find every pair: planted pairs are
+    tiny perturbations, distractors are random."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(60):
+        v = rng.normal(size=64)
+        rows.append((2 * i, (v / np.linalg.norm(v)).tolist()))
+        w = v + rng.normal(size=64) * 0.05  # cos ~ 0.999
+        rows.append((2 * i + 1, (w / np.linalg.norm(w)).tolist()))
+    for i in range(200):
+        v = rng.normal(size=64)
+        rows.append((1000 + i, (v / np.linalg.norm(v)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.near_dup_pairs_bruteforce(df, threshold=0.9).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.near_dup_pairs(df, threshold=0.9, method="lsh").collect()
+    }
+    assert want and got == want
+    # and the plan is candidate-driven: no row-level cartesian
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        similarity.near_dup_pairs(df, threshold=0.9, method="lsh").explain("formatted")
+    assert "CartesianProduct" not in buf.getvalue()
 
 
 # ---------------------------------------------------------------- multimodal
