@@ -389,13 +389,13 @@ def _kernel(part: AggregationPart, cs: _ColumnSeries, s: np.ndarray, e: np.ndarr
                 sl = np.sort(cs.vals[s[i] : e[i]])
                 out[i] = list(sl[::-1][: part.k]) if op == Op.TOP_K else list(sl[: part.k])
         return out
-    if op in (Op.HISTOGRAM, Op.APPROX_FREQUENT_K):
+    if op in (Op.HISTOGRAM, Op.APPROX_FREQUENT_K, Op.APPROX_HEAVY_HITTERS_K):
         out = np.empty(len(s), object)
         # HISTOGRAM truncates to the k most frequent when k is set (reference
         # finalize-time truncation, SimpleAggregators.scala:303-322);
         # APPROX_FREQUENT_K always keeps k (ItemsSketch is exact at this
         # state size — NO_FALSE_NEGATIVES at fixture scale)
-        k = part.k if (part.k or op == Op.APPROX_FREQUENT_K) else None
+        k = part.k if (part.k or op != Op.HISTOGRAM) else None
         for i in range(len(s)):
             if n[i] <= 0:
                 out[i] = None

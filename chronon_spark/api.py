@@ -40,13 +40,19 @@ class Op(str, enum.Enum):
     APPROX_UNIQUE_COUNT = "approx_unique_count"  # sketch on the JVM path; exact in kernels
     APPROX_PERCENTILE = "approx_percentile"  # percentiles arg; exact interpolation in kernels
     APPROX_FREQUENT_K = "approx_frequent_k"  # k most frequent values -> map (exact at kernel scale)
+    # NO_FALSE_POSITIVES variant (reference row/ColumnAggregator.scala:266-278,
+    # ItemsSketch ErrorType.NO_FALSE_POSITIVES): only items whose frequency
+    # LOWER bound clears the sketch error are returned. The exact kernel has
+    # zero error, so both variants coincide there (as in the reference before
+    # the sketch purges); the scale path keeps the guarantee flag.
+    APPROX_HEAVY_HITTERS_K = "approx_heavy_hitters_k"
     UNIQUE_TOP_K = "unique_top_k"  # k largest DISTINCT values, descending
 
 
 # ops whose output is a list
 _LIST_OPS = {Op.FIRST_K, Op.LAST_K, Op.TOP_K, Op.BOTTOM_K, Op.UNIQUE_TOP_K}
 # ops that take k
-_K_OPS = {Op.FIRST_K, Op.LAST_K, Op.TOP_K, Op.BOTTOM_K, Op.UNIQUE_TOP_K, Op.APPROX_FREQUENT_K}
+_K_OPS = {Op.FIRST_K, Op.LAST_K, Op.TOP_K, Op.BOTTOM_K, Op.UNIQUE_TOP_K, Op.APPROX_FREQUENT_K, Op.APPROX_HEAVY_HITTERS_K}
 # ops that require a numeric input
 NUMERIC_OPS = {
     Op.SUM,

@@ -301,10 +301,43 @@ SELECT query_id, rank, neighbor_id, cos FROM r WHERE rank <= 5
 
 
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing, now with a REAL oracle: the synthetic payload is
+    a deterministic digest chain DuckDB can replay (payload hex equality pins
+    the exact bytes), and feat[0] is a dyadic rational — mean of the first 8
+    digest bytes / 256 — that float32 represents exactly, so the oracle can
+    assert one decoded feature value bit-for-bit. Only the decode step is a
+    stub; schema/batching/UDF plumbing is fully gated."""
     media = multimodal.synth_media(spark, n=64, kind="image")
-    return multimodal.extract_image_features(media, resize_to=(8, 8)).select(
-        "media_id", "out_width", "out_height", F.size("feat").alias("feat_dim")
+    feats = multimodal.extract_image_features(media, resize_to=(8, 8))
+    payloads = media.select("media_id", F.lower(F.hex("payload")).alias("payload_hex"))
+    return feats.join(payloads, "media_id").select(
+        "media_id",
+        "out_width",
+        "out_height",
+        F.size("feat").alias("feat_dim"),
+        "payload_hex",
+        F.element_at("feat", 1).cast("double").alias("feat0"),
+        F.forall("feat", lambda x: (x >= 0) & (x < 1)).alias("feat_in_unit_range"),
     )
+
+
+_SQL_MEDIA = """
+WITH m AS (
+  SELECT i AS media_id, sha256('image:' || CAST(i AS VARCHAR)) AS d
+  FROM range(0, 64) t(i)
+)
+SELECT media_id,
+       8 AS out_width, 8 AS out_height, 64 AS feat_dim,
+       repeat(d, 8) AS payload_hex,
+       -- feat[0] = mean of img[0:6, 0:8]; the decode digest (sha256 of the
+       -- payload hex) tiles row-major into 48x64, so those cells are digest
+       -- bytes 0..7 — a dyadic rational, exact in float32
+       list_sum(list_transform(range(0, 8),
+                               j -> CAST('0x' || substring(sha256(repeat(d, 8)), 2 * j + 1, 2) AS INT)))
+         / 2048.0 AS feat0,
+       TRUE AS feat_in_unit_range
+FROM m
+"""
 
 
 # ---------------------------------------------------------------- registry
@@ -319,7 +352,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_topk": _q_embedding_topk,
     "embedding_near_dups": _q_embedding_near_dups,
     "ann_lsh_topk": _q_ann_topk,
-    "media_features": _q_media_features,  # no SQL oracle: mapInPandas stub path
+    "media_features": _q_media_features,
 }
 
 ORACLES: dict[str, str] = {
@@ -332,4 +365,5 @@ ORACLES: dict[str, str] = {
     "embedding_topk": _SQL_EMBEDDING_TOPK,
     "embedding_near_dups": _SQL_EMBEDDING_NEAR_DUPS,
     "ann_lsh_topk": _ann_sql(),
+    "media_features": _SQL_MEDIA,
 }

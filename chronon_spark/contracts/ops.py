@@ -243,6 +243,10 @@ def _q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggregations=[
             Aggregation("role", Op.HISTOGRAM, windows=("7d",)),
             Aggregation("role", Op.APPROX_FREQUENT_K, windows=("7d",), k=2),
+            # NO_FALSE_POSITIVES variant — identical to frequent-k in the
+            # exact regime (reference ItemsSketch before purge), which is
+            # exactly what the shared oracle asserts
+            Aggregation("role", Op.APPROX_HEAVY_HITTERS_K, windows=("7d",), k=2),
             Aggregation("score", Op.UNIQUE_TOP_K, windows=("7d",), k=3),
         ],
         tie_breakers=["turn_idx"],
@@ -252,6 +256,7 @@ def _q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unique-top-k list becomes 3 scalar columns (driver-canonicalizable)
     h = F.col("role_histogram_7d")
     fk = F.col("role_approx_frequent_k2_7d")
+    hh = F.col("role_approx_heavy_hitters_k2_7d")
     td = F.col("score_unique_top_k3_7d")
 
     def map_str(m):
@@ -267,6 +272,7 @@ def _q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tus",
         map_str(h).alias("hist"),
         map_str(fk).alias("freq2"),
+        map_str(hh).alias("hh2"),
         F.try_element_at(td, F.lit(1)).alias("td_1"),
         F.try_element_at(td, F.lit(2)).alias("td_2"),
         F.try_element_at(td, F.lit(3)).alias("td_3"),
@@ -292,7 +298,7 @@ topd AS (SELECT conv_id, qi, qtus, list(v ORDER BY v DESC) AS top3_distinct
                FROM (SELECT DISTINCT conv_id, qi, qtus, score FROM w WHERE score IS NOT NULL))
          WHERE r <= 3 GROUP BY 1, 2, 3)
 SELECT q.conv_id AS conv_id, q.turn_idx AS turn_idx, q.tus AS tus,
-       hist.hist AS hist, freq.freq2 AS freq2,
+       hist.hist AS hist, freq.freq2 AS freq2, freq.freq2 AS hh2,
        list_extract(topd.top3_distinct, 1) AS td_1,
        list_extract(topd.top3_distinct, 2) AS td_2,
        list_extract(topd.top3_distinct, 3) AS td_3
@@ -333,6 +339,56 @@ SELECT q.conv_id AS conv_id, q.turn_idx AS turn_idx, q.tus AS tus,
          WHERE e.conv_id = q.conv_id AND e.tus < q.tus) AS n_lifetime,
        (SELECT ROUND(SUM(e.score), 3) FROM t e
          WHERE e.conv_id = q.conv_id AND e.tus < q.tus) AS sum_lifetime
+FROM t q WHERE q.role = 'user'
+"""
+
+
+# ------------------------------------------------------- multi-source union
+
+
+def _q_multi_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source GroupBy (reference GroupBy.scala:613-628): the same
+    logical event stream split across two physical sources with different
+    column orders/extras, re-unified by union_sources, then aggregated —
+    must equal the single-stream oracle exactly."""
+    from chronon_spark.query import Query
+    from chronon_spark.sources.multi import union_sources
+
+    t = _transcripts(spark, sf_dir)
+    src_tool = t.where(F.col("role") == "tool").select("conv_id", "turn_idx", "score", "ts")
+    # different column order + an extra column the union must drop
+    src_rest = t.where(F.col("role") != "tool").select(
+        "ts", "score", F.col("text").alias("extra_text"), "turn_idx", "conv_id"
+    )
+    events = union_sources(
+        [src_tool, src_rest],
+        [None, Query(selects={"conv_id": "conv_id", "turn_idx": "turn_idx", "score": "score", "ts": "ts"})],
+    )
+    gb = GroupBy(
+        keys=["conv_id"],
+        aggregations=[
+            Aggregation("turn_idx", Op.COUNT, windows=("7d",)),
+            Aggregation("score", Op.SUM, windows=("7d",)),
+        ],
+        tie_breakers=["turn_idx"],
+    )
+    out = asof_join(_user_left(t), events, gb)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "tus",
+        F.col("turn_idx_count_7d").alias("n_7d"),
+        F.round(F.col("score_sum_7d"), 3).alias("sum_7d"),
+    )
+
+
+_SQL_MULTI_SOURCE = f"""
+WITH t AS ({_DUCK_T})
+SELECT q.conv_id AS conv_id, q.turn_idx AS turn_idx, q.tus AS tus,
+       (SELECT NULLIF(COUNT(e.turn_idx), 0) FROM t e
+         WHERE e.conv_id = q.conv_id AND e.tus < q.tus AND e.tus >= q.tus - {7 * US_D}) AS n_7d,
+       (SELECT ROUND(SUM(e.score), 3) FROM t e
+         WHERE e.conv_id = q.conv_id AND e.tus < q.tus AND e.tus >= q.tus - {7 * US_D}) AS sum_7d
 FROM t q WHERE q.role = 'user'
 """
 
@@ -644,19 +700,54 @@ def _q_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB sketch path for APPROX_UNIQUE_COUNT / APPROX_PERCENTILE:
     JVM HLL++ (`approx_count_distinct`) and `percentile_approx` per
     (user, day). The reference uses CPC/KLL sketches
-    (SimpleAggregators.scala:499,545) — sketch values are impl-specific, so
-    this query has NO SQL oracle (rows-only driver check); the error-bound
-    gate lives in tests/test_sketches.py, mirroring the reference's
-    ApproxDistinctTest/ApproxPercentilesTest."""
+    (SimpleAggregators.scala:499,545) — raw sketch values are impl-specific,
+    so the hash-gated output carries the grouping skeleton, the exact
+    companions, and error/ordering FLAGS computed against the sketches
+    (the oracle asserts every flag TRUE); the tighter error-bound gate lives
+    in tests/test_sketches.py, mirroring ApproxDistinct/ApproxPercentiles
+    tests."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return (
-        ev.groupBy("user_id", F.date_format("ts", "yyyy-MM-dd").alias("ds"))
-        .agg(
-            F.approx_count_distinct("event_type").alias("types_approx"),
-            F.percentile_approx("value", 0.5).alias("p50_value"),
-            F.percentile_approx("value", 0.9).alias("p90_value"),
-        )
+    g = ev.groupBy("user_id", F.date_format("ts", "yyyy-MM-dd").alias("ds")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("event_type").alias("types_exact"),
+        F.approx_count_distinct("event_type").alias("__types_approx"),
+        F.min("value").alias("__vmin"),
+        F.max("value").alias("__vmax"),
+        F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.9))).alias("__pcts"),
     )
+    p50, p90 = F.element_at("__pcts", 1), F.element_at("__pcts", 2)
+    return g.select(
+        "user_id",
+        "ds",
+        "n",
+        "types_exact",
+        # HLL++ rsd=0.05; tiny per-day cardinalities are exact in practice,
+        # the +1 keeps the flag honest at the margin
+        (
+            (F.col("__types_approx") >= F.col("types_exact") * 0.9 - 1)
+            & (F.col("__types_approx") <= F.col("types_exact") * 1.1 + 1)
+        ).alias("types_approx_ok"),
+        # percentile_approx returns actual data values: bounded and monotone;
+        # coalesce(False) makes the all-null-values group match the oracle's
+        # COUNT(value) > 0
+        F.coalesce((p50 >= F.col("__vmin")) & (p50 <= F.col("__vmax")), F.lit(False)).alias(
+            "p50_bounded"
+        ),
+        F.coalesce(p90 >= p50, F.lit(False)).alias("p90_ge_p50"),
+    )
+
+
+_SQL_SKETCHES = """
+SELECT user_id,
+       strftime(ts, '%Y-%m-%d') AS ds,
+       COUNT(*) AS n,
+       COUNT(DISTINCT event_type) AS types_exact,
+       TRUE AS types_approx_ok,
+       (COUNT(value) > 0) AS p50_bounded,
+       (COUNT(value) > 0) AS p90_ge_p50
+FROM events
+GROUP BY 1, 2
+"""
 
 
 # ------------------------------------------------------- registry
@@ -667,6 +758,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_bucketed_sum": _q_bucketed,
     "asof_histogram_ops": _q_histogram,
     "asof_lifetime": _q_lifetime,
+    "multi_source_union": _q_multi_source,
     "join_multi_part": _q_multi_part,
     "entity_state_cdc": _q_entity_state,
     "cumulative_events_scan": _q_cumulative,
@@ -674,7 +766,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_snapshot_accuracy": _q_snap_acc,
     "stats_summary": _q_stats,
     "drift_psi": _q_drift,
-    "approx_sketch_daily": _q_sketches,  # no SQL oracle: sketch values are impl-specific
+    "approx_sketch_daily": _q_sketches,
 }
 
 ORACLES: dict[str, str] = {
@@ -683,6 +775,7 @@ ORACLES: dict[str, str] = {
     "asof_bucketed_sum": _SQL_BUCKETED,
     "asof_histogram_ops": _SQL_HISTOGRAM,
     "asof_lifetime": _SQL_LIFETIME,
+    "multi_source_union": _SQL_MULTI_SOURCE,
     "join_multi_part": _SQL_MULTI_PART,
     "entity_state_cdc": _SQL_ENTITY_STATE,
     "cumulative_events_scan": _SQL_CUMULATIVE,
@@ -690,4 +783,5 @@ ORACLES: dict[str, str] = {
     "join_snapshot_accuracy": _SQL_SNAP_ACC,
     "stats_summary": _stats_sql(),
     "drift_psi": _SQL_DRIFT,
+    "approx_sketch_daily": _SQL_SKETCHES,
 }

@@ -65,8 +65,10 @@ def synth_media(spark, n: int = 64, kind: str = "image") -> DataFrame:
 
 def _fake_decode(payload: bytes, w: int, h: int) -> np.ndarray:
     """Deterministic stand-in for an image decoder: tile the digest of the
-    payload into a (h, w) float array in [0, 1)."""
-    d = hashlib.sha256(payload).digest()
+    payload's hex into a (h, w) float array in [0, 1). Hashing the HEX text
+    (not the raw bytes) keeps the whole chain replayable by a SQL oracle —
+    DuckDB's sha256 takes VARCHAR only."""
+    d = hashlib.sha256(payload.hex().encode()).digest()
     base = np.frombuffer(d, dtype=np.uint8).astype(np.float32) / 256.0
     return np.resize(base, (h, w))
 

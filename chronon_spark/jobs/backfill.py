@@ -72,6 +72,13 @@ def main(argv=None) -> int:
 
     spark = get_spark("chronon-backfill", master=args.master)
     gb = parse_gb(args.group_by)
+    # pre-flight (Analyzer.scala analogue): fail on spec/schema problems
+    # BEFORE any partition computes, not hours into the backfill
+    from chronon_spark.analyzer import analyze
+
+    analyze(
+        spark.read.parquet(args.queries), gb, right=spark.read.parquet(args.events)
+    )
     t0 = time.time()
     stats = run_partitioned_backfill(
         spark,

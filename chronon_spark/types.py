@@ -31,7 +31,7 @@ def part_output_type(part: AggregationPart, input_type: T.DataType) -> T.DataTyp
         base = input_type
     elif op in (Op.FIRST_K, Op.LAST_K, Op.TOP_K, Op.BOTTOM_K, Op.UNIQUE_TOP_K):
         base = T.ArrayType(input_type)
-    elif op in (Op.HISTOGRAM, Op.APPROX_FREQUENT_K):
+    elif op in (Op.HISTOGRAM, Op.APPROX_FREQUENT_K, Op.APPROX_HEAVY_HITTERS_K):
         base = T.MapType(T.StringType(), T.LongType())
     elif op == Op.APPROX_PERCENTILE:
         base = T.ArrayType(T.DoubleType())
