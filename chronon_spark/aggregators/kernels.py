@@ -17,9 +17,15 @@ BatchIr{collapsed, tailHops} does (SawtoothMutationAggregator.scala:79-110).
 Null semantics follow the reference (row/ColumnAggregator.scala): null inputs
 are skipped; an empty window yields NULL for every op (including COUNT).
 
-Ops whose per-query work is not expressible as a prefix scan (top_k, bottom_k,
-histogram, unique_count, approx_percentile) fall back to a per-*query* numpy
-slice loop — bounded by tiles at scale, exact at fixture scale.
+Ops whose per-query work is not expressible as a prefix scan (top_k,
+bottom_k, histogram/frequent/heavy-hitters, unique_count, unique_top_k,
+approx_percentile) gather every window into ONE flat array per chunk and run
+a single segmented lexsort: run-length encoding gives distinct counts and
+histograms, boundary gathers give the k-lists, vectorized interpolation the
+percentiles. Total work stays O(sum of window sizes · log), but it is one
+numpy pass instead of Q python-level loop iterations; `_GATHER_BUDGET`
+chunks the queries so the flat gather stays memory-bounded (and tiles bound
+window sizes at scale).
 """
 
 from __future__ import annotations
@@ -375,19 +381,23 @@ def _kernel(part: AggregationPart, cs: _ColumnSeries, s: np.ndarray, e: np.ndarr
             return _split_lists(cs.vals[flat], lens)
         return _split_lists(np.empty(0, object), lens)
     if op == Op.UNIQUE_COUNT or op == Op.APPROX_UNIQUE_COUNT:
-        # per-query slice loop (exact; tiled/HLL is the 100TB path)
         out = np.empty(len(s), object)
-        for i in range(len(s)):
-            out[i] = None if n[i] <= 0 else int(len(pd.unique(cs.vals[s[i] : e[i]])))
+        for lo, hi in _query_chunks(n):
+            seg, lens, vals = _gather_sorted(cs.vals, s[lo:hi], e[lo:hi])
+            runs = _run_starts(seg, vals)
+            cnt = np.bincount(seg[runs], minlength=hi - lo)
+            out[lo:hi] = _masked(cnt.astype(np.int64), lens <= 0)
         return out
     if op in (Op.TOP_K, Op.BOTTOM_K):
         out = np.empty(len(s), object)
-        for i in range(len(s)):
-            if n[i] <= 0:
-                out[i] = None
+        for lo, hi in _query_chunks(n):
+            seg, lens, vals = _gather_sorted(cs.vals, s[lo:hi], e[lo:hi])
+            off = np.cumsum(lens) - lens
+            if op == Op.BOTTOM_K:
+                flat, klens = _flat_ranges(off, off + np.minimum(lens, part.k))
+                out[lo:hi] = _obj_array(_split_lists(vals[flat] if len(vals) else vals, klens))
             else:
-                sl = np.sort(cs.vals[s[i] : e[i]])
-                out[i] = list(sl[::-1][: part.k]) if op == Op.TOP_K else list(sl[: part.k])
+                out[lo:hi] = _tail_desc(vals, off, lens, part.k)
         return out
     if op in (Op.HISTOGRAM, Op.APPROX_FREQUENT_K, Op.APPROX_HEAVY_HITTERS_K):
         out = np.empty(len(s), object)
@@ -396,36 +406,128 @@ def _kernel(part: AggregationPart, cs: _ColumnSeries, s: np.ndarray, e: np.ndarr
         # APPROX_FREQUENT_K always keeps k (ItemsSketch is exact at this
         # state size — NO_FALSE_NEGATIVES at fixture scale)
         k = part.k if (part.k or op != Op.HISTOGRAM) else None
-        for i in range(len(s)):
-            if n[i] <= 0:
-                out[i] = None
-            else:
-                uv, uc = np.unique(cs.vals[s[i] : e[i]].astype(str), return_counts=True)
-                if k is not None and len(uv) > k:
-                    # deterministic truncation: count desc, value asc
-                    order = np.lexsort((uv, -uc))[:k]
-                    uv, uc = uv[order], uc[order]
-                out[i] = dict(zip(uv.tolist(), uc.astype(np.int64).tolist()))
+        svals = cs.vals.astype(str)
+        for lo, hi in _query_chunks(n):
+            seg, lens, vals = _gather_sorted(svals, s[lo:hi], e[lo:hi])
+            runs = _run_starts(seg, vals)
+            run_seg, run_val = seg[runs], vals[runs]
+            bounds = np.concatenate([np.flatnonzero(runs), [len(seg)]])
+            run_cnt = np.diff(bounds)
+            if k is not None and len(run_seg):
+                # deterministic truncation: count desc, value asc — per segment
+                order = np.lexsort((run_val, -run_cnt, run_seg))
+                run_seg, run_val, run_cnt = run_seg[order], run_val[order], run_cnt[order]
+                rank = np.arange(len(run_seg)) - np.searchsorted(run_seg, run_seg, side="left")
+                keep = rank < k
+                run_seg, run_val, run_cnt = run_seg[keep], run_val[keep], run_cnt[keep]
+            counts_per_seg = np.bincount(run_seg, minlength=hi - lo) if len(run_seg) else np.zeros(hi - lo, np.int64)
+            cuts = np.cumsum(counts_per_seg)[:-1]
+            vs = np.split(run_val, cuts)
+            csplit = np.split(run_cnt.astype(np.int64), cuts)
+            out[lo:hi] = _obj_array(
+                [
+                    None if lens[i] <= 0 else dict(sorted(zip(vs[i].tolist(), csplit[i].tolist())))
+                    for i in range(hi - lo)
+                ]
+            )
         return out
     if op == Op.UNIQUE_TOP_K:
         out = np.empty(len(s), object)
-        for i in range(len(s)):
-            if n[i] <= 0:
-                out[i] = None
-            else:
-                u = np.unique(cs.vals[s[i] : e[i]])  # sorted ascending
-                out[i] = list(u[::-1][: part.k])
+        for lo, hi in _query_chunks(n):
+            seg, lens, vals = _gather_sorted(cs.vals, s[lo:hi], e[lo:hi])
+            runs = _run_starts(seg, vals)
+            useg, uvals = seg[runs], vals[runs]  # distinct, ascending per seg
+            ulens = np.bincount(useg, minlength=hi - lo).astype(np.int64)
+            uoff = np.cumsum(ulens) - ulens
+            res = _tail_desc(uvals, uoff, ulens, part.k)
+            res[lens <= 0] = None  # distinguish empty window from no values
+            out[lo:hi] = res
         return out
     if op == Op.APPROX_PERCENTILE:
         out = np.empty(len(s), object)
-        q = list(part.percentiles)
-        for i in range(len(s)):
-            if n[i] <= 0:
-                out[i] = None
-            else:
-                out[i] = [float(x) for x in np.quantile(cs.vals[s[i] : e[i]].astype(np.float64), q)]
+        qs = np.asarray(part.percentiles, np.float64)
+        for lo, hi in _query_chunks(n):
+            seg, lens, vals = _gather_sorted(cs.vals.astype(np.float64), s[lo:hi], e[lo:hi])
+            off = (np.cumsum(lens) - lens).astype(np.float64)
+            cols = []
+            for q in qs:
+                # linear interpolation at q*(n-1) — identical to np.quantile
+                pos = q * np.maximum(lens - 1, 0)
+                fl = np.floor(pos)
+                frac = pos - fl
+                i0 = np.clip(off + fl, 0, max(len(vals) - 1, 0)).astype(np.int64)
+                i1 = np.clip(i0 + 1, 0, max(len(vals) - 1, 0))
+                hi_ok = (fl + 1) <= np.maximum(lens - 1, 0)
+                v0 = vals[i0] if len(vals) else np.zeros(hi - lo)
+                v1 = np.where(hi_ok, vals[i1] if len(vals) else 0.0, v0)
+                cols.append(v0 * (1 - frac) + v1 * frac)
+            stacked = np.stack(cols, axis=1) if cols else np.zeros((hi - lo, 0))
+            out[lo:hi] = _obj_array(
+                [None if lens[i] <= 0 else [float(x) for x in stacked[i]] for i in range(hi - lo)]
+            )
         return out
     raise NotImplementedError(f"op {op}")
+
+
+# chunk budget: bounds the gathered flat array (sum of window sizes) per pass
+_GATHER_BUDGET = 8_000_000
+
+
+def _query_chunks(n: np.ndarray):
+    """Yield [lo, hi) query slices whose total window volume stays under the
+    gather budget (worst-case Q·W memory is bounded; asymptotics unchanged,
+    the win is replacing Q python loops with vectorized passes)."""
+    if not len(n):
+        return
+    cum = np.cumsum(np.maximum(n, 0))
+    lo = 0
+    while lo < len(n):
+        base = cum[lo - 1] if lo else 0
+        hi = int(np.searchsorted(cum, base + _GATHER_BUDGET, side="right"))
+        hi = max(hi, lo + 1)
+        yield lo, min(hi, len(n))
+        lo = min(hi, len(n))
+
+
+def _obj_array(items: list) -> np.ndarray:
+    """Object ndarray from a python list WITHOUT numpy's 2D broadcast of
+    equal-length inner lists."""
+    arr = np.empty(len(items), object)
+    for i, x in enumerate(items):
+        arr[i] = x
+    return arr
+
+
+def _gather_sorted(vals: np.ndarray, s: np.ndarray, e: np.ndarray):
+    """Gather every query's window into one flat array and sort by
+    (segment, value): one vectorized lexsort replaces per-query np.sort."""
+    flat, lens = _flat_ranges(s, e)
+    seg = np.repeat(np.arange(len(s), dtype=np.int64), lens)
+    v = vals[flat] if len(flat) else vals[:0]
+    order = np.lexsort((v, seg))
+    return seg[order], lens, v[order]
+
+
+def _run_starts(seg: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    """Boolean mask marking the first element of each (segment, value) run."""
+    if not len(seg):
+        return np.zeros(0, bool)
+    first = np.empty(len(seg), bool)
+    first[0] = True
+    first[1:] = (seg[1:] != seg[:-1]) | (vals[1:] != vals[:-1])
+    return first
+
+
+def _tail_desc(vals: np.ndarray, off: np.ndarray, lens: np.ndarray, k: int) -> np.ndarray:
+    """Per segment of an ascending-sorted flat array: the last min(k, len)
+    values in DESCENDING order (top-k)."""
+    klens = np.minimum(lens, k).astype(np.int64)
+    total = int(klens.sum())
+    if total == 0:
+        return _obj_array(_split_lists(np.empty(0, object), klens))
+    offs = np.repeat(np.cumsum(klens) - klens, klens)
+    idx = np.repeat(off + lens - 1, klens) - (np.arange(total, dtype=np.int64) - offs)
+    return _obj_array(_split_lists(vals[idx], klens))
 
 
 def compute_parts(

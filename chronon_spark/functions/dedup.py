@@ -121,17 +121,18 @@ def minhash_lsh_dedup(
         F.md5(F.concat_ws("|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]))
         for b in range(bands)
     ]
-    base = sig.select("doc_id", F.array(*band_cols).alias("bk")).join(docs, "doc_id")
-    banded = base.select("doc_id", "sh", "bk", F.posexplode("bk").alias("band_idx", "band_key"))
+    # the band self-join moves ONLY (doc_id, band keys) — the shingle arrays
+    # join back onto the (candidate pairs ≪ N²) afterwards, so at 10⁹ docs
+    # the big shuffle payload is bands × 32-char digests per doc, not text
+    base = sig.select("doc_id", F.array(*band_cols).alias("bk"))
+    banded = base.select("doc_id", "bk", F.posexplode("bk").alias("band_idx", "band_key"))
     a = banded.select(
-        F.col("band_idx"), F.col("band_key"), F.col("doc_id").alias("id_a"),
-        F.col("sh").alias("sh_a"), F.col("bk").alias("bk_a"),
+        F.col("band_idx"), F.col("band_key"), F.col("doc_id").alias("id_a"), F.col("bk").alias("bk_a")
     )
     b = banded.select(
         F.col("band_idx").alias("band_idx_b"),
         F.col("band_key").alias("band_key_b"),
         F.col("doc_id").alias("id_b"),
-        F.col("sh").alias("sh_b"),
         F.col("bk").alias("bk_b"),
     )
     cand = a.join(
@@ -141,15 +142,18 @@ def minhash_lsh_dedup(
     )
     # keep each pair only in its FIRST colliding band — a pure projection
     # predicate over the band-key arrays, replacing a dropDuplicates shuffle
-    # that would move the shingle-laden candidate rows a second time
     first_band = F.lit(True)
     for j in range(bands - 1):
         first_band = first_band & (
             (F.col("band_idx") <= j)
             | (F.element_at("bk_a", j + 1) != F.element_at("bk_b", j + 1))
         )
+    cand = cand.where(first_band).select("id_a", "id_b")
+    sh_a = docs.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = docs.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (
-        cand.where(first_band)
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
         .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
