@@ -20,14 +20,46 @@ from pyspark.sql import SparkSession, functions as F
 
 from chronon_spark.api import GroupBy
 from chronon_spark.operators.asof_join import asof_join
+from chronon_spark.plans.table_lifecycle import ManagedTable
 
 ENGINE_VERSION = "0.1.0"
 
 
-def unfilled_partitions(all_parts: list[str], checkpoint_dir: str) -> list[str]:
+def group_by_semantic_hash(gb: GroupBy) -> str:
+    """Stable hash of everything that changes the output values — a changed
+    spec invalidates manifests and archives the sink (reference semantic-hash
+    recompute detection, JoinUtils.tablesToRecompute:293-305)."""
+    import hashlib
+
+    spec = {
+        "keys": gb.keys,
+        "parts": [p.output_name for p in gb.parts()],
+        "include_equal": gb.include_equal,
+        "sawtooth": gb.sawtooth,
+        "time_column": gb.time_column,
+        "tie_breakers": gb.tie_breakers,
+    }
+    return hashlib.md5(json.dumps(spec, sort_keys=True).encode()).hexdigest()
+
+
+def unfilled_partitions(
+    all_parts: list[str], checkpoint_dir: str, semantic_hash: str | None = None
+) -> list[str]:
+    """A partition counts as done only if its manifest exists AND was written
+    by the same spec (hash mismatch => recompute; the sink archives itself)."""
     done = set()
     if os.path.isdir(checkpoint_dir):
-        done = {f[:-5] for f in os.listdir(checkpoint_dir) if f.endswith(".json")}
+        for f in os.listdir(checkpoint_dir):
+            if not f.endswith(".json"):
+                continue
+            if semantic_hash is not None:
+                try:
+                    with open(os.path.join(checkpoint_dir, f)) as fh:
+                        if json.load(fh).get("semantic_hash") not in (None, semantic_hash):
+                            continue
+                except (OSError, json.JSONDecodeError):
+                    continue
+            done.add(f[:-5])
     return [p for p in all_parts if p not in done]
 
 
@@ -46,8 +78,10 @@ def run_partitioned_backfill(
     if "ds" not in queries.columns:
         queries = queries.withColumn("ds", F.date_format(left_time_column, "yyyy-MM-dd"))
     all_parts = [r[0] for r in queries.select("ds").distinct().orderBy("ds").collect()]
-    todo = unfilled_partitions(all_parts, checkpoint_dir)
+    gb_hash = group_by_semantic_hash(gb)
+    todo = unfilled_partitions(all_parts, checkpoint_dir, gb_hash)
     skipped = len(all_parts) - len(todo)
+    sink = ManagedTable(spark, out_path, partition_col="ds")
     total_out = 0
     mw_ms = gb.max_window_millis
     for ds in todo:
@@ -62,13 +96,16 @@ def run_partitioned_backfill(
         hi = F.date_add(F.to_timestamp(F.lit(ds)), 1).cast("timestamp")
         ev = ev.where(F.col(gb.time_column) < hi)
         out = asof_join(q_part, ev, gb, left_time_column=left_time_column)
+        # lifecycle-managed sink: dynamic partition overwrite + auto-expand +
+        # archive when the spec hash changes (table_lifecycle.ManagedTable)
+        sink.insert_partitions(out, auto_expand=True, semantic_hash=gb_hash)
         part_path = os.path.join(out_path, f"ds={ds}")
-        out.write.mode("overwrite").parquet(part_path)
         n_out = spark.read.parquet(part_path).count()
         total_out += n_out
         manifest = {
             "ds": ds,
             "engine_version": ENGINE_VERSION,
+            "semantic_hash": gb_hash,
             "inputs": {
                 "events": {"path": events_path, "scan_max_exclusive": f"{ds}+1d",
                            "rewind_ms": mw_ms},

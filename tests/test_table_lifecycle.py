@@ -1,0 +1,79 @@
+"""Sink lifecycle (reference catalog/TableUtils.scala:259-358,543-552,620-660):
+create-if-absent, dynamic partition overwrite, auto-expand, type-change
+refusal, archive-on-semantic-change."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from chronon_spark.plans.table_lifecycle import ManagedTable, SchemaEvolutionError
+
+
+def _df(spark, rows, schema="k string, v bigint, ds string"):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_create_and_dynamic_overwrite(spark, tmp_path):
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    r1 = t.insert_partitions(_df(spark, [("a", 1, "2024-01-01"), ("b", 2, "2024-01-02")]))
+    assert r1["created"] and t.partitions() == ["2024-01-01", "2024-01-02"]
+    # overwrite ONLY 01-02; 01-01 untouched
+    t.insert_partitions(_df(spark, [("b", 99, "2024-01-02")]))
+    got = {(r["k"], r["v"]) for r in t.read().collect()}
+    assert got == {("a", 1), ("b", 99)}
+
+
+def test_auto_expand_adds_column_old_partitions_null(spark, tmp_path):
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    t.insert_partitions(_df(spark, [("a", 1, "2024-01-01")]))
+    t.insert_partitions(
+        _df(spark, [("c", 3, 7.5, "2024-01-02")], "k string, v bigint, extra double, ds string"),
+        auto_expand=True,
+    )
+    assert [f.name for f in t.schema().fields] == ["k", "v", "extra", "ds"]
+    rows = {r["ds"]: r["extra"] for r in t.read().collect()}
+    assert rows["2024-01-01"] is None and rows["2024-01-02"] == 7.5
+
+
+def test_auto_expand_deprecated_column_written_null(spark, tmp_path):
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    t.insert_partitions(_df(spark, [("a", 1, "2024-01-01")]))
+    t.insert_partitions(
+        _df(spark, [("z", "2024-01-03")], "k string, ds string"), auto_expand=True
+    )
+    row = [r for r in t.read().collect() if r["ds"] == "2024-01-03"][0]
+    assert row["v"] is None
+
+
+def test_schema_change_without_auto_expand_rejected(spark, tmp_path):
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    t.insert_partitions(_df(spark, [("a", 1, "2024-01-01")]))
+    with pytest.raises(SchemaEvolutionError, match="auto_expand is off"):
+        t.insert_partitions(
+            _df(spark, [("c", 3, 7.5, "2024-01-02")], "k string, v bigint, extra double, ds string")
+        )
+
+
+def test_type_change_always_rejected(spark, tmp_path):
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    t.insert_partitions(_df(spark, [("a", 1, "2024-01-01")]))
+    with pytest.raises(SchemaEvolutionError, match="v: bigint --> string"):
+        t.insert_partitions(
+            _df(spark, [("a", "one", "2024-01-01")], "k string, v string, ds string"),
+            auto_expand=True,
+        )
+
+
+def test_archive_on_semantic_change(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = ManagedTable(spark, path)
+    t.insert_partitions(_df(spark, [("a", 1, "2024-01-01")]), semantic_hash="h1")
+    rep = t.insert_partitions(_df(spark, [("b", 2, "2024-01-01")]), semantic_hash="h2")
+    assert rep["archived"] and os.path.isdir(rep["archived"]) and rep["created"]
+    # fresh table holds only the new spec's output; the archive keeps the old
+    assert {r["k"] for r in t.read().collect()} == {"b"}
+    old = ManagedTable(spark, rep["archived"])
+    assert {r["k"] for r in old.read().collect()} == {"a"}
