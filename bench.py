@@ -44,7 +44,9 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "embedding_topk",
+    "embedding_near_dups",
     "ann_lsh_topk",
+    "multi_source_union",
 ]
 
 
