@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "embedding_topk",
     "embedding_near_dups",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "multi_source_union",
 ]
 

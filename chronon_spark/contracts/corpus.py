@@ -297,6 +297,47 @@ SELECT query_id, rank, neighbor_id, cos FROM r WHERE rank <= 5
 """
 
 
+_IVF_C, _IVF_PROBE = 16, 4
+
+
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _load_emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 10).withColumnRenamed("vec_id", "query_id")
+    return similarity.ivf_ann_topk(
+        emb, queries, k=5, n_centroids=_IVF_C, n_probe=_IVF_PROBE, dims=64
+    )
+
+
+def _ivf_sql() -> str:
+    from chronon_spark.functions.similarity import ivf_centroid_components
+
+    score_exprs = []
+    for j in range(_IVF_C):
+        comp = ivf_centroid_components(j, 64)
+        lits = ", ".join(repr(v) for v in comp)
+        half = repr(sum(v * v for v in comp) / 2.0)
+        score_exprs.append(
+            f"list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * ([{lits}])[i])) - {half}"
+        )
+    scores = ",\n    ".join(score_exprs)
+    return f"""
+WITH base AS (SELECT vec_id, embedding, [{scores}] AS scores FROM embeddings),
+cells AS (SELECT vec_id, embedding, scores, list_position(scores, list_max(scores)) AS cell FROM base),
+probes AS (
+  SELECT vec_id AS query_id, embedding AS qv,
+         unnest(list_filter(range(1, {_IVF_C + 1}),
+                j -> len(list_filter(range(1, {_IVF_C + 1}),
+                         j2 -> scores[j2] > scores[j] OR (scores[j2] = scores[j] AND j2 < j)))
+                     < {_IVF_PROBE})) AS cell
+  FROM cells WHERE vec_id < 10),
+scored AS (SELECT p.query_id, c.vec_id AS neighbor_id, {_cos_sql("p.qv", "c.embedding")} AS cos
+           FROM probes p JOIN cells c ON p.cell = c.cell WHERE c.vec_id != p.query_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored)
+SELECT query_id, rank, neighbor_id, cos FROM r WHERE rank <= 5
+"""
+
+
 # ---------------------------------------------------------------- multimodal
 
 
@@ -352,6 +393,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_topk": _q_embedding_topk,
     "embedding_near_dups": _q_embedding_near_dups,
     "ann_lsh_topk": _q_ann_topk,
+    "ann_ivf_topk": _q_ivf_topk,
     "media_features": _q_media_features,
 }
 
@@ -365,5 +407,6 @@ ORACLES: dict[str, str] = {
     "embedding_topk": _SQL_EMBEDDING_TOPK,
     "embedding_near_dups": _SQL_EMBEDDING_NEAR_DUPS,
     "ann_lsh_topk": _ann_sql(),
+    "ann_ivf_topk": _ivf_sql(),
     "media_features": _SQL_MEDIA,
 }

@@ -219,6 +219,95 @@ def _near_dup_pairs_blocked(
     )
 
 
+# ---------------------------------------------------------------- IVF ANN
+
+
+def ivf_centroid_components(centroid: int, dims: int) -> list[float]:
+    """Deterministic coarse-quantizer centroid in [-7.5, 7.5]^dims (same md5
+    recipe as the LSH hyperplanes — portable to the SQL oracle). Voronoi
+    cells of fixed random points are a valid IVF coarse quantizer: data-
+    trained k-means centroids only tighten the cells, the probe/re-rank
+    machinery is identical."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"ivf:{centroid}:{d}".encode()).hexdigest()[0], 16) - 7.5
+        for d in range(dims)
+    ]
+
+
+def _ivf_scores(vec_col: Column, n_centroids: int, dims: int) -> Column:
+    """score_j = <v, c_j> − ‖c_j‖²/2 — argmax(score) ≡ argmin euclidean
+    (‖v‖² is constant per row)."""
+    cols = []
+    for j in range(n_centroids):
+        comp = ivf_centroid_components(j, dims)
+        c = F.array(*[F.lit(v) for v in comp])
+        half_norm = sum(v * v for v in comp) / 2.0
+        cols.append(dot(vec_col, c) - F.lit(half_norm))
+    return F.array(*cols)
+
+
+def ivf_cell(vec_col: Column, n_centroids: int = 16, dims: int = 64) -> Column:
+    """1-based nearest-centroid cell id (first max on ties — both engines'
+    array_position/list_position semantics)."""
+    scores = _ivf_scores(vec_col, n_centroids, dims)
+    return F.array_position(scores, F.array_max(scores))
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-style approximate top-k: corpus vectors live in their nearest-
+    centroid cell; a query probes its `n_probe` nearest cells and exact-
+    cosine re-ranks the members.
+
+    Scale shape: the inverted file IS the partitioning — corpus-side cell
+    assignment is per-row codegen, the only corpus shuffle is the equi-join
+    on cell id against the (broadcast) probe list. Recall tunes with
+    n_probe/n_centroids. Probe selection uses a rank expression
+    (#{j' better than j} < n_probe, ties to the lower index) instead of a
+    sort so the SQL oracle reproduces it without sort-order ambiguity."""
+    cq = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qv"),
+        _ivf_scores(F.col(vec_col), n_centroids, dims).alias("__sc"),
+    )
+    sc = F.col("__sc")
+    probe = F.filter(
+        F.sequence(F.lit(1), F.lit(n_centroids)),
+        lambda j: F.size(
+            F.filter(
+                F.sequence(F.lit(1), F.lit(n_centroids)),
+                lambda j2: (F.try_element_at(sc, j2) > F.try_element_at(sc, j))
+                | ((F.try_element_at(sc, j2) == F.try_element_at(sc, j)) & (j2 < j)),
+            )
+        )
+        < n_probe,
+    )
+    cq = cq.select(query_id_col, "__qv", F.explode(probe).alias("cell"))
+    cc = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        ivf_cell(F.col(vec_col), n_centroids, dims).alias("cell"),
+    )
+    cand = F.broadcast(cq).join(cc, "cell").where(F.col(query_id_col) != F.col("neighbor_id"))
+    scored = cand.select(query_id_col, "neighbor_id", cosine(F.col("__qv"), F.col("__cv")).alias("cos"))
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "rank", "neighbor_id", "cos")
+    )
+
+
 # ---------------------------------------------------------------- LSH ANN
 
 

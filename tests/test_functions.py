@@ -195,6 +195,18 @@ def test_lsh_ann_recall(emb):
     assert tot > 0 and hit / max(sum(len(v) for v in exact_sets.values()), 1) >= 0.5
 
 
+def test_ivf_ann_recall(emb):
+    queries = emb.where(F.col("vec_id") < 10).withColumnRenamed("vec_id", "query_id")
+    exact = similarity.cosine_topk(emb, queries, k=5).collect()
+    approx = similarity.ivf_ann_topk(emb, queries, k=5, n_centroids=16, n_probe=6).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hit = sum(r["neighbor_id"] in exact_sets[r["query_id"]] for r in approx)
+    # 6/16 cells probed; weak neighbors (max cos ~0.5) -> partial recall ok
+    assert len(approx) > 0 and hit / max(sum(len(v) for v in exact_sets.values()), 1) >= 0.4
+
+
 def test_near_dup_pairs_symmetric_threshold(emb):
     pairs = similarity.near_dup_pairs(emb, threshold=0.4).collect()
     assert all(r["cos"] >= 0.4 and r["id_a"] < r["id_b"] for r in pairs)
