@@ -105,14 +105,25 @@ def ensure_data(n_rows: int) -> None:
 
 def run_level(cores: int) -> dict:
     code = CHILD.format(root=str(ROOT), cores=cores, data=DATA)
-    out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600,
-        cwd=str(ROOT), env={**os.environ, "SPARK_DRIVER_MEMORY": "48g"},
-    )
-    for line in out.stdout.splitlines():
+    # stdio MUST go to files, not capture_output pipes: the child JVM's log +
+    # progress stream through a pipe throttles local[16] task threads ~4x
+    # (measured 113 s -> 23 s on the identical job) — pipe-buffer
+    # backpressure on stderr writers stalls executors
+    out_path, err_path = f"/tmp/scale_bench/child_{cores}.out", f"/tmp/scale_bench/child_{cores}.err"
+    with open(out_path, "w") as o, open(err_path, "w") as e:
+        # do NOT force a huge driver heap: 48g vs the 8g default measured
+        # 208 s vs 28 s on the identical local[16] job (GC geometry — a huge
+        # young gen turns frequent cheap collections into long pauses that
+        # stall all 16 task threads). Callers needing more for bigger tiled
+        # inputs set SPARK_DRIVER_MEMORY themselves.
+        subprocess.run(
+            [sys.executable, "-c", code], stdout=o, stderr=e, stdin=subprocess.DEVNULL,
+            timeout=3600, cwd=str(ROOT), env={**os.environ},
+        )
+    for line in open(out_path).read().splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[7:])
-    sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-4000:])
+    sys.stderr.write(open(out_path).read()[-2000:] + "\n" + open(err_path).read()[-4000:])
     raise RuntimeError(f"no RESULT line at cores={cores}")
 
 
