@@ -140,15 +140,19 @@ class MultiKeyEventColumns:
     ):
         self.base = base_ts_us
         self.block = block_us
+        # Columns are gathered lazily and per-column: a full-frame
+        # events.iloc[order] copies every column (including heavy text/object
+        # payloads the parts never read) and pays pandas index-take overhead —
+        # measured 9-13 s on an 800k-row hot-key group vs <1 s lazy.
+        self._raw = events
         if len(events):
             rel = ts_us - base_ts_us
             comp = key_codes.astype(np.int64) * block_us + rel
             ties = [events[c].to_numpy() for c in tie_breakers if c in events.columns]
-            order = np.lexsort(tuple(reversed([comp] + ties)))
-            self.events = events.iloc[order].reset_index(drop=True)
-            self.comp = comp[order]
+            self._order = np.lexsort(tuple(reversed([comp] + ties)))
+            self.comp = comp[self._order]
         else:
-            self.events = events
+            self._order = np.empty(0, np.int64)
             self.comp = np.empty(0, np.int64)
         self._cols: dict[str, _ColumnSeries] = {}
 
@@ -156,27 +160,39 @@ class MultiKeyEventColumns:
         """Compacted (non-null, arrays exploded) series keyed by composite ts."""
         if name in self._cols:
             return self._cols[name]
-        if not len(self.events):
+        if not len(self._raw):
             cs = _ColumnSeries(np.empty(0, np.int64), np.empty(0, object))
         else:
-            s = self.events[name]
-            comp = self.comp
-            nn = s.dropna()
-            if len(nn) and isinstance(nn.iloc[0], dict):
-                raise _MapInput(name)
-            if len(nn) and isinstance(nn.iloc[0], (list, np.ndarray)):
-                lens = s.map(lambda v: len(v) if isinstance(v, (list, np.ndarray)) else 0).to_numpy(np.int64)
-                comp = np.repeat(comp, lens)
-                flat = [x for v in s if isinstance(v, (list, np.ndarray)) for x in v]
-                vals = pd.Series(flat)
+            s = self._raw[name]
+            # plain dtypes: zero-copy view then one numpy gather; extension
+            # (nullable) dtypes: convert via _to_numpy FIRST so NA handling
+            # matches the Series path, then gather
+            if s.dtype == object or s.dtype.kind in ("i", "u", "f", "b", "M", "m"):
+                arr = s.to_numpy()[self._order]
             else:
-                vals = s
-                mask = vals.notna().to_numpy()
-                comp, vals = comp[mask], vals[mask]
-            arr = _to_numpy(vals)
-            if arr.dtype == object:
-                keep = pd.notna(arr)
-                comp, arr = comp[keep], arr[keep]
+                arr = _to_numpy(s)[self._order]
+            comp = self.comp
+            valid = pd.notna(arr)
+            nzi = valid.nonzero()[0] if arr.dtype == object else None
+            first = arr[nzi[0]] if nzi is not None and len(nzi) else None
+            if isinstance(first, dict):
+                raise _MapInput(name)
+            if isinstance(first, (list, np.ndarray)):
+                lens = np.fromiter(
+                    (len(v) if isinstance(v, (list, np.ndarray)) else 0 for v in arr),
+                    np.int64,
+                    len(arr),
+                )
+                comp = np.repeat(comp, lens)
+                flat = [x for v in arr if isinstance(v, (list, np.ndarray)) for x in v]
+                arr = _to_numpy(pd.Series(flat))
+                if arr.dtype == object:
+                    keep = pd.notna(arr)
+                    comp, arr = comp[keep], arr[keep]
+            else:
+                if not valid.all():
+                    comp, arr = comp[valid], arr[valid]
+                arr = _to_numpy(arr)
             cs = _ColumnSeries(comp, arr)
         self._cols[name] = cs
         return cs
@@ -253,8 +269,18 @@ def _flat_ranges(starts: np.ndarray, ends: np.ndarray) -> tuple[np.ndarray, np.n
 
 
 def _split_lists(flat_vals: np.ndarray, lens: np.ndarray, empty_is_null: bool = True) -> list:
-    pieces = np.split(flat_vals, np.cumsum(lens)[:-1]) if len(lens) else []
-    return [None if (empty_is_null and len(p) == 0) else list(p) for p in pieces]
+    # python-list slicing: np.split builds one ndarray view per query (200k
+    # allocations on a hot key) — ~10x slower than slicing one materialized list
+    if not len(lens):
+        return []
+    flat = flat_vals.tolist()
+    out = []
+    pos = 0
+    for n in lens.tolist():
+        nxt = pos + n
+        out.append(None if (empty_is_null and n == 0) else flat[pos:nxt])
+        pos = nxt
+    return out
 
 
 def _prefix(vals: np.ndarray, power: int = 1, shift: float = 0.0) -> np.ndarray:
