@@ -291,6 +291,26 @@ def _q_sawtooth_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("conv_id", "turn_idx", "tus", F.col("turn_idx_count_13d").alias("turns_13d_sawtooth"))
 
 
+def _q_sawtooth_skew_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same sawtooth query through the SKEW-AWARE strategy: per-key counts
+    pick hot keys (threshold forced low here so the split genuinely exercises
+    both branches at test scale), hot keys take the salted sliced path, the
+    rest the coarse-bucket cogroup, unioned — same oracle as sawtooth_13d."""
+    from chronon_spark.operators.slicing import skew_split_asof_join
+
+    _configure(spark)
+    t = _transcripts(spark, sf_dir)
+    left = t.where(F.col("role") == "tool").select("conv_id", "turn_idx", "tus", "ts")
+    gb = GroupBy(
+        keys=["conv_id"],
+        aggregations=[Aggregation("turn_idx", Op.COUNT, windows=("13d",))],
+        tie_breakers=["turn_idx"],
+        sawtooth=True,
+    )
+    out = skew_split_asof_join(left, t, gb, hot_threshold=100)
+    return out.select("conv_id", "turn_idx", "tus", F.col("turn_idx_count_13d").alias("turns_13d_sawtooth"))
+
+
 _SQL_SAWTOOTH = f"""
 WITH t AS ({_DUCK_TRANSCRIPTS})
 SELECT q.conv_id AS conv_id, q.turn_idx AS turn_idx, q.tus AS tus,
@@ -366,6 +386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sawtooth_13d": _q_sawtooth,
         "sawtooth_13d_tiled": _q_sawtooth_tiled,
         "sawtooth_13d_sliced": _q_sawtooth_sliced,
+        "sawtooth_13d_skew_split": _q_sawtooth_skew_split,
         "snapshot_daily": _q_snapshot_daily,
         **ops.QUERIES,
         **corpus.QUERIES,
@@ -385,6 +406,7 @@ def oracle_sql() -> dict[str, str]:
         "sawtooth_13d": _SQL_SAWTOOTH,
         "sawtooth_13d_tiled": _SQL_SAWTOOTH,
         "sawtooth_13d_sliced": _SQL_SAWTOOTH,
+        "sawtooth_13d_skew_split": _SQL_SAWTOOTH,
         "snapshot_daily": _SQL_SNAPSHOT,
         **ops.ORACLES,
         **corpus.ORACLES,

@@ -28,6 +28,7 @@ BENCH_QUERIES = [
     "sawtooth_13d",
     "sawtooth_13d_tiled",
     "sawtooth_13d_sliced",
+    "sawtooth_13d_skew_split",
     "snapshot_daily",
     "asof_order_ops",
     "asof_moments",
