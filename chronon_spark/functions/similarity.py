@@ -44,16 +44,24 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    dims: int | None = 64,
 ) -> DataFrame:
     """Exact top-k neighbors per query by cosine. `queries` must be small
     (it is broadcast); corpus scan stays map-side, then one shuffle on
     query_id for the rank — k rows per query survive the partial top-k
-    (AQE + window group limit push partial filtering map-side)."""
+    (AQE + window group limit push partial filtering map-side).
+
+    `dims` routes the scoring through the Arrow kernel (bitwise-equal to the
+    fold — see vec_kernels.py); pass None for the pure-expression path."""
+    from chronon_spark.functions.vec_kernels import cosine_arrow
+
     q = F.broadcast(queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv")))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
     scored = q.crossJoin(c).where(F.col(query_id_col) != F.col("neighbor_id"))
     scored = scored.select(
-        query_id_col, "neighbor_id", cosine(F.col("__qv"), F.col("__cv")).alias("cos")
+        query_id_col,
+        "neighbor_id",
+        (cosine_arrow(F.col("__qv"), F.col("__cv"), dims) if dims else cosine(F.col("__qv"), F.col("__cv"))).alias("cos"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
@@ -129,7 +137,9 @@ def _near_dup_pairs_lsh(
     a projection predicate over the small bucket arrays, no dedup shuffle),
     then join BACK to the vectors for the exact verify: the candidate join
     moves only (id, table, bucket, bucket-array), never the embeddings."""
-    buckets = F.array(*[lsh_bucket(F.col(vec_col), t, n_planes, dims) for t in range(n_tables)])
+    from chronon_spark.functions.vec_kernels import cosine_arrow, lsh_buckets_arrow
+
+    buckets = lsh_buckets_arrow(F.col(vec_col), n_tables, n_planes, dims)
     bk = df.select(F.col(id_col).alias("doc_id"), buckets.alias("bks"))
     banded = bk.select("doc_id", "bks", F.posexplode("bks").alias("tbl", "bucket"))
     a = banded.select("tbl", "bucket", F.col("doc_id").alias("id_a"), F.col("bks").alias("bks_a"))
@@ -151,7 +161,7 @@ def _near_dup_pairs_lsh(
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
+        .select("id_a", "id_b", F.round(cosine_arrow(F.col("va"), F.col("vb"), dims), 6).alias("cos"))
         .where(F.col("cos") >= threshold)
     )
 
@@ -200,17 +210,38 @@ def _near_dup_pairs_blocked(
         mb = np.stack(bpdf["vb"].to_numpy()).astype("float64")
         ma /= np.linalg.norm(ma, axis=1, keepdims=True)
         mb /= np.linalg.norm(mb, axis=1, keepdims=True)
-        sims = ma @ mb.T
         ia = apdf["ida"].to_numpy()
         ib = bpdf["idb"].to_numpy()
-        hit = np.round(sims, 6) >= threshold
-        if apdf["bi"].iat[0] == apdf["bj"].iat[0]:
-            # diagonal block: each unordered pair appears twice — keep id_a < id_b
-            hit &= ia[:, None] < ib[None, :]
-        r, c = np.nonzero(hit)
-        # blocks are hash-assigned, so either id may be the smaller: normalize
-        lo, hi_ = np.minimum(ia[r], ib[c]), np.maximum(ia[r], ib[c])
-        return pd.DataFrame({"id_a": lo, "id_b": hi_, "cos": np.round(sims[r, c], 6)})
+        diag = apdf["bi"].iat[0] == apdf["bj"].iat[0]
+        # Tile the (|A| × |B|) similarity matrix: the full matrix for a 2k×2k
+        # block is 32 MB of FRESH pages per task (this host faults them in at
+        # ~10 MB/s); a 512-row tile is 8 MB reused across tiles AND tasks
+        # (worker processes are reused), so page-provisioning is paid once.
+        tile = 512
+        buf = np.empty((min(tile, len(ma)), len(mb)), dtype="float64")
+        hitbuf = np.empty_like(buf, dtype=bool)
+        out_a, out_b, out_cos = [], [], []
+        for s in range(0, len(ma), tile):
+            e = min(s + tile, len(ma))
+            h = e - s
+            np.dot(ma[s:e], mb.T, out=buf[:h])
+            np.round(buf[:h], 6, out=buf[:h])
+            np.greater_equal(buf[:h], threshold, out=hitbuf[:h])
+            if diag:
+                # diagonal block: each unordered pair appears twice — keep a < b
+                hitbuf[:h] &= ia[s:e, None] < ib[None, :]
+            r, c = np.nonzero(hitbuf[:h])
+            # blocks are hash-assigned, so either id may be the smaller: normalize
+            out_a.append(np.minimum(ia[s + r], ib[c]))
+            out_b.append(np.maximum(ia[s + r], ib[c]))
+            out_cos.append(buf[:h][r, c])
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cos": np.concatenate(out_cos),
+            }
+        )
 
     return (
         a.groupby("bi", "bj")
@@ -276,30 +307,26 @@ def ivf_ann_topk(
     n_probe/n_centroids. Probe selection uses a rank expression
     (#{j' better than j} < n_probe, ties to the lower index) instead of a
     sort so the SQL oracle reproduces it without sort-order ambiguity."""
+    from chronon_spark.functions.vec_kernels import (
+        cosine_arrow,
+        ivf_cell_arrow,
+        ivf_probe_cells_arrow,
+    )
+
     cq = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("__qv"),
-        _ivf_scores(F.col(vec_col), n_centroids, dims).alias("__sc"),
+        ivf_probe_cells_arrow(F.col(vec_col), n_centroids, n_probe, dims).alias("__probe"),
     )
-    sc = F.col("__sc")
-    probe = F.filter(
-        F.sequence(F.lit(1), F.lit(n_centroids)),
-        lambda j: F.size(
-            F.filter(
-                F.sequence(F.lit(1), F.lit(n_centroids)),
-                lambda j2: (F.try_element_at(sc, j2) > F.try_element_at(sc, j))
-                | ((F.try_element_at(sc, j2) == F.try_element_at(sc, j)) & (j2 < j)),
-            )
-        )
-        < n_probe,
-    )
-    cq = cq.select(query_id_col, "__qv", F.explode(probe).alias("cell"))
+    cq = cq.select(query_id_col, "__qv", F.explode("__probe").alias("cell"))
     cc = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
-        ivf_cell(F.col(vec_col), n_centroids, dims).alias("cell"),
+        ivf_cell_arrow(F.col(vec_col), n_centroids, dims).alias("cell"),
     )
     cand = F.broadcast(cq).join(cc, "cell").where(F.col(query_id_col) != F.col("neighbor_id"))
-    scored = cand.select(query_id_col, "neighbor_id", cosine(F.col("__qv"), F.col("__cv")).alias("cos"))
+    scored = cand.select(
+        query_id_col, "neighbor_id", cosine_arrow(F.col("__qv"), F.col("__cv"), dims).alias("cos")
+    )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -356,8 +383,10 @@ def lsh_ann_topk(
     shuffle is the equi-join on (table, bucket) against the (broadcast-sized)
     query buckets. Recall tunes with n_tables; precision with n_planes.
     """
+    from chronon_spark.functions.vec_kernels import cosine_arrow, lsh_buckets_arrow
+
     def bucketed(df: DataFrame, idc: str, alias: str) -> DataFrame:
-        buckets = F.array(*[lsh_bucket(F.col(vec_col), t, n_planes, dims) for t in range(n_tables)])
+        buckets = lsh_buckets_arrow(F.col(vec_col), n_tables, n_planes, dims)
         return df.select(
             F.col(idc), F.col(vec_col).alias(alias), F.posexplode(buckets).alias("tbl", "bucket")
         )
@@ -369,7 +398,9 @@ def lsh_ann_topk(
         .where(F.col(query_id_col) != F.col("neighbor_id"))
         .dropDuplicates([query_id_col, "neighbor_id"])
     )
-    scored = cand.select(query_id_col, "neighbor_id", cosine(F.col("__qv"), F.col("__cv")).alias("cos"))
+    scored = cand.select(
+        query_id_col, "neighbor_id", cosine_arrow(F.col("__qv"), F.col("__cv"), dims).alias("cos")
+    )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

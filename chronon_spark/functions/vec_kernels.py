@@ -1,0 +1,147 @@
+"""Arrow-vectorized kernels for the embedding-similarity family.
+
+Why these exist: the expression forms in `similarity.py` (`F.aggregate` /
+`F.zip_with` folds over 64-dim literal plane/centroid arrays) are correct and
+oracle-portable, but pay two real costs:
+
+- **driver build time** — a 16-table × 8-plane LSH bucket expression embeds
+  ~8k `F.lit` nodes, each a py4j roundtrip; profiling showed 5–9 s per query
+  spent *constructing* the DataFrame before any execution.
+- **interpreted execution** — Spark higher-order functions do not enter
+  whole-stage codegen; every fold step allocates and evaluates a lambda
+  per element.
+
+Each kernel here reproduces the fold's float64 operation order EXACTLY
+(accumulate dimension-by-dimension with vectorized adds across rows), so
+results are bitwise-identical to the expression path and to the DuckDB
+oracle's `list_sum(list_transform(...))` sequential sum — equivalence is
+asserted in tests/test_functions.py. Products `x_d · w_d` round once in both
+forms; `np.sqrt` and JVM `Math.sqrt`/DuckDB `sqrt` are all IEEE-754
+correctly-rounded.
+
+Scale shape: one Arrow batch transfer of the embedding column per stage,
+numpy inner loops over (batch × planes) — per-row cost is a handful of
+vector FMAs instead of thousands of interpreted lambda calls.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def _stack(col: pd.Series, dims: int) -> np.ndarray:
+    """(N, dims) float64 from a Series of array<float> cells (exact upcast)."""
+    if not len(col):
+        return np.empty((0, dims), dtype="float64")
+    return np.stack(col.to_numpy()).astype("float64")
+
+
+def _fold_dot_matrix(v: np.ndarray, w: np.ndarray) -> np.ndarray:
+    """(N, P) = v @ w, accumulated dim-by-dim in fold order.
+
+    Equivalent values to BLAS `v @ w`, but the additions happen in the same
+    left-to-right order as `F.aggregate(zip_with(...))` — bitwise parity with
+    the expression path is the point, so no reassociating matmul here.
+    """
+    n, dims = v.shape
+    acc = np.zeros((n, w.shape[1]), dtype="float64")
+    for d in range(dims):
+        acc += v[:, d, None] * w[None, d, :]
+    return acc
+
+
+def _fold_sq_norm(v: np.ndarray) -> np.ndarray:
+    """(N,) sequential-fold sum of squares (NOT np.einsum — order matters)."""
+    acc = np.zeros(v.shape[0], dtype="float64")
+    for d in range(v.shape[1]):
+        acc += v[:, d] * v[:, d]
+    return acc
+
+
+def cosine_arrow(a: Column, b: Column, dims: int) -> Column:
+    """Bitwise drop-in for `similarity.cosine` (fold-order float64)."""
+
+    @pandas_udf("double")
+    def _cos(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        va, vb = _stack(sa, dims), _stack(sb, dims)
+        dot = np.zeros(va.shape[0], dtype="float64")
+        for d in range(dims):
+            dot += va[:, d] * vb[:, d]
+        return pd.Series(dot / (np.sqrt(_fold_sq_norm(va)) * np.sqrt(_fold_sq_norm(vb))))
+
+    return _cos(a, b)
+
+
+def lsh_buckets_arrow(vec: Column, n_tables: int, n_planes: int, dims: int) -> Column:
+    """array<long> of per-table LSH bucket signatures.
+
+    One kernel evaluates every (table, plane) hyperplane at once: the plane
+    matrix W is (dims, n_tables·n_planes), projections accumulate in fold
+    order, bit p of table t is `proj > 0` — identical decisions to
+    `similarity.lsh_bucket` and the SQL oracle's per-plane list_sum.
+    """
+    from chronon_spark.functions.similarity import plane_components
+
+    w = np.array(
+        [plane_components(t, p, dims) for t in range(n_tables) for p in range(n_planes)],
+        dtype="float64",
+    ).T  # (dims, T*P)
+    weights = (1 << np.arange(n_planes, dtype="int64"))
+
+    @pandas_udf("array<long>")
+    def _buckets(col: pd.Series) -> pd.Series:
+        v = _stack(col, dims)
+        proj = _fold_dot_matrix(v, w)  # (N, T*P)
+        bits = (proj > 0).astype("int64").reshape(len(v), n_tables, n_planes)
+        bks = (bits * weights).sum(axis=2)  # (N, T)
+        return pd.Series(list(bks))
+
+    return _buckets(vec)
+
+
+def _centroid_matrix(n_centroids: int, dims: int) -> tuple[np.ndarray, np.ndarray]:
+    from chronon_spark.functions.similarity import ivf_centroid_components
+
+    comp = np.array(
+        [ivf_centroid_components(j, dims) for j in range(n_centroids)], dtype="float64"
+    ).T  # (dims, C)
+    half_norms = (comp * comp).sum(axis=0) / 2.0
+    return comp, half_norms
+
+
+def _ivf_scores_np(v: np.ndarray, comp: np.ndarray, half_norms: np.ndarray) -> np.ndarray:
+    """(N, C) scores: fold-order dot minus ‖c‖²/2 (subtracted last, as the
+    expression does)."""
+    return _fold_dot_matrix(v, comp) - half_norms
+
+
+def ivf_cell_arrow(vec: Column, n_centroids: int, dims: int) -> Column:
+    """1-based nearest-centroid cell — first max on ties (np.argmax), same as
+    `array_position(scores, array_max(scores))`."""
+    comp, half_norms = _centroid_matrix(n_centroids, dims)
+
+    @pandas_udf("int")
+    def _cell(col: pd.Series) -> pd.Series:
+        v = _stack(col, dims)
+        scores = _ivf_scores_np(v, comp, half_norms)
+        return pd.Series((np.argmax(scores, axis=1) + 1).astype("int32"))
+
+    return _cell(vec)
+
+
+def ivf_probe_cells_arrow(vec: Column, n_centroids: int, n_probe: int, dims: int) -> Column:
+    """array<int>: the query's n_probe best cells, ties to the lower index
+    (stable argsort on negated scores ≡ the rank-expression semantics)."""
+    comp, half_norms = _centroid_matrix(n_centroids, dims)
+
+    @pandas_udf("array<int>")
+    def _probes(col: pd.Series) -> pd.Series:
+        v = _stack(col, dims)
+        scores = _ivf_scores_np(v, comp, half_norms)
+        order = np.argsort(-scores, axis=1, kind="stable")[:, :n_probe] + 1
+        return pd.Series(list(order.astype("int32")))
+
+    return _probes(vec)

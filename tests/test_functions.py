@@ -285,3 +285,70 @@ def test_frame_sampling(spark):
     out = multimodal.sample_frames(media, every_n=10).collect()
     assert len(out) == 4 * 10  # n_frames=100, every 10th
     assert {r["frame_idx"] for r in out} == set(range(0, 100, 10))
+
+
+# ------------------------------------------------- arrow-kernel equivalence
+
+
+def test_arrow_kernels_bitwise_equal_expression_path(emb):
+    """The vec_kernels Arrow path must reproduce the HOF-fold expression path
+    BITWISE (same float64 op order) — buckets, cells, probes, and raw cosine."""
+    from chronon_spark.functions import vec_kernels as VK
+
+    # LSH buckets: kernel vs per-plane fold expression
+    expr_b = F.array(*[similarity.lsh_bucket(F.col("embedding"), t, 4, 64) for t in range(3)])
+    both = emb.select(
+        "vec_id",
+        expr_b.alias("eb"),
+        VK.lsh_buckets_arrow(F.col("embedding"), 3, 4, 64).alias("kb"),
+    ).collect()
+    for r in both:
+        assert list(r["eb"]) == list(r["kb"]), r["vec_id"]
+
+    # IVF cell: kernel vs array_position(argmax) expression
+    cells = emb.select(
+        "vec_id",
+        similarity.ivf_cell(F.col("embedding"), 8, 64).alias("ec"),
+        VK.ivf_cell_arrow(F.col("embedding"), 8, 64).alias("kc"),
+    ).collect()
+    for r in cells:
+        assert int(r["ec"]) == int(r["kc"]), r["vec_id"]
+
+    # cosine: kernel vs sequential fold, exact float equality (==, not approx)
+    a = emb.where(F.col("vec_id") < 30).select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    b = emb.where((F.col("vec_id") >= 30) & (F.col("vec_id") < 60)).select(
+        F.col("vec_id").alias("ib"), F.col("embedding").alias("vb")
+    )
+    pairs = a.crossJoin(b).select(
+        similarity.cosine(F.col("va"), F.col("vb")).alias("ec"),
+        VK.cosine_arrow(F.col("va"), F.col("vb"), 64).alias("kc"),
+    )
+    for r in pairs.collect():
+        assert r["ec"] == r["kc"]
+
+
+def test_ivf_probe_cells_match_rank_expression(emb):
+    """Probe selection: stable argsort kernel == the rank-expression filter
+    (ties to the lower index), compared as sets per query."""
+    from chronon_spark.functions import vec_kernels as VK
+    from chronon_spark.functions.similarity import _ivf_scores
+
+    sc = _ivf_scores(F.col("embedding"), 8, 64)
+    probe_expr = F.filter(
+        F.sequence(F.lit(1), F.lit(8)),
+        lambda j: F.size(
+            F.filter(
+                F.sequence(F.lit(1), F.lit(8)),
+                lambda j2: (F.try_element_at(sc, j2) > F.try_element_at(sc, j))
+                | ((F.try_element_at(sc, j2) == F.try_element_at(sc, j)) & (j2 < j)),
+            )
+        )
+        < 3,
+    )
+    rows = emb.where(F.col("vec_id") < 50).select(
+        "vec_id",
+        probe_expr.alias("ep"),
+        VK.ivf_probe_cells_arrow(F.col("embedding"), 8, 3, 64).alias("kp"),
+    ).collect()
+    for r in rows:
+        assert sorted(r["ep"]) == sorted(r["kp"]), r["vec_id"]
