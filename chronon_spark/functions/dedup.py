@@ -216,6 +216,42 @@ def ngram_jaccard_pairs(
 
 # ---------------------------------------------------------------- simhash
 
+# Worker-persistent scratch for the simhash bucket kernel. numpy releases
+# >128 KB temporaries with munmap, so per-tile temporaries would fault fresh
+# pages every tile on hosts that provision memory slowly; module globals
+# survive across tasks in a reused Python worker, so each shape's buffers
+# and the popcount table are faulted in once per worker.
+_POP16 = None
+_SIMHASH_BUF_CACHE: dict = {}
+
+
+def _pop16_table():
+    global _POP16
+    if _POP16 is None:
+        import numpy as np
+
+        _POP16 = np.array([bin(v).count("1") for v in range(1 << 16)], dtype=np.uint8)
+    return _POP16
+
+
+def _simhash_tile_bufs(n: int, tile: int = 256):
+    import numpy as np
+
+    width = 1 << (max(n, 1024) - 1).bit_length()
+    key = (tile, width)
+    if key not in _SIMHASH_BUF_CACHE:
+        _SIMHASH_BUF_CACHE[key] = (
+            np.empty((tile, width), np.uint16),  # xor chunk
+            np.empty((tile, width), np.uint8),  # chunk popcount
+            np.empty((tile, width), np.int16),  # hamming accumulator
+            np.empty((tile, width), bool),  # hit mask
+            np.empty((tile, width), bool),  # scratch mask
+        )
+    bufs = _SIMHASH_BUF_CACHE[key]
+    return tuple(b[:, :] for b in bufs)
+
+
+
 _HI_HEX = ("8", "9", "a", "b", "c", "d", "e", "f")
 
 
@@ -329,34 +365,17 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 
     if max_hamming > 7:
         raise ValueError("simhash_pairs: max_hamming must be <= 7 (8 bands of 8 bits)")
     band_w, n_bands = 8, 8
-    # Signature via explode + groupBy (same shape and reason as minhash):
-    # each token is md5'd ONCE inside codegen'd sum() aggregates, and the
-    # aggregation is a materialization barrier — the per-row fold variant
-    # gets re-inlined by CollapseProject into every one of the 8 band
-    # expressions downstream (measured 12.6 s -> 72 s total at sf0.1).
-    ex = df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("tok"))
-    ex = ex.select("doc_id", F.md5("tok").alias("hx"))
-    aggs = [F.count(F.lit(1)).alias("n")]
-    for j in range(1, 33):
-        d = F.col("hx").substr(j, 1)
-        aggs.append(F.sum(d.isin(*_HI_HEX).cast("int")).alias(f"c{2 * j - 1}"))
-        aggs.append(F.sum(d.isin(*_BIT2_HEX).cast("int")).alias(f"c{2 * j}"))
-    counts = ex.groupBy("doc_id").agg(*aggs)
+    # Signature in one map-side Arrow kernel (vec_kernels.simhash64_sig_arrow):
+    # tokenization stays Spark-side, hashing+voting run in hashlib/numpy.
+    # Earlier shapes for the record: a per-row HOF fold re-hashed every token
+    # per band via CollapseProject re-inlining (12.6 s -> 72 s at sf0.1), the
+    # explode + groupBy(65 sums) variant fixed that but paid an extra shuffle
+    # and a 9 s driver-side expression build.
+    from chronon_spark.functions.vec_kernels import simhash64_sig_arrow
 
-    def half(first_bit: int) -> F.Column:
-        acc = F.lit(0).cast("long")
-        for p in range(32):
-            b = first_bit + p
-            acc = acc + (F.col(f"c{b}") * 2 > F.col("n")).cast("long") * F.lit(1 << (31 - p))
-        return acc
-
-    sig = counts.select("doc_id", half(1).alias("hi"), half(33).alias("lo"))
-    # token-less docs vanish from the explode — the contract gives them the
-    # all-zero signature (ties vote 0), same as the per-row fold
-    all_ids = df.select(F.col(id_col).alias("doc_id"))
-    sig = all_ids.join(sig, "doc_id", "left").select(
-        "doc_id", F.coalesce("hi", F.lit(0)).alias("hi"), F.coalesce("lo", F.lit(0)).alias("lo")
-    )
+    sig = df.select(
+        F.col(id_col).alias("doc_id"), simhash64_sig_arrow(tokens(text_col)).alias("__s")
+    ).select("doc_id", F.col("__s.hi").alias("hi"), F.col("__s.lo").alias("lo"))
 
     def band_of(half, j_in_half):
         return F.shiftrightunsigned(half, (3 - j_in_half) * band_w) % F.lit(1 << band_w)
@@ -366,32 +385,81 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 
         *[band_of(F.col("lo"), j) for j in range(4)],
     )
     banded = sig.select("doc_id", "hi", "lo", F.posexplode(bandkeys).alias("band_idx", "band_bits"))
-    a = banded.select(
-        "band_idx", "band_bits", F.col("doc_id").alias("id_a"),
-        F.col("hi").alias("hi_a"), F.col("lo").alias("lo_a"),
-    )
-    b = banded.select(
-        F.col("band_idx").alias("bi"), F.col("band_bits").alias("bb"),
-        F.col("doc_id").alias("id_b"), F.col("hi").alias("hi_b"), F.col("lo").alias("lo_b"),
-    )
-    cand = a.join(b, (a.band_idx == b.bi) & (a.band_bits == b.bb) & (a.id_a < b.id_b)).select(
-        "id_a", "id_b", "hi_a", "lo_a", "hi_b", "lo_b", "band_idx"
-    )
 
-    def band_pair(j):
-        half_a = F.col("hi_a") if j < 4 else F.col("lo_a")
-        half_b = F.col("hi_b") if j < 4 else F.col("lo_b")
-        return band_of(half_a, j % 4), band_of(half_b, j % 4)
+    # Verify INSIDE a per-bucket Arrow kernel instead of a row-level band
+    # self-join: templated corpora concentrate most docs into one band value
+    # (measured: one 8-bit bucket held 68% of sf0.1 docs -> the join built
+    # 12.5M candidate rows for 60k true pairs). The kernel sees each bucket
+    # once, shuffles only O(N * bands) signature rows, and runs the pairwise
+    # XOR+popcount as tiled numpy over a 256-entry byte table — O(c²) bit-ops
+    # at memory-bandwidth speed, no candidate-row materialization. The
+    # first-colliding-band dedup becomes a mask over earlier-band equality,
+    # recomputed from the signatures inside the kernel. A bucket holding c
+    # docs still costs c² bit-ops — a corpus where c² per bucket exceeds a
+    # task's budget needs a cap-and-report or recursive refinement policy.
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
 
-    no_earlier_collision = F.lit(True)
-    for j in range(n_bands - 1):
-        ba, bb = band_pair(j)
-        no_earlier_collision = no_earlier_collision & ((F.col("band_idx") <= j) | (ba != bb))
-    ham = F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b"))) + F.bit_count(
-        F.col("lo_a").bitwiseXOR(F.col("lo_b"))
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", df.schema[id_col].dataType, False),
+            T.StructField("id_b", df.schema[id_col].dataType, False),
+            T.StructField("hamming", T.IntegerType(), False),
+        ]
     )
-    return (
-        cand.where(no_earlier_collision)
-        .select("id_a", "id_b", ham.alias("hamming"))
-        .where(ham <= max_hamming)
-    )
+    empty = pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+
+    def _np_band(hi: "np.ndarray", lo: "np.ndarray", j: int) -> "np.ndarray":
+        half = hi if j < 4 else lo
+        return ((half >> ((3 - (j % 4)) * band_w)) & ((1 << band_w) - 1)).astype(np.uint16)
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return empty
+        band_idx = int(key[0])
+        ids = pdf["doc_id"].to_numpy()
+        hi = pdf["hi"].to_numpy()
+        lo = pdf["lo"].to_numpy()
+        # the two 32-bit halves as four uint16 chunks -> table-driven popcount
+        chunks = [
+            (hi & 0xFFFF).astype(np.uint16),
+            ((hi >> 16) & 0xFFFF).astype(np.uint16),
+            (lo & 0xFFFF).astype(np.uint16),
+            ((lo >> 16) & 0xFFFF).astype(np.uint16),
+        ]
+        earlier = [_np_band(hi, lo, j) for j in range(band_idx)]
+        xbuf, pbuf, hambuf, hitbuf, mbuf = _simhash_tile_bufs(n)
+        tile = xbuf.shape[0]
+        out_a, out_b, out_h = [], [], []
+        for s in range(0, n, tile):
+            e = min(s + tile, n)
+            h = e - s
+            x, p, ham, hit, m = (
+                xbuf[:h, :n], pbuf[:h, :n], hambuf[:h, :n], hitbuf[:h, :n], mbuf[:h, :n],
+            )
+            ham[:] = 0
+            for ch in chunks:
+                np.bitwise_xor(ch[s:e, None], ch[None, :], out=x)
+                np.take(_pop16_table(), x, out=p)
+                ham += p
+            np.less_equal(ham, max_hamming, out=hit)
+            np.less(ids[s:e, None], ids[None, :], out=m)
+            hit &= m
+            for eb in earlier:  # pair already met in an earlier band -> skip
+                np.not_equal(eb[s:e, None], eb[None, :], out=m)
+                hit &= m
+            r, c = np.nonzero(hit)
+            out_a.append(ids[s + r])
+            out_b.append(ids[c])
+            out_h.append(ham[r, c].astype(np.int32))
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "hamming": np.concatenate(out_h),
+            }
+        )
+
+    return banded.groupBy("band_idx", "band_bits").applyInPandas(kernel, schema=out_schema)

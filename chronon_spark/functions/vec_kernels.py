@@ -145,3 +145,47 @@ def ivf_probe_cells_arrow(vec: Column, n_centroids: int, n_probe: int, dims: int
         return pd.Series(list(order.astype("int32")))
 
     return _probes(vec)
+
+
+def simhash64_sig_arrow(tokens_col: Column) -> Column:
+    """struct<hi:long, lo:long> 64-bit SimHash signature from a token array.
+
+    Replaces the explode + groupBy(65 conditional sums) signature stage with
+    one map-side Arrow pass: hash each token with hashlib (same md5-of-UTF-8
+    the JVM/DuckDB compute), vote the two bits each hex digit carries
+    (high bit -> pattern 89abcdef, second bit -> 4567cdef), majority =
+    strictly more ones than zeros. Integers, so parity with the expression
+    path is exact by construction; the tokenization itself stays Spark-side
+    (`text.tokens`) so regex semantics can't drift.
+
+    Per-doc numpy slices keep temporaries allocator-recycled (no large fresh
+    mappings per batch) — the inner hash loop is hashlib's C core.
+    """
+    import hashlib
+
+    @pandas_udf("struct<hi:long, lo:long>")
+    def _sig(col: pd.Series) -> pd.DataFrame:
+        his = np.zeros(len(col), dtype="int64")
+        los = np.zeros(len(col), dtype="int64")
+        w32 = (np.int64(1) << np.arange(31, -1, -1, dtype="int64"))
+        for i, toks in enumerate(col):
+            if toks is None or len(toks) == 0:
+                continue  # token-less docs carry the all-zero signature
+            dig = np.frombuffer(
+                b"".join(hashlib.md5(t.encode("utf-8")).digest() for t in toks),
+                dtype=np.uint8,
+            ).reshape(len(toks), 16)
+            digits = np.empty((len(toks), 32), dtype=np.uint8)
+            digits[:, 0::2] = dig >> 4
+            digits[:, 1::2] = dig & 15
+            # hex digit j votes bit 2j-1 (its high bit) and bit 2j (its
+            # second bit) — same layout as simhash64_from_hashes / the oracle
+            ones = np.empty(64, dtype="int64")
+            ones[0::2] = (digits >> 3).sum(axis=0)
+            ones[1::2] = ((digits >> 2) & 1).sum(axis=0)
+            maj = (2 * ones > len(toks)).astype("int64")
+            his[i] = (maj[:32] * w32).sum()
+            los[i] = (maj[32:] * w32).sum()
+        return pd.DataFrame({"hi": his, "lo": los})
+
+    return _sig(tokens_col)
