@@ -104,21 +104,26 @@ def minhash_lsh_dedup(
     10^9-doc corpora swap them for a second join back to the docs table.
     """
     rows_per_band = num_hashes // bands
-    # Signature via explode + groupBy: each shingle is hashed exactly
-    # num_hashes times inside codegen'd min() aggregates. (The per-row
-    # `minhash_from_shingles` variant runs interpreted and CollapseProject
-    # re-inlines it into every band — catastrophically re-evaluated.) The
-    # groupBy shuffle is keyed by doc_id and uniform.
+    # Signature in one map-side Arrow kernel (vec_kernels.minhash_sig_arrow):
+    # shingling stays Spark-side, the 16 salted md5-minima run in hashlib.
+    # Earlier shapes for the record: the per-row HOF fold gets re-inlined by
+    # CollapseProject into every band expression (re-hashing every shingle
+    # per band); the explode + groupBy(16 mins) fix paid an extra shuffle of
+    # the exploded shingle table. The kernel output is an ArrowEvalPython
+    # attribute, which downstream band expressions reference WITHOUT
+    # re-evaluation — a materialization barrier plain expressions don't get.
+    from chronon_spark.functions.vec_kernels import minhash_sig_arrow
+
     docs = df.select(F.col(id_col).alias("doc_id"), word_shingles(text_col, n=shingle_n).alias("sh")).where(
         F.size("sh") > 0
     )
-    ex = docs.select("doc_id", F.explode("sh").alias("s"))
-    mins = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}") for i in range(num_hashes)
-    ]
-    sig = ex.groupBy("doc_id").agg(*mins)
+    sig = docs.select("doc_id", minhash_sig_arrow(F.col("sh"), num_hashes).alias("sig"))
     band_cols = [
-        F.md5(F.concat_ws("|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]))
+        F.md5(
+            F.concat_ws(
+                "|", *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+            )
+        )
         for b in range(bands)
     ]
     # the band self-join moves ONLY (doc_id, band keys) — the shingle arrays

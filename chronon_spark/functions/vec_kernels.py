@@ -147,6 +147,39 @@ def ivf_probe_cells_arrow(vec: Column, n_centroids: int, n_probe: int, dims: int
     return _probes(vec)
 
 
+def minhash_sig_arrow(shingles_col: Column, num_hashes: int = 16) -> Column:
+    """array<string> of md5-hex minima — kernel twin of
+    `dedup.minhash_from_shingles` / the explode+groupBy(16 mins) stage.
+
+    For each hash index i the signature element is
+    `min over shingles of md5_hex(f"{i}:{shingle}")`; lexicographic order on
+    the 32-char hex string equals byte order on the 16-byte digest, so the
+    min runs on raw digests and only the winner is hex-encoded. hashlib md5
+    is the same function DuckDB's `md5()` and the JVM's `F.md5` compute, so
+    parity with the expression path and the oracle is exact by construction.
+
+    Scale shape: map-side only — the explode+groupBy form shuffles N×16
+    digest strings through a partial agg; this computes signatures before
+    any exchange, so the only shuffle left in minhash LSH is the band join.
+    """
+    import hashlib
+
+    pres = [f"{i}:".encode() for i in range(num_hashes)]
+
+    @pandas_udf("array<string>")
+    def _sig(col: pd.Series) -> pd.Series:
+        out = []
+        for sh in col:
+            if sh is None or len(sh) == 0:
+                out.append(None)
+                continue
+            bs = [s.encode("utf-8") for s in sh]
+            out.append([min(hashlib.md5(p + b).digest() for b in bs).hex() for p in pres])
+        return pd.Series(out)
+
+    return _sig(shingles_col)
+
+
 def simhash64_sig_arrow(tokens_col: Column) -> Column:
     """struct<hi:long, lo:long> 64-bit SimHash signature from a token array.
 

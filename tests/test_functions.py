@@ -111,6 +111,21 @@ def test_minhash_signature_is_true_min(docs):
         assert row["sig"][i] == expect
 
 
+def test_minhash_sig_arrow_matches_expression(docs):
+    from chronon_spark.functions.vec_kernels import minhash_sig_arrow
+
+    sh = docs.limit(40).select(
+        "doc_id", text.word_shingles("text", 3).alias("sh")
+    ).where(F.size("sh") > 0)
+    both = sh.select(
+        "doc_id",
+        dedup.minhash_from_shingles(F.col("sh"), num_hashes=8).alias("expr_sig"),
+        minhash_sig_arrow(F.col("sh"), num_hashes=8).alias("kern_sig"),
+    )
+    for r in both.collect():
+        assert r["expr_sig"] == r["kern_sig"]
+
+
 def test_minhash_lsh_finds_planted_dups(docs):
     exact = {
         (r["id_a"], r["id_b"])
