@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "doc_stats",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_clusters",
     "dedup_simhash",
     "embedding_topk",
     "embedding_near_dups",

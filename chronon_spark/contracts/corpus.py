@@ -183,6 +183,40 @@ FROM p WHERE common > 0 AND common::DOUBLE / (na + nb - common) >= 0.5
 """
 
 
+# ---------------------------------------------------------------- clusters
+
+
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_clusters(_load_docs(spark, sf_dir), "doc_id", "text", shingle_n=3, threshold=0.5)
+
+
+# min-label propagation as a recursive CTE: labels flow along near-dup edges
+# (the `comp < dst` guard prunes non-minimal labels without losing the min —
+# every node on the path to the minimum has a larger id), final comp = MIN
+_SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+docs AS (SELECT doc_id,
+                list_distinct(CASE WHEN len(toks) >= 3
+                  THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+                  ELSE []::VARCHAR[] END) AS sh
+         FROM t),
+nz AS (SELECT * FROM docs WHERE len(sh) > 0),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.sh, b.sh)) AS common, len(a.sh) AS na, len(b.sh) AS nb
+      FROM nz a JOIN nz b ON a.doc_id < b.doc_id),
+pairs AS (SELECT id_a, id_b FROM p
+          WHERE common > 0 AND common::DOUBLE / (na + nb - common) >= 0.5),
+e AS (SELECT id_a AS s, id_b AS d FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+lab(id, comp) AS (
+    SELECT doc_id, doc_id FROM documents
+  UNION
+    SELECT e.d, lab.comp FROM lab JOIN e ON e.s = lab.id WHERE lab.comp < e.d
+)
+SELECT id AS doc_id, MIN(comp) AS cluster_id, id = MIN(comp) AS is_canonical
+FROM lab GROUP BY id
+"""
+
+
 # ---------------------------------------------------------------- simhash
 
 _MAX_HAMMING = 6
@@ -389,6 +423,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": _q_dedup_exact,
     "dedup_minhash_lsh": _q_dedup_minhash,
     "dedup_ngram_jaccard": _q_ngram_jaccard,
+    "dedup_clusters": _q_dedup_clusters,
     "dedup_simhash": _q_simhash_pairs,
     "embedding_topk": _q_embedding_topk,
     "embedding_near_dups": _q_embedding_near_dups,
@@ -403,6 +438,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact": _SQL_DEDUP_EXACT,
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
+    "dedup_clusters": _SQL_DEDUP_CLUSTERS,
     "dedup_simhash": _simhash_sql(),
     "embedding_topk": _SQL_EMBEDDING_TOPK,
     "embedding_near_dups": _SQL_EMBEDDING_NEAR_DUPS,

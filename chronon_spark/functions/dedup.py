@@ -468,3 +468,77 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 
         )
 
     return banded.groupBy("band_idx", "band_bits").applyInPandas(kernel, schema=out_schema)
+
+
+# ---------------------------------------------------------------- clustering
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    all_nodes: DataFrame | None = None,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected near-duplicate pair list via
+    iterative min-label propagation: ``comp(v) = min(v, comp(neighbors))``
+    until fixpoint. Returns ``(id, comp)`` where ``comp`` is the smallest node
+    id in the component — the canonical document of the duplicate cluster.
+
+    ``all_nodes`` (optional, one ``id`` column) adds isolated nodes as
+    singleton clusters, so the result covers the whole corpus.
+
+    Scale shape: each round is one shuffle-join (edges ⋈ labels on src) plus
+    one min-groupBy; rounds = component diameter. Near-dup graphs are
+    overwhelmingly tiny dense cliques (diameter ≤ 2-3), so 3-5 rounds close
+    web-scale corpora; pathological chains would want the large-star/
+    small-star alternation (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14) — same primitive ops, O(log n) rounds.
+    Each round `localCheckpoint()`s to truncate lineage (25 stacked joins
+    would otherwise blow the plan) and convergence is detected by the
+    monotone-decreasing label sum, one cheap agg per round instead of an
+    old-vs-new join.
+    """
+    e_fwd = pairs.select(F.col(src).alias("esrc"), F.col(dst).alias("edst"))
+    e_rev = pairs.select(F.col(dst).alias("esrc"), F.col(src).alias("edst"))
+    edges = e_fwd.unionByName(e_rev).persist()
+
+    nodes = edges.select(F.col("esrc").alias("id")).distinct()
+    if all_nodes is not None:
+        nodes = nodes.unionByName(all_nodes.select(F.col(all_nodes.columns[0]).alias("id"))).distinct()
+    labels = nodes.select("id", F.col("id").alias("comp")).localCheckpoint()
+    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
+
+    for _ in range(max_iter):
+        prop = edges.join(labels, edges.esrc == labels.id).select(
+            F.col("edst").alias("id"), F.col("comp")
+        )
+        labels = (
+            labels.unionByName(prop).groupBy("id").agg(F.min("comp").alias("comp")).localCheckpoint()
+        )
+        new_sum = labels.agg(F.sum("comp")).collect()[0][0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    edges.unpersist()
+    return labels
+
+
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full keep-one-per-cluster dedup: exact n-gram-Jaccard near-dup pairs →
+    connected components → ``(doc_id, cluster_id, is_canonical)`` for EVERY
+    document (singletons are their own canonical cluster). Filtering
+    ``is_canonical`` yields the deduplicated corpus."""
+    pairs = ngram_jaccard_pairs(df, id_col, text_col, shingle_n=shingle_n, threshold=threshold)
+    cc = connected_components(pairs, all_nodes=df.select(F.col(id_col).alias("id")))
+    return cc.select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("cluster_id"),
+        (F.col("id") == F.col("comp")).alias("is_canonical"),
+    )

@@ -367,3 +367,32 @@ def test_ivf_probe_cells_match_rank_expression(emb):
     ).collect()
     for r in rows:
         assert sorted(r["ep"]) == sorted(r["kp"]), r["vec_id"]
+
+
+def test_connected_components_chain_clique_singleton(spark):
+    # chain 1-2-3-4 (diameter 3), clique {10,11,12}, isolated 20
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 12, 20]], "id long")
+    got = {r["id"]: r["comp"] for r in dedup.connected_components(pairs, all_nodes=nodes).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20}
+
+
+def test_dedup_clusters_canonical_invariants(docs):
+    out = dedup.dedup_clusters(docs, "doc_id", "text", shingle_n=3, threshold=0.5).collect()
+    by_cluster: dict[int, list] = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    assert len(out) == docs.count()  # every doc assigned
+    for cid, rows in by_cluster.items():
+        ids = sorted(r["doc_id"] for r in rows)
+        assert ids[0] == cid  # canonical is the min id
+        canon = [r for r in rows if r["is_canonical"]]
+        assert len(canon) == 1 and canon[0]["doc_id"] == cid
+    # every near-dup pair lands in one cluster
+    comp = {r["doc_id"]: r["cluster_id"] for r in out}
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.5).collect()
+    assert pairs, "fixture should contain planted near-dups"
+    for p in pairs:
+        assert comp[p["id_a"]] == comp[p["id_b"]]
