@@ -128,12 +128,18 @@ def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sql() -> str:
+    from chronon_spark.functions.vec_kernels import minhash_params
+
+    a_c, b_c = minhash_params(_NUM_HASHES)
     r = _NUM_HASHES // _BANDS
+    # affine family over one 32-bit base hash (first 4 md5 bytes) — mirrors
+    # minhash_sig_arrow / minhash_from_shingles exactly
     mins = ",\n             ".join(
-        f"min(md5('{i}:' || s)) AS h{i}" for i in range(_NUM_HASHES)
+        f"min(({a_c[i]} * x + {b_c[i]}) % 4294967296) AS h{i}" for i in range(_NUM_HASHES)
     )
     band_exprs = ", ".join(
-        "md5(" + " || '|' || ".join(f"h{b * r + j}" for j in range(r)) + ")" for b in range(_BANDS)
+        "md5(" + " || '|' || ".join(f"h{b * r + j}::VARCHAR" for j in range(r)) + ")"
+        for b in range(_BANDS)
     )
     return f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
@@ -144,7 +150,7 @@ docs AS (SELECT doc_id,
                   ELSE []::VARCHAR[] END) AS sh
          FROM t),
 nz AS (SELECT * FROM docs WHERE len(sh) > 0),
-ex AS (SELECT doc_id, unnest(sh) AS s FROM nz),
+ex AS (SELECT doc_id, ('0x' || substring(md5(unnest(sh)), 1, 8))::BIGINT AS x FROM nz),
 sig AS (SELECT doc_id, {mins} FROM ex GROUP BY doc_id),
 bk AS (SELECT doc_id, [{band_exprs}] AS bks FROM sig),
 banded AS (SELECT doc_id, unnest(bks) AS band_key FROM bk),

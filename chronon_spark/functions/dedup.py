@@ -24,6 +24,18 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from chronon_spark.functions.text import fingerprint, tokens, word_shingles
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Repartition up to the session's default parallelism when the input
+    arrives in fewer partitions — a small corpus parquet reads as 1-2 splits
+    and would otherwise run every map-side kernel (shingling, signatures) on
+    one task. At real scale inputs already carry ≥ cores partitions and this
+    is a no-op (no exchange inserted)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------- exact
 
 
@@ -41,24 +53,30 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def minhash_from_shingles(shingles: Column, num_hashes: int = 16) -> Column:
-    """MinHash signature as an array of md5-hex minima.
-
-    MinHash only needs *a* total order per hash function; lexicographic order
-    on md5 hex digests is one, and it is portable across engines. Each of the
-    `num_hashes` functions is md5 salted with the hash index. Computed
-    entirely per-row (no shuffle, no UDF).
+    """MinHash signature (array<long>) — expression twin of the production
+    Arrow kernel (`vec_kernels.minhash_sig_arrow`), same affine family:
+    base x = first 4 bytes of md5(shingle), element i = min over shingles of
+    `(a_i * x + b_i) mod 2^32` with the shared `minhash_params` constants.
 
     Shape note: a transform over hash indices with an inner
     `transform(shingles, ...)` would reference — and therefore re-evaluate —
     the shingle expression once per hash function. This single fold over the
-    shingles (inner loop over hash indices, elementwise string-min merge)
-    evaluates `shingles` exactly once however it was constructed.
+    shingles (inner loop over hash indices, elementwise min merge) evaluates
+    `shingles` exactly once however it was constructed. The md5-per-shingle
+    is still re-inlined across the `num_hashes` inner elements (HOF lambdas
+    inline child expressions) — acceptable for this test/reference twin; the
+    kernel hashes once.
     """
-    init = F.array_repeat(F.lit(None).cast("string"), num_hashes)
-    per_shingle = lambda s: F.transform(  # noqa: E731
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.md5(F.concat(i.cast("string"), F.lit(":"), s)),
-    )
+    from chronon_spark.functions.vec_kernels import minhash_params
+
+    a_c, b_c = minhash_params(num_hashes)
+    init = F.array_repeat(F.lit(None).cast("long"), num_hashes)
+    mod = F.lit(1 << 32).cast("long")
+
+    def per_shingle(s):
+        x = F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+        return F.array(*[((F.lit(a_c[i]) * x + F.lit(b_c[i])) % mod) for i in range(num_hashes)])
+
     return F.aggregate(
         shingles,
         init,
@@ -77,7 +95,12 @@ def lsh_band_keys(sig_col: Column, bands: int, rows_per_band: int) -> Column:
     band key are candidate duplicates (standard banding amplification)."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.md5(F.concat_ws("|", F.slice(sig_col, b * rows_per_band + 1, rows_per_band))),
+        lambda b: F.md5(
+            F.concat_ws(
+                "|",
+                F.transform(F.slice(sig_col, b * rows_per_band + 1, rows_per_band), lambda v: v.cast("string")),
+            )
+        ),
     )
 
 
@@ -114,14 +137,18 @@ def minhash_lsh_dedup(
     # re-evaluation — a materialization barrier plain expressions don't get.
     from chronon_spark.functions.vec_kernels import minhash_sig_arrow
 
-    docs = df.select(F.col(id_col).alias("doc_id"), word_shingles(text_col, n=shingle_n).alias("sh")).where(
-        F.size("sh") > 0
-    )
+    docs = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"), word_shingles(text_col, n=shingle_n).alias("sh")
+    ).where(F.size("sh") > 0)
     sig = docs.select("doc_id", minhash_sig_arrow(F.col("sh"), num_hashes).alias("sig"))
     band_cols = [
         F.md5(
             F.concat_ws(
-                "|", *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                "|",
+                *[
+                    F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                    for r in range(rows_per_band)
+                ],
             )
         )
         for b in range(bands)
@@ -180,7 +207,7 @@ def ngram_jaccard_pairs(
     fraction of docs) are the skew risk — prune shingles with document
     frequency above `max_df` if needed (prefix-filtering refinement).
     """
-    sh = df.select(
+    sh = ensure_parallelism(df).select(
         F.col(id_col).alias("doc_id"), word_shingles(text_col, n=shingle_n).alias("sh")
     ).where(F.size("sh") > 0)
     sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
@@ -378,7 +405,7 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 
     # and a 9 s driver-side expression build.
     from chronon_spark.functions.vec_kernels import simhash64_sig_arrow
 
-    sig = df.select(
+    sig = ensure_parallelism(df).select(
         F.col(id_col).alias("doc_id"), simhash64_sig_arrow(tokens(text_col)).alias("__s")
     ).select("doc_id", F.col("__s.hi").alias("hi"), F.col("__s.lo").alias("lo"))
 
@@ -506,7 +533,9 @@ def connected_components(
     nodes = edges.select(F.col("esrc").alias("id")).distinct()
     if all_nodes is not None:
         nodes = nodes.unionByName(all_nodes.select(F.col(all_nodes.columns[0]).alias("id"))).distinct()
-    labels = nodes.select("id", F.col("id").alias("comp")).localCheckpoint()
+    # lazy localCheckpoint: the per-round sum-agg action materializes the
+    # checkpoint in the same job (eager=True would pay a second pass)
+    labels = nodes.select("id", F.col("id").alias("comp")).localCheckpoint(eager=False)
     prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
 
     for _ in range(max_iter):
@@ -514,7 +543,10 @@ def connected_components(
             F.col("edst").alias("id"), F.col("comp")
         )
         labels = (
-            labels.unionByName(prop).groupBy("id").agg(F.min("comp").alias("comp")).localCheckpoint()
+            labels.unionByName(prop)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=False)
         )
         new_sum = labels.agg(F.sum("comp")).collect()[0][0]
         if new_sum == prev_sum:

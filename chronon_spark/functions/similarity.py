@@ -55,8 +55,10 @@ def cosine_topk(
     fold — see vec_kernels.py); pass None for the pure-expression path."""
     from chronon_spark.functions.vec_kernels import cosine_arrow
 
+    from chronon_spark.functions.dedup import ensure_parallelism
+
     q = F.broadcast(queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv")))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    c = ensure_parallelism(corpus).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
     scored = q.crossJoin(c).where(F.col(query_id_col) != F.col("neighbor_id"))
     scored = scored.select(
         query_id_col,
@@ -102,6 +104,9 @@ def near_dup_pairs(
 
     ``auto`` routes threshold ≥ 0.8 to lsh, else blocked.
     """
+    from chronon_spark.functions.dedup import ensure_parallelism
+
+    df = ensure_parallelism(df)
     if method == "auto":
         method = "lsh" if threshold >= 0.8 else "blocked"
     if method == "bruteforce":

@@ -147,34 +147,53 @@ def ivf_probe_cells_arrow(vec: Column, n_centroids: int, n_probe: int, dims: int
     return _probes(vec)
 
 
-def minhash_sig_arrow(shingles_col: Column, num_hashes: int = 16) -> Column:
-    """array<string> of md5-hex minima — kernel twin of
-    `dedup.minhash_from_shingles` / the explode+groupBy(16 mins) stage.
+def minhash_params(num_hashes: int) -> tuple[list[int], list[int]]:
+    """Deterministic affine-hash constants shared by the kernel, the
+    expression twin (`dedup.minhash_from_shingles`) and the DuckDB oracle:
+    odd multipliers < 2^31 and offsets < 2^31 derived from the golden-ratio /
+    murmur mixing constants, so `a*x + b` stays within signed-64 range for
+    any 32-bit base hash x."""
+    a = [((0x9E3779B1 * (i + 1)) & 0x7FFFFFFE) | 1 for i in range(num_hashes)]
+    b = [(0x85EBCA77 * (i + 1)) & 0x7FFFFFFF for i in range(num_hashes)]
+    return a, b
 
-    For each hash index i the signature element is
-    `min over shingles of md5_hex(f"{i}:{shingle}")`; lexicographic order on
-    the 32-char hex string equals byte order on the 16-byte digest, so the
-    min runs on raw digests and only the winner is hex-encoded. hashlib md5
-    is the same function DuckDB's `md5()` and the JVM's `F.md5` compute, so
+
+def minhash_sig_arrow(shingles_col: Column, num_hashes: int = 16) -> Column:
+    """array<long> MinHash signature — kernel twin of
+    `dedup.minhash_from_shingles`.
+
+    One md5 per shingle (hashlib's C core — the same bytes DuckDB's `md5()`
+    and the JVM's `F.md5` produce); the base hash is the first 4 digest
+    bytes big-endian, and the `num_hashes` functions are vectorized affine
+    maps `(a_i * x + b_i) mod 2^32` over the whole shingle set at once
+    (one numpy outer product + row-min per doc). Integer arithmetic, so
     parity with the expression path and the oracle is exact by construction.
 
-    Scale shape: map-side only — the explode+groupBy form shuffles N×16
-    digest strings through a partial agg; this computes signatures before
-    any exchange, so the only shuffle left in minhash LSH is the band join.
+    An earlier form salted md5 per hash index — `md5(f"{i}:{s}")` — paying
+    16× the hashing; the affine family over one base hash is the standard
+    minwise-permutation approximation and cuts the map-side CPU 16×.
+
+    Scale shape: map-side only — signatures exist before any exchange, so
+    the only shuffle in minhash LSH is the band join.
     """
     import hashlib
 
-    pres = [f"{i}:".encode() for i in range(num_hashes)]
+    a_c, b_c = minhash_params(num_hashes)
+    av = np.asarray(a_c, dtype=np.uint64)[:, None]
+    bv = np.asarray(b_c, dtype=np.uint64)[:, None]
+    mod = np.uint64(1) << np.uint64(32)
 
-    @pandas_udf("array<string>")
+    @pandas_udf("array<long>")
     def _sig(col: pd.Series) -> pd.Series:
         out = []
         for sh in col:
             if sh is None or len(sh) == 0:
                 out.append(None)
                 continue
-            bs = [s.encode("utf-8") for s in sh]
-            out.append([min(hashlib.md5(p + b).digest() for b in bs).hex() for p in pres])
+            buf = b"".join(hashlib.md5(s.encode("utf-8")).digest()[:4] for s in sh)
+            x = np.frombuffer(buf, dtype=">u4").astype(np.uint64)[None, :]
+            h = (av * x + bv) % mod
+            out.append(h.min(axis=1).astype(np.int64).tolist())
         return pd.Series(out)
 
     return _sig(shingles_col)

@@ -106,8 +106,12 @@ def test_minhash_signature_is_true_min(docs):
         text.word_shingles("text", 3).alias("sh"),
         dedup.minhash_signature("text", num_hashes=4).alias("sig"),
     ).first()
+    from chronon_spark.functions.vec_kernels import minhash_params
+
+    a_c, b_c = minhash_params(4)
+    bases = [int.from_bytes(hashlib.md5(s.encode()).digest()[:4], "big") for s in row["sh"]]
     for i in range(4):
-        expect = min(hashlib.md5(f"{i}:{s}".encode()).hexdigest() for s in row["sh"])
+        expect = min((a_c[i] * x + b_c[i]) % (1 << 32) for x in bases)
         assert row["sig"][i] == expect
 
 
