@@ -752,7 +752,57 @@ GROUP BY 1, 2
 
 # ------------------------------------------------------- registry
 
+# ------------------------------------------------------- label join (forward)
+
+
+def _q_label_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label attribution: for each user turn, labels from the NEXT 2 days —
+    error count, summed score, and the first error text in the horizon
+    (strictly after the decision ts, inclusive at ts + 2d)."""
+    from chronon_spark.operators.label_join import label_join
+
+    t = _transcripts(spark, sf_dir)
+    errors = t.where(F.col("role") == "tool")
+    gb = GroupBy(
+        keys=["conv_id"],
+        aggregations=[
+            Aggregation("turn_idx", Op.COUNT, windows=("2d",)),
+            Aggregation("score", Op.SUM, windows=("2d",)),
+            Aggregation("text", Op.FIRST, windows=("2d",)),
+        ],
+        tie_breakers=["turn_idx"],
+    )
+    out = label_join(_user_left(t), errors, gb)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "tus",
+        F.col("turn_idx_count_2d").alias("label_errors_2d"),
+        F.round(F.col("score_sum_2d"), 3).alias("label_score_2d"),
+        F.col("text_first_2d").alias("first_error_text"),
+    )
+
+
+_SQL_LABEL_JOIN = f"""
+WITH t AS ({_DUCK_T})
+SELECT q.conv_id AS conv_id, q.turn_idx AS turn_idx, q.tus AS tus,
+       (SELECT NULLIF(COUNT(*), 0) FROM t e
+         WHERE e.conv_id = q.conv_id AND e.role = 'tool'
+           AND e.tus > q.tus AND e.tus <= q.tus + {2 * US_D}) AS label_errors_2d,
+       (SELECT ROUND(SUM(e.score), 3) FROM t e
+         WHERE e.conv_id = q.conv_id AND e.role = 'tool'
+           AND e.tus > q.tus AND e.tus <= q.tus + {2 * US_D}
+           AND e.score IS NOT NULL) AS label_score_2d,
+       (SELECT e.text FROM t e
+         WHERE e.conv_id = q.conv_id AND e.role = 'tool'
+           AND e.tus > q.tus AND e.tus <= q.tus + {2 * US_D} AND e.text IS NOT NULL
+         ORDER BY e.tus, e.turn_idx LIMIT 1) AS first_error_text
+FROM t q WHERE q.role = 'user'
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "label_join_forward": _q_label_join,
     "asof_order_ops": _q_order_ops,
     "asof_moments": _q_moments,
     "asof_bucketed_sum": _q_bucketed,
@@ -770,6 +820,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "label_join_forward": _SQL_LABEL_JOIN,
     "asof_order_ops": _SQL_ORDER_OPS,
     "asof_moments": _SQL_MOMENTS,
     "asof_bucketed_sum": _SQL_BUCKETED,
