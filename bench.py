@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "multi_source_union",
+    "label_join_forward",
 ]
 
 

@@ -801,8 +801,71 @@ FROM t q WHERE q.role = 'user'
 """
 
 
+# ------------------------------------------------------- external parts
+
+
+def _q_external_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """onlineExternalParts offline contract (thrift/api.thrift:390-397,418):
+    contextual passthrough + broadcast values-snapshot join + the offline
+    null-fill for a service-backed source."""
+    from chronon_spark.operators.external import ExternalPart, ExternalSource, apply_external_parts
+
+    t = _transcripts(spark, sf_dir)
+    snap = t.groupBy(F.col("conv_id").alias("cid")).agg(
+        F.count(F.lit(1)).alias("n_events"), F.max("score").alias("max_score")
+    )
+    parts = [
+        ExternalPart(
+            source=ExternalSource(
+                name="contextual",
+                key_columns=("cid", "idx"),
+                value_columns={"cid": "string", "idx": "int"},
+            ),
+            key_mapping={"conv_id": "cid", "turn_idx": "idx"},
+        ),
+        ExternalPart(
+            source=ExternalSource(
+                name="convdim",
+                key_columns=("cid",),
+                value_columns={"n_events": "bigint", "max_score": "double"},
+            ),
+            key_mapping={"conv_id": "cid"},
+        ),
+        ExternalPart(
+            source=ExternalSource(name="risk", key_columns=("cid",), value_columns={"score": "double"})
+        ),
+    ]
+    out = apply_external_parts(_user_left(t), parts, values={"convdim": snap})
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "tus",
+        "ext_contextual_cid",
+        "ext_contextual_idx",
+        "ext_convdim_n_events",
+        F.round("ext_convdim_max_score", 3).alias("ext_convdim_max_score"),
+        "ext_risk_score",
+    )
+
+
+_SQL_EXTERNAL = f"""
+WITH t AS ({_DUCK_T}),
+dim AS (SELECT conv_id AS cid, COUNT(*) AS n_events, MAX(score) AS max_score
+        FROM t GROUP BY conv_id)
+SELECT q.conv_id AS conv_id, q.turn_idx AS turn_idx, q.tus AS tus,
+       q.conv_id AS ext_contextual_cid,
+       q.turn_idx AS ext_contextual_idx,
+       d.n_events AS ext_convdim_n_events,
+       ROUND(d.max_score, 3) AS ext_convdim_max_score,
+       CAST(NULL AS DOUBLE) AS ext_risk_score
+FROM t q LEFT JOIN dim d ON d.cid = q.conv_id
+WHERE q.role = 'user'
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "label_join_forward": _q_label_join,
+    "external_contextual": _q_external_parts,
     "asof_order_ops": _q_order_ops,
     "asof_moments": _q_moments,
     "asof_bucketed_sum": _q_bucketed,
@@ -821,6 +884,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "label_join_forward": _SQL_LABEL_JOIN,
+    "external_contextual": _SQL_EXTERNAL,
     "asof_order_ops": _SQL_ORDER_OPS,
     "asof_moments": _SQL_MOMENTS,
     "asof_bucketed_sum": _SQL_BUCKETED,
