@@ -423,7 +423,90 @@ FROM m
 
 # ---------------------------------------------------------------- registry
 
+# ---------------------------------------------------------------- sampling
+
+_U60 = float(1 << 60)
+
+
+def _q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment — pure function of doc_id."""
+    from chronon_spark.functions.sampling import deterministic_split
+
+    d = _load_docs(spark, sf_dir)
+    return deterministic_split(
+        d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split")
+
+
+_SQL_SAMPLE_SPLIT = f"""
+WITH u AS (SELECT doc_id,
+                  (('0x' || substring(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)::DOUBLE
+                  / {_U60!r} AS u
+           FROM documents)
+SELECT doc_id,
+       CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+FROM u
+"""
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language keep fractions (downsample en, keep all de, half default)."""
+    from chronon_spark.functions.sampling import stratified_sample
+
+    d = _load_docs(spark, sf_dir)
+    return stratified_sample(
+        d, "doc_id", "lang", {"en": 0.25, "de": 1.0}, default_fraction=0.5
+    ).select("doc_id", "lang")
+
+
+_SQL_STRATIFIED = f"""
+WITH u AS (SELECT doc_id, lang,
+                  (('0x' || substring(md5('strata' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)::DOUBLE
+                  / {_U60!r} AS u
+           FROM documents)
+SELECT doc_id, lang
+FROM u
+WHERE u < (CASE WHEN lang = 'en' THEN 0.25 WHEN lang = 'de' THEN 1.0 ELSE 0.5 END)
+"""
+
+
+def _q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mixture of two corpus slices with provenance tags."""
+    from chronon_spark.functions.sampling import mix_corpora
+
+    d = _load_docs(spark, sf_dir)
+    mixed = mix_corpora(
+        {
+            "long_docs": (d.where(F.col("n_chars") >= 400), 0.5),
+            "short_docs": (d.where(F.col("n_chars") < 400), 0.25),
+        },
+        "doc_id",
+        source_col="mix_source",
+    )
+    return mixed.select("doc_id", "mix_source")
+
+
+_SQL_MIXTURE = f"""
+WITH long_docs AS (
+  SELECT doc_id, 'long_docs' AS mix_source,
+         (('0x' || substring(md5('mix:long_docs' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)::DOUBLE
+         / {_U60!r} AS u
+  FROM documents WHERE n_chars >= 400),
+short_docs AS (
+  SELECT doc_id, 'short_docs' AS mix_source,
+         (('0x' || substring(md5('mix:short_docs' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)::DOUBLE
+         / {_U60!r} AS u
+  FROM documents WHERE n_chars < 400)
+SELECT doc_id, mix_source FROM long_docs WHERE u < 0.5
+UNION ALL
+SELECT doc_id, mix_source FROM short_docs WHERE u < 0.25
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "sample_split": _q_sample_split,
+    "stratified_lang_sample": _q_stratified_sample,
+    "corpus_mixture": _q_corpus_mixture,
     "doc_stats": _q_doc_stats,
     "lang_quality": _q_lang_quality,
     "dedup_exact": _q_dedup_exact,
@@ -439,6 +522,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "sample_split": _SQL_SAMPLE_SPLIT,
+    "stratified_lang_sample": _SQL_STRATIFIED,
+    "corpus_mixture": _SQL_MIXTURE,
     "doc_stats": _SQL_DOC_STATS,
     "lang_quality": _SQL_LANG_QUALITY,
     "dedup_exact": _SQL_DEDUP_EXACT,

@@ -155,7 +155,14 @@ def minhash_lsh_dedup(
     ]
     # the band self-join moves ONLY (doc_id, band keys) — the shingle arrays
     # join back onto the (candidate pairs ≪ N²) afterwards, so at 10⁹ docs
-    # the big shuffle payload is bands × 32-char digests per doc, not text
+    # the big shuffle payload is bands × 32-char digests per doc, not text.
+    # NOTE on the double-compute: both self-join sides re-derive this plan
+    # (shingles + signature kernel twice). An eager localCheckpoint here was
+    # MEASURED 2× slower end-to-end at sf0.1 (5.7 s → 11.8 s, same-window
+    # A/B) — the lazy single-job plan runs the duplicate branches in
+    # parallel, while a checkpoint serializes the pipeline into blocking
+    # jobs. On a CPU-saturated production cluster, persist() this frame to
+    # trade the 2× map CPU for storage.
     base = sig.select("doc_id", F.array(*band_cols).alias("bk"))
     banded = base.select("doc_id", "bk", F.posexplode("bk").alias("band_idx", "band_key"))
     a = banded.select(
@@ -181,6 +188,11 @@ def minhash_lsh_dedup(
             | (F.element_at("bk_a", j + 1) != F.element_at("bk_b", j + 1))
         )
     cand = cand.where(first_band).select("id_a", "id_b")
+    # verification: shingles join back onto candidates (≪ N² rows). A
+    # broadcast-the-candidate-ids variant (shingle only matched rows) was
+    # MEASURED slower at sf0.1 (extra broadcast-collect jobs beat by the
+    # lazy plan's parallel duplicate branches); the join-back keeps one
+    # linear plan and its shuffle payload is candidate shingles only.
     sh_a = docs.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     sh_b = docs.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (
@@ -216,7 +228,10 @@ def ngram_jaccard_pairs(
     # (collect_list), then the k·(k−1)/2 pairs per posting explode in-stage
     # (posexplode + slice) with no join and shingles computed once — the
     # self-join shape shuffles the exploded table twice and re-derives the
-    # shingles on both sides.
+    # shingles on both sides. (A struct-posting variant that carries n_sh
+    # through the postings to skip the size joins was MEASURED 1.4× slower
+    # at sf0.1: struct sort/shuffle overhead on the hot exploded path beats
+    # two broadcast scans that run in parallel branches of the lazy plan.)
     postings = (
         ex.groupBy("s")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
@@ -526,9 +541,21 @@ def connected_components(
     monotone-decreasing label sum, one cheap agg per round instead of an
     old-vs-new join.
     """
-    e_fwd = pairs.select(F.col(src).alias("esrc"), F.col(dst).alias("edst"))
-    e_rev = pairs.select(F.col(dst).alias("esrc"), F.col(src).alias("edst"))
-    edges = e_fwd.unionByName(e_rev).persist()
+    # symmetrize with one explode, NOT a two-branch union: a union re-executes
+    # the (expensive — LSH/inverted-index) pair-generation plan once per
+    # branch, while the explode scans it exactly once
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("esrc"), F.col(dst).alias("edst")),
+                    F.struct(F.col(dst).alias("esrc"), F.col(src).alias("edst")),
+                )
+            ).alias("__e")
+        )
+        .select("__e.esrc", "__e.edst")
+        .persist()
+    )
 
     nodes = edges.select(F.col("esrc").alias("id")).distinct()
     if all_nodes is not None:
