@@ -503,7 +503,55 @@ SELECT doc_id, mix_source FROM short_docs WHERE u < 0.25
 """
 
 
+# ---------------------------------------------------------------- chunk/pack
+
+
+def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token windows with overlap (context-window fitting)."""
+    from chronon_spark.functions.packing import chunk_documents
+
+    d = _load_docs(spark, sf_dir)
+    return chunk_documents(d, "doc_id", "text", chunk_tokens=32, overlap=8)
+
+
+_SQL_DOC_CHUNKS = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents WHERE length(trim(text)) > 0),
+st AS (SELECT doc_id, toks,
+              unnest(generate_series(0, GREATEST(CAST(CEIL(len(toks) / 24.0) AS BIGINT) - 1, 0) * 24, 24)) AS s
+       FROM t)
+SELECT doc_id,
+       CAST(s // 24 AS INT)                                  AS chunk_idx,
+       array_to_string(toks[s + 1 : s + 32], ' ')            AS chunk_text,
+       CAST(len(toks[s + 1 : s + 32]) AS INT)                AS n_tokens
+FROM st
+"""
+
+
+def _q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-split token-stream packing into 256-token bins."""
+    from chronon_spark.functions.packing import pack_token_stream
+
+    d = _load_docs(spark, sf_dir)
+    sized = d.select("doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n_toks"))
+    return pack_token_stream(sized, "doc_id", "n_toks", budget=256)
+
+
+_SQL_PACK_BINS = f"""
+WITH t AS (SELECT doc_id, len({_TOKS}) AS n_toks FROM documents),
+c AS (SELECT doc_id, n_toks,
+             COALESCE(SUM(n_toks) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ce
+      FROM t)
+SELECT doc_id, CAST(n_toks AS INT) AS n_tokens,
+       CAST(ce // 256 AS BIGINT) AS bin_idx,
+       CAST(ce % 256 AS BIGINT)  AS bin_offset,
+       (ce % 256) + n_toks > 256 AS spans_bins
+FROM c
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "doc_chunks": _q_doc_chunks,
+    "pack_bins": _q_pack_bins,
     "sample_split": _q_sample_split,
     "stratified_lang_sample": _q_stratified_sample,
     "corpus_mixture": _q_corpus_mixture,
@@ -522,6 +570,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "doc_chunks": _SQL_DOC_CHUNKS,
+    "pack_bins": _SQL_PACK_BINS,
     "sample_split": _SQL_SAMPLE_SPLIT,
     "stratified_lang_sample": _SQL_STRATIFIED,
     "corpus_mixture": _SQL_MIXTURE,
