@@ -77,6 +77,26 @@ def ambient_probe() -> dict:
     return {"ambient_cpu_ms": round(cpu_ms, 1), "ambient_membw_ms": round(membw_ms, 1)}
 
 
+def _scaling_evidence() -> dict:
+    """Attach the most recent two-parallelism (north-rule) run so the BENCH
+    artifact is self-contained: tools/scaling_bench.py writes the full JSON,
+    this embeds its headline numbers. See BASELINE.md for methodology."""
+    p = Path(__file__).resolve().parent / "tools" / "scaling_r2_final.json"
+    try:
+        d = json.loads(p.read_text())
+    except (OSError, ValueError):
+        return {}
+    return {
+        "scaling_4_to_16": {
+            "input_rows": d.get("input_rows"),
+            "median_efficiency": d.get("median_efficiency"),
+            "best_efficiency": d.get("best_efficiency"),
+            "hardware_ceiling": d.get("hardware_ceiling"),
+            "pairs": d.get("pairs"),
+        }
+    }
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
@@ -115,6 +135,7 @@ def main() -> int:
                 "events_rows": n_events,
                 "turns_per_sec_asof": round(n_events / asof_sec, 1),
                 **ambient_probe(),
+                **_scaling_evidence(),
             }
         )
     )
