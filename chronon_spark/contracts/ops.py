@@ -863,9 +863,52 @@ WHERE q.role = 'user'
 """
 
 
+# ------------------------------------------------------- compare job
+
+
+def _q_compare_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """build-comparison-table + compare run modes (CompareBaseJob.scala:110,
+    CompareMetrics.scala:55-170): per-user daily aggregates vs the same
+    pipeline with error events dropped — known, deterministic drift."""
+    from chronon_spark.jobs.compare import build_comparison_table, compare_metrics
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 3).alias("v")
+        )
+
+    cmp_view = build_comparison_table(agg(ev), agg(ev.where(F.col("event_type") != "error")), ["user_id"])
+    return compare_metrics(cmp_view, ["user_id"])
+
+
+_SQL_COMPARE = """
+WITH a AS (SELECT user_id, COUNT(*) AS n, ROUND(SUM(value), 3) AS v FROM events GROUP BY user_id),
+b AS (SELECT user_id, COUNT(*) AS n, ROUND(SUM(value), 3) AS v FROM events
+      WHERE event_type <> 'error' GROUP BY user_id),
+j AS (SELECT a.n AS n_l, b.n AS n_r, a.v AS v_l, b.v AS v_r
+      FROM a FULL JOIN b ON a.user_id = b.user_id)
+SELECT 'n' AS col_name, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN n_l IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS left_null,
+       CAST(SUM(CASE WHEN n_r IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS right_null,
+       CAST(SUM(CASE WHEN n_l IS DISTINCT FROM n_r THEN 1 ELSE 0 END) AS BIGINT) AS mismatch,
+       ROUND(1.0 - SUM(CASE WHEN n_l IS DISTINCT FROM n_r THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 6) AS match_rate
+FROM j
+UNION ALL
+SELECT 'v', COUNT(*),
+       CAST(SUM(CASE WHEN v_l IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN v_r IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN v_l IS DISTINCT FROM v_r THEN 1 ELSE 0 END) AS BIGINT),
+       ROUND(1.0 - SUM(CASE WHEN v_l IS DISTINCT FROM v_r THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 6)
+FROM j
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "label_join_forward": _q_label_join,
     "external_contextual": _q_external_parts,
+    "compare_metrics_drift": _q_compare_metrics,
     "asof_order_ops": _q_order_ops,
     "asof_moments": _q_moments,
     "asof_bucketed_sum": _q_bucketed,
@@ -885,6 +928,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "label_join_forward": _SQL_LABEL_JOIN,
     "external_contextual": _SQL_EXTERNAL,
+    "compare_metrics_drift": _SQL_COMPARE,
     "asof_order_ops": _SQL_ORDER_OPS,
     "asof_moments": _SQL_MOMENTS,
     "asof_bucketed_sum": _SQL_BUCKETED,
