@@ -51,6 +51,9 @@ BENCH_QUERIES = [
     "ann_ivf_topk",
     "multi_source_union",
     "label_join_forward",
+    "external_contextual",
+    "compare_metrics_drift",
+    "doc_chunks",
 ]
 
 

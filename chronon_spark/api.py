@@ -229,3 +229,6 @@ class Join:
     join_parts: list[JoinPart]
     derivations: dict[str, str] | None = None  # name -> spark SQL expr over outputs
     skew_keys: dict[str, list[str]] | None = None  # col -> excluded hot values
+    # columns uniquely identifying a left record (thrift:426 `rowIds`) —
+    # required by the modular per-part backfill (jobs/modular_join.py)
+    row_ids: list[str] | None = None
