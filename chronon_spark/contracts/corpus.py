@@ -549,7 +549,54 @@ FROM c
 """
 
 
+# ---------------------------------------------------------------- quality filter
+
+
+def _q_quality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation: keep the top-5 documents per detected language by quality
+    score (deterministic rank tie-break on doc_id). One window shuffle keyed
+    by language — the standard 'best docs per stratum' selection."""
+    from pyspark.sql.window import Window as W
+
+    d = _load_docs(spark, sf_dir)
+    scored = d.select(
+        "doc_id",
+        text.lang_id("text").alias("lang"),
+        F.round(text.quality_score("text"), 6).alias("quality"),
+    )
+    w = W.partitionBy("lang").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("doc_id", "lang", "quality", "rank")
+    )
+
+
+_SQL_QUALITY_TOPK = f"""
+WITH d AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, text, toks,
+             {_lex_sql("de")} AS s_de, {_lex_sql("en")} AS s_en, {_lex_sql("es")} AS s_es,
+             len(list_distinct(toks))::DOUBLE / len(toks) AS uniq,
+             length(regexp_replace(text, '[\\w ]', '', 'g'))::DOUBLE / length(text) AS punct
+      FROM d),
+scored AS (SELECT doc_id,
+       CASE WHEN greatest(s_de, s_en, s_es) <= 0 THEN 'und'
+            WHEN s_de >= s_en AND s_de >= s_es THEN 'de'
+            WHEN s_en >= s_es THEN 'en'
+            ELSE 'es' END AS lang,
+       ROUND(CASE WHEN len(toks) BETWEEN 10 AND 1000 THEN 0.4 ELSE 0.0 END
+        + least(uniq, 0.5) * 0.6
+        + CASE WHEN punct < 0.1 THEN 0.2 ELSE 0.0 END, 6) AS quality
+FROM s),
+ranked AS (SELECT doc_id, lang, quality,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id ASC) AS INT) AS rank
+           FROM scored)
+SELECT doc_id, lang, quality, rank FROM ranked WHERE rank <= 5
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "quality_topk_per_lang": _q_quality_topk,
     "doc_chunks": _q_doc_chunks,
     "pack_bins": _q_pack_bins,
     "sample_split": _q_sample_split,
@@ -570,6 +617,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "quality_topk_per_lang": _SQL_QUALITY_TOPK,
     "doc_chunks": _SQL_DOC_CHUNKS,
     "pack_bins": _SQL_PACK_BINS,
     "sample_split": _SQL_SAMPLE_SPLIT,
