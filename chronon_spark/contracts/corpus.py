@@ -556,7 +556,7 @@ def _q_quality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation: keep the top-5 documents per detected language by quality
     score (deterministic rank tie-break on doc_id). One window shuffle keyed
     by language — the standard 'best docs per stratum' selection."""
-    from pyspark.sql.window import Window as W
+    from chronon_spark.functions.ranking import topk_per_group
 
     d = _load_docs(spark, sf_dir)
     scored = d.select(
@@ -564,12 +564,12 @@ def _q_quality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         text.lang_id("text").alias("lang"),
         F.round(text.quality_score("text"), 6).alias("quality"),
     )
-    w = W.partitionBy("lang").orderBy(F.desc("quality"), F.asc("doc_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 5)
-        .select("doc_id", "lang", "quality", "rank")
+    # two-phase salted top-k: a bare per-lang window would single-task each
+    # language's sort at corpus scale (see functions/ranking.py)
+    out = topk_per_group(
+        scored, ["lang"], [F.desc("quality"), F.asc("doc_id")], "doc_id", k=5
     )
+    return out.select("doc_id", "lang", "quality", "rank")
 
 
 _SQL_QUALITY_TOPK = f"""
