@@ -44,6 +44,36 @@ def parse_gb(spec: str):
     )
 
 
+def parse_join(spec: str):
+    """JSON Join spec -> a builder (events DataFrame -> api.Join). Example:
+    {"parts":[{"group_by":{...gb spec...},"prefix":"a","key_mapping":{"uid":"user_id"},
+               "accuracy":"snapshot"}],
+     "derivations":{"*":"*","r":"a_x_count_7d / 2.0"},
+     "skew_keys":{"conv_id":["hot1"]}}
+    Every part's right side is the (partition-pruned) events table."""
+    from chronon_spark.api import Accuracy, Join, JoinPart
+
+    d = json.loads(spec)
+
+    def build(events):
+        parts = []
+        for p in d["parts"]:
+            gb = parse_gb(json.dumps(p["group_by"]))
+            if p.get("accuracy", "temporal").lower() == "snapshot":
+                gb.accuracy = Accuracy.SNAPSHOT
+            parts.append(
+                JoinPart(gb, events, key_mapping=p.get("key_mapping"), prefix=p.get("prefix"))
+            )
+        return Join(
+            left_time_column=d.get("left_time_column", "ts"),
+            join_parts=parts,
+            derivations=d.get("derivations"),
+            skew_keys=d.get("skew_keys"),
+        )
+
+    return build
+
+
 DEFAULT_GB = json.dumps(
     {
         "keys": ["conv_id"],
@@ -63,22 +93,30 @@ def main(argv=None) -> int:
     ap.add_argument("--queries", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--checkpoint", required=True, help="lineage-manifest dir (resume state)")
-    ap.add_argument("--group-by", default=DEFAULT_GB, help="JSON GroupBy spec")
+    ap.add_argument("--group-by", default=None, help="JSON GroupBy spec")
+    ap.add_argument("--join", default=None, help="JSON multi-part Join spec (see parse_join)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
+    if args.group_by and args.join:
+        ap.error("--group-by and --join are mutually exclusive")
 
     from chronon_spark.plans.manifest import run_partitioned_backfill
     from chronon_spark.session import get_spark
 
     spark = get_spark("chronon-backfill", master=args.master)
-    gb = parse_gb(args.group_by)
     # pre-flight (Analyzer.scala analogue): fail on spec/schema problems
     # BEFORE any partition computes, not hours into the backfill
     from chronon_spark.analyzer import analyze
 
-    analyze(
-        spark.read.parquet(args.queries), gb, right=spark.read.parquet(args.events)
-    )
+    events_df = spark.read.parquet(args.events)
+    queries_df = spark.read.parquet(args.queries)
+    gb = join_builder = None
+    if args.join:
+        join_builder = parse_join(args.join)
+        analyze(queries_df, join_builder(events_df))
+    else:
+        gb = parse_gb(args.group_by or DEFAULT_GB)
+        analyze(queries_df, gb, right=events_df)
     t0 = time.time()
     stats = run_partitioned_backfill(
         spark,
@@ -87,6 +125,7 @@ def main(argv=None) -> int:
         out_path=args.out,
         checkpoint_dir=args.checkpoint,
         gb=gb,
+        join_builder=join_builder,
     )
     stats["wall_sec"] = round(time.time() - t0, 3)
     print(json.dumps(stats))

@@ -42,6 +42,28 @@ def group_by_semantic_hash(gb: GroupBy) -> str:
     return hashlib.md5(json.dumps(spec, sort_keys=True).encode()).hexdigest()
 
 
+def join_semantic_hash(join) -> str:
+    """Join-level identity: every part's GroupBy hash + prefix + key mapping,
+    plus join derivations and skew keys."""
+    import hashlib
+
+    spec = {
+        "parts": [
+            {
+                "gb": group_by_semantic_hash(jp.group_by),
+                "prefix": jp.prefix,
+                "key_mapping": jp.key_mapping,
+                "accuracy": getattr(jp.group_by.accuracy, "name", str(jp.group_by.accuracy)),
+            }
+            for jp in join.join_parts
+        ],
+        "derivations": join.derivations,
+        "skew_keys": join.skew_keys,
+        "left_time_column": join.left_time_column,
+    }
+    return hashlib.md5(json.dumps(spec, sort_keys=True).encode()).hexdigest()
+
+
 def unfilled_partitions(
     all_parts: list[str], checkpoint_dir: str, semantic_hash: str | None = None
 ) -> list[str]:
@@ -69,21 +91,48 @@ def run_partitioned_backfill(
     queries_path: str,
     out_path: str,
     checkpoint_dir: str,
-    gb: GroupBy,
+    gb: GroupBy | None = None,
     left_time_column: str = "ts",
+    join_builder=None,
 ) -> dict:
+    """Single-GroupBy (``gb``) or multi-part Join (``join_builder``: a
+    callable DataFrame -> api.Join binding the pruned events slice as every
+    part's right side) — exactly one must be given."""
+    if (gb is None) == (join_builder is None):
+        raise ValueError("pass exactly one of gb / join_builder")
     os.makedirs(checkpoint_dir, exist_ok=True)
     events = spark.read.parquet(events_path)
     queries = spark.read.parquet(queries_path)
     if "ds" not in queries.columns:
         queries = queries.withColumn("ds", F.date_format(left_time_column, "yyyy-MM-dd"))
     all_parts = [r[0] for r in queries.select("ds").distinct().orderBy("ds").collect()]
-    gb_hash = group_by_semantic_hash(gb)
+    if gb is not None:
+        gb_hash = group_by_semantic_hash(gb)
+        mw_ms = gb.max_window_millis
+        time_col = gb.time_column
+        spec_meta = {
+            "keys": gb.keys,
+            "parts": [p.output_name for p in gb.parts()],
+            "include_equal": gb.include_equal,
+            "sawtooth": gb.sawtooth,
+        }
+    else:
+        meta_join = join_builder(events)
+        gb_hash = join_semantic_hash(meta_join)
+        part_mws = [jp.group_by.max_window_millis for jp in meta_join.join_parts]
+        mw_ms = None if any(m is None for m in part_mws) else max(part_mws)
+        time_col = meta_join.join_parts[0].group_by.time_column
+        spec_meta = {
+            "join_parts": [
+                {"prefix": jp.prefix, "parts": [jp.out_name(p) for p in jp.group_by.parts()]}
+                for jp in meta_join.join_parts
+            ],
+            "derivations": meta_join.derivations,
+        }
     todo = unfilled_partitions(all_parts, checkpoint_dir, gb_hash)
     skipped = len(all_parts) - len(todo)
     sink = ManagedTable(spark, out_path, partition_col="ds")
     total_out = 0
-    mw_ms = gb.max_window_millis
     for ds in todo:
         t0 = time.time()
         q_part = queries.where(F.col("ds") == ds)
@@ -92,10 +141,15 @@ def run_partitioned_backfill(
         ev = events
         if mw_ms is not None:
             lo = F.to_timestamp(F.lit(ds)) - F.expr(f"INTERVAL {mw_ms // 1000} SECOND")
-            ev = ev.where(F.col(gb.time_column) >= lo)
+            ev = ev.where(F.col(time_col) >= lo)
         hi = F.date_add(F.to_timestamp(F.lit(ds)), 1).cast("timestamp")
-        ev = ev.where(F.col(gb.time_column) < hi)
-        out = asof_join(q_part, ev, gb, left_time_column=left_time_column)
+        ev = ev.where(F.col(time_col) < hi)
+        if gb is not None:
+            out = asof_join(q_part, ev, gb, left_time_column=left_time_column)
+        else:
+            from chronon_spark.operators.asof_join import compute_join
+
+            out = compute_join(q_part, join_builder(ev))
         # lifecycle-managed sink: dynamic partition overwrite + auto-expand +
         # archive when the spec hash changes (table_lifecycle.ManagedTable)
         sink.insert_partitions(out, auto_expand=True, semantic_hash=gb_hash)
@@ -112,12 +166,7 @@ def run_partitioned_backfill(
                 "queries": {"path": queries_path, "rows": q_part.count()},
             },
             "output": {"path": part_path, "rows": n_out},
-            "group_by": {
-                "keys": gb.keys,
-                "parts": [p.output_name for p in gb.parts()],
-                "include_equal": gb.include_equal,
-                "sawtooth": gb.sawtooth,
-            },
+            "spec": spec_meta,
             "stage_metrics": {"wall_sec": round(time.time() - t0, 3)},
             "completed_at_unix": int(time.time()),
         }

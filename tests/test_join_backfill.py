@@ -1,0 +1,70 @@
+"""Partitioned backfill with a multi-part Join spec: columns, resume,
+spec-hash invalidation, arg validation."""
+
+from __future__ import annotations
+
+import pytest
+
+from chronon_spark.api import Aggregation, GroupBy, Join, JoinPart, Op
+from chronon_spark.plans.manifest import join_semantic_hash, run_partitioned_backfill
+from chronon_spark.sources.synth import synth_queries, synth_transcripts
+
+
+@pytest.fixture(scope="module")
+def paths(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("jb")
+    ev = synth_transcripts(n_rows=1500, n_convs=15)
+    q = synth_queries(ev, n_queries=300)
+    q = q[q["ds"].isin(sorted(q["ds"].unique())[:2])]
+    ev_p, q_p = str(root / "ev.parquet"), str(root / "q.parquet")
+    ev.to_parquet(ev_p, index=False)
+    q.to_parquet(q_p, index=False)
+    return ev_p, q_p, root
+
+
+def _builder(events):
+    gb1 = GroupBy(
+        keys=["conv_id"],
+        aggregations=[Aggregation("turn_idx", Op.COUNT, windows=("1d",))],
+        tie_breakers=["turn_idx"],
+    )
+    gb2 = GroupBy(
+        keys=["conv_id"],
+        aggregations=[Aggregation("n_chars", Op.SUM, windows=("7d",))],
+        tie_breakers=["turn_idx"],
+    )
+    return Join(
+        left_time_column="ts",
+        join_parts=[JoinPart(gb1, events), JoinPart(gb2, events, prefix="p2")],
+        derivations={"*": "*", "dbl": "turn_idx_count_1d * 2"},
+    )
+
+
+def test_join_backfill_and_resume(spark, paths):
+    ev_p, q_p, root = paths
+    stats = run_partitioned_backfill(
+        spark, ev_p, q_p, str(root / "out"), str(root / "ckpt"), join_builder=_builder
+    )
+    assert stats["partitions_computed"] == 2
+    out = spark.read.parquet(str(root / "out"))
+    assert {"turn_idx_count_1d", "p2_n_chars_sum_7d", "dbl"} <= set(out.columns)
+    again = run_partitioned_backfill(
+        spark, ev_p, q_p, str(root / "out"), str(root / "ckpt"), join_builder=_builder
+    )
+    assert again["partitions_computed"] == 0 and again["partitions_skipped_resume"] == 2
+
+
+def test_join_hash_tracks_spec(spark, paths):
+    ev_p, _, _ = paths
+    events = spark.read.parquet(ev_p)
+    a = join_semantic_hash(_builder(events))
+    j = _builder(events)
+    j.join_parts[0].prefix = "renamed"
+    assert join_semantic_hash(j) != a
+    assert join_semantic_hash(_builder(events)) == a
+
+
+def test_exactly_one_spec_required(spark, paths):
+    ev_p, q_p, root = paths
+    with pytest.raises(ValueError, match="exactly one"):
+        run_partitioned_backfill(spark, ev_p, q_p, str(root / "x"), str(root / "y"))
