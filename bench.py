@@ -39,8 +39,10 @@ BENCH_QUERIES = [
     "cumulative_events_scan",
     "stats_summary",
     "drift_psi",
+    "drift_numeric_lp",
     "approx_sketch_daily",
     "doc_stats",
+    "repetition_quality",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_clusters",

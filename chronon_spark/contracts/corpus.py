@@ -59,6 +59,39 @@ FROM d
 """
 
 
+# ---------------------------------------------------------------- repetition
+
+
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document — pure per-row
+    codegen (sorted-run mode counting), ZERO shuffles at any scale; the
+    oracle reproduces each signal via unnest + group-by."""
+    d = _load_docs(spark, sf_dir)
+    return d.select("doc_id", *text.repetition_signals("text"))
+
+
+_SQL_REPETITION = r"""
+WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+words AS (SELECT doc_id, unnest(ws) AS wd FROM w),
+wc AS (SELECT doc_id, wd, COUNT(*) AS c FROM words GROUP BY 1, 2),
+topw AS (SELECT doc_id, MAX(c) AS topc, SUM(c) AS n FROM wc GROUP BY 1),
+bglist AS (SELECT doc_id,
+                  [ws[i] || ' ' || ws[i+1] for i in generate_series(1, len(ws) - 1)] AS bs
+           FROM w),
+bg AS (SELECT doc_id, unnest(bs) AS b FROM bglist),
+bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+topb AS (SELECT doc_id, MAX(c) AS topc, SUM(c) AS nb FROM bc GROUP BY 1),
+dw AS (SELECT doc_id, len(list_distinct(ws)) AS nd, len(ws) AS n FROM w)
+SELECT dw.doc_id,
+       CAST(dw.n AS INT) AS n_words,
+       ROUND(CAST(dw.nd AS DOUBLE) / dw.n, 6) AS distinct_word_ratio,
+       ROUND(CAST(topw.topc AS DOUBLE) / topw.n, 6) AS top_word_frac,
+       CASE WHEN topb.nb > 0 THEN ROUND(CAST(topb.topc AS DOUBLE) / topb.nb, 6) END
+         AS top_bigram_frac
+FROM dw JOIN topw USING (doc_id) LEFT JOIN topb USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------- lang/quality
 
 
@@ -603,6 +636,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_lang_sample": _q_stratified_sample,
     "corpus_mixture": _q_corpus_mixture,
     "doc_stats": _q_doc_stats,
+    "repetition_quality": _q_repetition,
     "lang_quality": _q_lang_quality,
     "dedup_exact": _q_dedup_exact,
     "dedup_minhash_lsh": _q_dedup_minhash,
@@ -624,6 +658,7 @@ ORACLES: dict[str, str] = {
     "stratified_lang_sample": _SQL_STRATIFIED,
     "corpus_mixture": _SQL_MIXTURE,
     "doc_stats": _SQL_DOC_STATS,
+    "repetition_quality": _SQL_REPETITION,
     "lang_quality": _SQL_LANG_QUALITY,
     "dedup_exact": _SQL_DEDUP_EXACT,
     "dedup_minhash_lsh": _minhash_sql(),

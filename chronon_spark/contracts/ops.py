@@ -693,6 +693,75 @@ FROM a JOIN b USING (event_type), ta, tb
 """
 
 
+def _q_drift_cat_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical L∞/L2/L1 histogram drift over the union of categories
+    (missing bucket = zero probability) — reference
+    `DriftMetrics.histogramLpDistances` (online/.../stats/DriftMetrics.scala:23-54)."""
+    from chronon_spark.jobs.stats import categorical_lp_distances
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    mid = F.lit(_DRIFT_MID).cast("timestamp")
+    return categorical_lp_distances(
+        ev.where(F.col("ts") < mid), ev.where(F.col("ts") >= mid), "event_type"
+    )
+
+
+_SQL_DRIFT_CAT_LP = f"""
+WITH a AS (SELECT event_type, COUNT(*) AS na FROM events
+            WHERE ts < TIMESTAMP '{_DRIFT_MID}' AND event_type IS NOT NULL GROUP BY 1),
+     b AS (SELECT event_type, COUNT(*) AS nb FROM events
+            WHERE ts >= TIMESTAMP '{_DRIFT_MID}' AND event_type IS NOT NULL GROUP BY 1),
+     ta AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM events
+            WHERE ts < TIMESTAMP '{_DRIFT_MID}' AND event_type IS NOT NULL),
+     tb AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM events
+            WHERE ts >= TIMESTAMP '{_DRIFT_MID}' AND event_type IS NOT NULL),
+     j AS (SELECT COALESCE(na, 0) / ta.t AS pa, COALESCE(nb, 0) / tb.t AS pb
+           FROM a FULL OUTER JOIN b USING (event_type), ta, tb)
+SELECT ROUND(MAX(ABS(pa - pb)), 6) AS linf,
+       ROUND(SQRT(SUM((pa - pb) * (pa - pb))), 6) AS l2,
+       ROUND(SUM(ABS(pa - pb)), 6) AS l1,
+       COUNT(*) AS n_bins
+FROM j
+"""
+
+
+def _q_drift_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-binned numeric drift (L∞/L2/L1 over decile PMFs, splits from
+    the reference slice) — the reference's KLL-sketch drift
+    (`DriftMetrics.kllSketchDistances`, online/.../stats/DriftMetrics.scala:88-140)
+    with exact percentiles for oracle parity; `approx=True` is the 100 TB path."""
+    from chronon_spark.jobs.stats import numeric_drift
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    mid = F.lit(_DRIFT_MID).cast("timestamp")
+    return numeric_drift(
+        ev.where(F.col("ts") < mid), ev.where(F.col("ts") >= mid), "value", bins=10
+    )
+
+
+_SQL_DRIFT_NUMERIC = f"""
+WITH a AS (SELECT value AS v FROM events
+            WHERE ts < TIMESTAMP '{_DRIFT_MID}' AND value IS NOT NULL),
+     b AS (SELECT value AS v FROM events
+            WHERE ts >= TIMESTAMP '{_DRIFT_MID}' AND value IS NOT NULL),
+     sp AS (SELECT [round(x, 6) for x in
+                    quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])] AS s FROM a),
+     ba AS (SELECT len(list_filter(sp.s, x -> x <= v)) AS bin, COUNT(*) AS na
+            FROM a, sp GROUP BY 1),
+     bb AS (SELECT len(list_filter(sp.s, x -> x <= v)) AS bin, COUNT(*) AS nb
+            FROM b, sp GROUP BY 1),
+     ta AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM a),
+     tb AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM b),
+     j AS (SELECT COALESCE(na, 0) / ta.t AS pa, COALESCE(nb, 0) / tb.t AS pb
+           FROM ba FULL OUTER JOIN bb USING (bin), ta, tb)
+SELECT ROUND(MAX(ABS(pa - pb)), 6) AS linf,
+       ROUND(SQRT(SUM((pa - pb) * (pa - pb))), 6) AS l2,
+       ROUND(SUM(ABS(pa - pb)), 6) AS l1,
+       COUNT(*) AS n_bins
+FROM j
+"""
+
+
 # ------------------------------------------------------- sketch scale path
 
 
@@ -922,6 +991,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_snapshot_accuracy": _q_snap_acc,
     "stats_summary": _q_stats,
     "drift_psi": _q_drift,
+    "drift_categorical_lp": _q_drift_cat_lp,
+    "drift_numeric_lp": _q_drift_numeric,
     "approx_sketch_daily": _q_sketches,
 }
 
@@ -942,5 +1013,7 @@ ORACLES: dict[str, str] = {
     "join_snapshot_accuracy": _SQL_SNAP_ACC,
     "stats_summary": _stats_sql(),
     "drift_psi": _SQL_DRIFT,
+    "drift_categorical_lp": _SQL_DRIFT_CAT_LP,
+    "drift_numeric_lp": _SQL_DRIFT_NUMERIC,
     "approx_sketch_daily": _SQL_SKETCHES,
 }

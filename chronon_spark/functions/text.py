@@ -141,3 +141,62 @@ def word_shingles(text: Column | str, n: int = 3, distinct: bool = True) -> Colu
     # null text -> empty shingle set (not null), as before
     sh = F.coalesce(sh, F.array().cast("array<string>"))
     return F.array_distinct(sh) if distinct else sh
+
+
+def _mode_run_count(arr: Column) -> Column:
+    """Count of the most frequent element (the mode's multiplicity) — as the
+    longest equal-run in the sorted array, computed in ONE codegen fold.
+    O(T log T) per row, no shuffle, no Python. The fold lambda references
+    only its accumulator and element (never the child array), so the sort is
+    evaluated exactly once per row (see `word_shingles` for the inlining trap
+    this avoids)."""
+    srt = F.array_sort(arr)
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def merge(acc, x):
+        run = F.when(acc.prev.eqNullSafe(x), acc.run + F.lit(1)).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc.best, run).alias("best")
+        )
+
+    return F.aggregate(srt, init, merge, lambda acc: acc.best)
+
+
+def word_bigrams(text: Column | str) -> Column:
+    """Adjacent word pairs (NOT distinct — repetition counting needs the
+    multiset), via the same shifted-slice zip as `word_shingles`."""
+    t = tokens(text)
+    win = F.greatest(F.size(t) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(t, 1, win), F.slice(t, 2, win), lambda a, b: F.concat_ws(" ", a, b)
+    )
+
+
+def repetition_signals(text: Column | str, round_to: int = 6) -> list[Column]:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1 —
+    "fraction of characters in the most common n-gram" family), the standard
+    filters a web-scale corpus pipeline runs before training:
+
+    - ``n_words`` — token count;
+    - ``distinct_word_ratio`` — unique words / words (low = repetitive);
+    - ``top_word_frac`` — occurrences of the most frequent word / words;
+    - ``top_bigram_frac`` — occurrences of the most frequent adjacent word
+      pair / total pairs.
+
+    All pure per-row codegen (sorted-run mode counting, no explode/groupBy),
+    so the 100 TB plan is a bare projection over the scan — zero shuffles —
+    while the SQL oracle does the same via unnest + group-by."""
+    t = tokens(text)
+    n = F.size(t)
+    bg = word_bigrams(text)
+    nb = F.size(bg)
+    return [
+        n.alias("n_words"),
+        F.round(F.size(F.array_distinct(t)) / n, round_to).alias("distinct_word_ratio"),
+        F.round(_mode_run_count(t) / n, round_to).alias("top_word_frac"),
+        F.when(nb > 0, F.round(_mode_run_count(bg) / nb, round_to)).alias("top_bigram_frac"),
+    ]

@@ -86,3 +86,96 @@ def categorical_psi(df_a: DataFrame, df_b: DataFrame, col: str, round_to: int = 
         F.round(F.sum((F.col("__pa") - F.col("__pb")) * F.log(F.col("__pa") / F.col("__pb"))), round_to).alias("psi"),
         F.count("*").alias("n_categories"),
     )
+
+
+def _lp_agg(pa, pb, round_to: int):
+    """L∞ / L2 / L1 over per-bin probability deltas (reference
+    online/.../stats/DriftMetrics.scala `LpDistances`)."""
+    d = F.abs(pa - pb)
+    return [
+        F.round(F.max(d), round_to).alias("linf"),
+        F.round(F.sqrt(F.sum(d * d)), round_to).alias("l2"),
+        F.round(F.sum(d), round_to).alias("l1"),
+        F.count(F.lit(1)).alias("n_bins"),
+    ]
+
+
+def categorical_lp_distances(
+    df_a: DataFrame, df_b: DataFrame, col: str, round_to: int = 6
+) -> DataFrame:
+    """L∞/L2/L1 distances between the two slices' category histograms after
+    normalizing each to probability mass — the reference's
+    `DriftMetrics.histogramLpDistances` (online/.../stats/DriftMetrics.scala:23-54).
+    Unlike :func:`categorical_psi` (which must drop one-sided categories to
+    stay finite), missing buckets count as ZERO probability, so the union of
+    categories is scored. Shape: two map-side-combined groupBys + a full
+    outer join on the (small) category domain + broadcast totals.
+    """
+    ca = df_a.where(F.col(col).isNotNull()).groupBy(col).agg(F.count("*").alias("__na"))
+    cb = df_b.where(F.col(col).isNotNull()).groupBy(col).agg(F.count("*").alias("__nb"))
+    ta = df_a.where(F.col(col).isNotNull()).agg(F.count("*").alias("__ta"))
+    tb = df_b.where(F.col(col).isNotNull()).agg(F.count("*").alias("__tb"))
+    j = (
+        ca.join(cb, on=col, how="full_outer")
+        .crossJoin(F.broadcast(ta))
+        .crossJoin(F.broadcast(tb))
+    )
+    pa = F.coalesce(F.col("__na"), F.lit(0)) / F.col("__ta")
+    pb = F.coalesce(F.col("__nb"), F.lit(0)) / F.col("__tb")
+    return j.agg(*_lp_agg(pa, pb, round_to))
+
+
+def numeric_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    bins: int = 10,
+    round_to: int = 6,
+    approx: bool = False,
+) -> DataFrame:
+    """Quantile-binned distribution drift for a NUMERIC column: split points
+    are the reference slice's quantiles (k/bins for k=1..bins-1), both slices
+    are binned against the SAME splits, and the normalized per-bin PMFs are
+    scored with L∞/L2/L1 — the reference's KLL-sketch drift
+    (`DriftMetrics.kllSketchDistances`, online/.../stats/DriftMetrics.scala:88-140)
+    with the sketch swapped for Spark percentiles.
+
+    Exact `percentile` keeps the DuckDB oracle bit-reproducible (both engines
+    interpolate type-7; splits are rounded to `round_to` decimals so a 1-ulp
+    interpolation difference can't flip a boundary row). At 100 TB pass
+    ``approx=True`` → JVM `percentile_approx` (KLL-style, mergeable, one
+    pass) — same plan shape, sketch error instead of a full sort.
+
+    Plan: one aggregate on the reference slice for the splits (broadcast — it
+    is bins-1 doubles), then per slice a map-side `size(filter(splits,
+    s -> s <= v))` bin id + one tiny groupBy each, a full outer join on the
+    bin domain, and a single-row Lp reduce. No Python anywhere.
+    """
+    qs = [k / bins for k in range(1, bins)]
+    pct = F.percentile_approx(col, F.array(*[F.lit(q) for q in qs]), 10000) if approx \
+        else F.percentile(col, F.array(*[F.lit(q) for q in qs]))
+    splits = df_a.where(F.col(col).isNotNull()).agg(
+        F.transform(pct, lambda s: F.round(s, round_to)).alias("__splits")
+    )
+
+    def binned(df: DataFrame, alias: str) -> DataFrame:
+        v = F.col(col)
+        return (
+            df.where(v.isNotNull())
+            .crossJoin(F.broadcast(splits))
+            .select(F.size(F.filter("__splits", lambda s: s <= v)).alias("bin"))
+            .groupBy("bin")
+            .agg(F.count("*").alias(f"__n{alias}"))
+        )
+
+    ba, bb = binned(df_a, "a"), binned(df_b, "b")
+    ta = df_a.where(F.col(col).isNotNull()).agg(F.count("*").alias("__ta"))
+    tb = df_b.where(F.col(col).isNotNull()).agg(F.count("*").alias("__tb"))
+    j = (
+        ba.join(bb, on="bin", how="full_outer")
+        .crossJoin(F.broadcast(ta))
+        .crossJoin(F.broadcast(tb))
+    )
+    pa = F.coalesce(F.col("__na"), F.lit(0)) / F.col("__ta")
+    pb = F.coalesce(F.col("__nb"), F.lit(0)) / F.col("__tb")
+    return j.agg(*_lp_agg(pa, pb, round_to))

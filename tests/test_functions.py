@@ -400,3 +400,33 @@ def test_dedup_clusters_canonical_invariants(docs):
     assert pairs, "fixture should contain planted near-dups"
     for p in pairs:
         assert comp[p["id_a"]] == comp[p["id_b"]]
+
+
+def test_repetition_signals(spark):
+    import pandas as pd
+
+    from chronon_spark.functions.text import repetition_signals
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "a a a a b",          # top word 'a' x4/5; top bigram 'a a' x3/4
+                "x y x y x y",        # top word x3/6; bigrams: 'x y' x3 of 5
+                "unique words only here",  # all distinct
+            ],
+        }
+    )
+    got = (
+        spark.createDataFrame(docs)
+        .select("doc_id", *repetition_signals("text"))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert got.loc[1, "n_words"] == 5
+    assert abs(got.loc[1, "top_word_frac"] - 0.8) < 1e-9
+    assert abs(got.loc[1, "top_bigram_frac"] - 0.75) < 1e-9
+    assert abs(got.loc[2, "top_word_frac"] - 0.5) < 1e-9
+    assert abs(got.loc[2, "top_bigram_frac"] - 0.6) < 1e-9
+    assert got.loc[3, "distinct_word_ratio"] == 1.0
+    assert abs(got.loc[3, "top_word_frac"] - 0.25) < 1e-9

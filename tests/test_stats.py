@@ -44,3 +44,45 @@ def test_psi_positive_for_shifted_distribution(spark):
         spark.createDataFrame(ev), spark.createDataFrame(skew), "role"
     ).collect()[0]
     assert row["psi"] > 0.0
+
+
+def test_categorical_lp_zero_for_identical_and_disjoint_extremes(spark):
+    ev = synth_transcripts(n_rows=600, n_convs=10)
+    df = spark.createDataFrame(ev)
+    from chronon_spark.jobs.stats import categorical_lp_distances
+
+    row = categorical_lp_distances(df, df, "role").collect()[0]
+    assert row["linf"] == 0.0 and row["l2"] == 0.0 and row["l1"] == 0.0
+    # fully disjoint categories: every bucket is one-sided -> L1 = 2, Linf = max mass
+    a = spark.createDataFrame(pd.DataFrame({"c": ["x"] * 3 + ["y"] * 7}))
+    b = spark.createDataFrame(pd.DataFrame({"c": ["z"] * 5}))
+    row = categorical_lp_distances(a, b, "c").collect()[0]
+    assert row["l1"] == 2.0 and row["linf"] == 1.0 and row["n_bins"] == 3
+
+
+def test_numeric_drift_matches_numpy(spark):
+    import numpy as np
+
+    from chronon_spark.jobs.stats import numeric_drift
+
+    rng = np.random.RandomState(7)
+    va = rng.gamma(2.0, 10.0, 4000)
+    vb = rng.gamma(2.4, 10.0, 3000)  # shifted shape -> real drift
+    a = spark.createDataFrame(pd.DataFrame({"v": va}))
+    b = spark.createDataFrame(pd.DataFrame({"v": vb}))
+    row = numeric_drift(a, b, "v", bins=10).collect()[0]
+    # numpy oracle: type-7 quantile splits from a, same rounding + binning
+    splits = np.round(np.quantile(va, np.arange(1, 10) / 10.0), 6)
+    ba = np.bincount(np.searchsorted(splits, va, side="right"), minlength=10) / len(va)
+    bb = np.bincount(np.searchsorted(splits, vb, side="right"), minlength=10) / len(vb)
+    d = np.abs(ba - bb)
+    assert abs(row["linf"] - round(d.max(), 6)) <= 1e-6
+    assert abs(row["l1"] - round(d.sum(), 6)) <= 1e-6
+    assert abs(row["l2"] - round(float(np.sqrt((d * d).sum())), 6)) <= 1e-6
+    assert row["n_bins"] == 10
+    # identical slices -> zero drift regardless of splits
+    z = numeric_drift(a, a, "v", bins=10).collect()[0]
+    assert z["l1"] == 0.0 and z["linf"] == 0.0
+    # approx (100 TB) path runs and stays close at this size
+    ap = numeric_drift(a, b, "v", bins=10, approx=True).collect()[0]
+    assert abs(ap["l1"] - row["l1"]) < 0.1
