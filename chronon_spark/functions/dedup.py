@@ -207,7 +207,12 @@ def minhash_lsh_dedup(
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """EXACT all-pairs Jaccard ≥ threshold via an inverted index: explode
     distinct shingles, build posting lists per shingle, emit co-occurring
@@ -215,9 +220,17 @@ def ngram_jaccard_pairs(
     materializes the N² cross join — only pairs sharing ≥1 shingle exist,
     which threshold > 0 requires anyway.
 
-    Scale: the shuffle is keyed by shingle; stop-shingles (appearing in a huge
-    fraction of docs) are the skew risk — prune shingles with document
-    frequency above `max_df` if needed (prefix-filtering refinement).
+    Scale: the shuffle is keyed by shingle; stop-shingles (appearing in a
+    huge fraction of docs) are the skew risk — a posting of length k emits
+    k·(k−1)/2 pairs, so ONE shingle shared by 10^6 docs is 5·10^11 pairs.
+    ``max_df`` caps that: postings longer than max_df generate NO candidate
+    pairs; candidates from the surviving postings are then verified with the
+    EXACT Jaccard over the full (unpruned) shingle sets via a join-back.
+    Trade-off (documented, standard prefix-filter refinement): a pair whose
+    ONLY shared shingles are stop-shingles is missed — for near-duplicate
+    thresholds (≥ 0.5) such pairs share many shingles, so any real duplicate
+    keeps a sub-max_df witness in practice. ``max_df=None`` (default) is the
+    fully exact path.
     """
     sh = ensure_parallelism(df).select(
         F.col(id_col).alias("doc_id"), word_shingles(text_col, n=shingle_n).alias("sh")
@@ -238,6 +251,10 @@ def ngram_jaccard_pairs(
         .where(F.size("docs") > 1)
         .select("docs")
     )
+    if max_df is not None:
+        # pruned postings only GENERATE candidates; jaccard comes from the
+        # exact join-back below, so partial co-occurrence counts are fine
+        postings = postings.where(F.size("docs") <= max_df)
     co = (
         postings.select(F.posexplode("docs").alias("pos", "id_a"), F.col("docs"))
         .select(
@@ -247,6 +264,16 @@ def ngram_jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
+    if max_df is not None:
+        sh_a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("__sh_a"))
+        sh_b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("__sh_b"))
+        return (
+            co.select("id_a", "id_b")
+            .join(sh_a, "id_a")
+            .join(sh_b, "id_b")
+            .select("id_a", "id_b", jaccard(F.col("__sh_a"), F.col("__sh_b")).alias("jaccard"))
+            .where(F.col("jaccard") >= threshold)
+        )
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"))
     return (
@@ -583,19 +610,135 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    all_nodes: DataFrame | None = None,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components via alternating **large-star / small-star**
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the O(log n)-round path that replaces min-label propagation's
+    O(diameter) rounds on chain-shaped graphs. Same output contract as
+    :func:`connected_components`: ``(id, comp)`` with ``comp`` = smallest
+    node id in the component (equivalence-tested).
+
+    Per round:
+    - **large-star**: per node u over its undirected neighborhood N(u),
+      m = min(N ∪ {u}); rewire every strictly-larger neighbor to m.
+    - **small-star**: orient edges large→small, m = min(N⁻ ∪ {u}); rewire
+      u and its ≤-neighbors to m.
+
+    Each star is one shuffle (a window min over the grouping key — no
+    neighbor-list materialization, so hub nodes with 10^6 edges never build
+    a 10^6-element array) + a distinct. Convergence = stable (count,
+    xxhash-sum) edge signature; converged edges form per-component stars
+    whose centers are the component minima.
+    """
+    from pyspark.sql import Window
+
+    und = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")),
+                    F.struct(F.col(dst).cast("long").alias("u"), F.col(src).cast("long").alias("v")),
+                )
+            ).alias("__e")
+        )
+        .select("__e.u", "__e.v")
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def signature(e: DataFrame) -> tuple:
+        # bit_xor: order-independent and overflow-free (edges are distinct,
+        # so xor-cancellation of duplicates cannot occur); a SUM would
+        # overflow long under ANSI mode
+        r = e.agg(
+            F.count(F.lit(1)).alias("n"), F.expr("bit_xor(xxhash64(u, v))").alias("h")
+        ).collect()[0]
+        return (r["n"], r["h"])
+
+    edges = und
+    sig = signature(edges)
+    for _ in range(max_iter):
+        # large-star over the undirected view
+        w = Window.partitionBy("u")
+        ls = (
+            edges.withColumn("m", F.least(F.col("u"), F.min("v").over(w)))
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+        )
+        # small-star over the large→small orientation
+        ori = ls.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        m = F.least(F.col("u"), F.min("v").over(w))
+        sm = ori.withColumn("m", m)
+        rewired = (
+            sm.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(sm.select("u", F.col("m").alias("v")).distinct())
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # back to the undirected view for the next large-star
+        edges = (
+            rewired.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("u"), F.col("v")),
+                        F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+                    )
+                ).alias("__e")
+            )
+            .select("__e.u", "__e.v")
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        new_sig = signature(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+
+    # converged: edges are star arms (node ↔ component min); labels = min arm
+    labels = edges.groupBy("u").agg(F.min("v").alias("comp"))
+    labels = labels.select(
+        F.col("u").alias("id"), F.least("id", "comp").alias("comp")
+    )
+    members = labels.select("id", "comp").unionByName(
+        labels.select(F.col("comp").alias("id"), F.col("comp"))
+    )
+    if all_nodes is not None:
+        iso = all_nodes.select(F.col(all_nodes.columns[0]).cast("long").alias("id"))
+        members = members.unionByName(iso.select("id", F.col("id").alias("comp")))
+    return members.groupBy("id").agg(F.min("comp").alias("comp"))
+
+
 def dedup_clusters(
     df: DataFrame,
     id_col: str,
     text_col: str,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    algo: str = "propagate",
 ) -> DataFrame:
     """Full keep-one-per-cluster dedup: exact n-gram-Jaccard near-dup pairs →
     connected components → ``(doc_id, cluster_id, is_canonical)`` for EVERY
     document (singletons are their own canonical cluster). Filtering
-    ``is_canonical`` yields the deduplicated corpus."""
+    ``is_canonical`` yields the deduplicated corpus.
+
+    ``algo``: "propagate" (min-label propagation — O(diameter) rounds, the
+    right default for near-dup graphs whose components are tiny dense
+    cliques) or "star" (large-star/small-star — O(log n) rounds, the path
+    for adversarial chain-shaped graphs); both produce identical labels
+    (equivalence-tested)."""
     pairs = ngram_jaccard_pairs(df, id_col, text_col, shingle_n=shingle_n, threshold=threshold)
-    cc = connected_components(pairs, all_nodes=df.select(F.col(id_col).alias("id")))
+    cc_fn = connected_components_star if algo == "star" else connected_components
+    cc = cc_fn(pairs, all_nodes=df.select(F.col(id_col).alias("id")))
     return cc.select(
         F.col("id").alias("doc_id"),
         F.col("comp").alias("cluster_id"),

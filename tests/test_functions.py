@@ -430,3 +430,52 @@ def test_repetition_signals(spark):
     assert abs(got.loc[2, "top_bigram_frac"] - 0.6) < 1e-9
     assert got.loc[3, "distinct_word_ratio"] == 1.0
     assert abs(got.loc[3, "top_word_frac"] - 0.25) < 1e-9
+
+
+def test_connected_components_star_equivalence(spark):
+    import random
+
+    # chain (worst case for propagation), clique, random graph, isolated
+    rnd = random.Random(11)
+    chain = [(i, i + 1) for i in range(100, 140)]
+    clique = [(a, b) for a in range(200, 205) for b in range(a + 1, 205)]
+    randg = [(rnd.randrange(300, 360), rnd.randrange(300, 360)) for _ in range(80)]
+    randg = [(a, b) for a, b in randg if a != b]
+    pairs = spark.createDataFrame(chain + clique + randg, "id_a long, id_b long")
+    node_ids = sorted({x for p in chain + clique + randg for x in p} | {999})
+    nodes = spark.createDataFrame([(i,) for i in node_ids], "id long")
+    want = {
+        r["id"]: r["comp"]
+        for r in dedup.connected_components(pairs, all_nodes=nodes, max_iter=60).collect()
+    }
+    got = {
+        r["id"]: r["comp"]
+        for r in dedup.connected_components_star(pairs, all_nodes=nodes).collect()
+    }
+    assert got == want
+    assert got[999] == 999 and got[140] == 100
+
+
+def test_ngram_jaccard_max_df(docs):
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text", 3, threshold=0.5).collect()
+    }
+    # max_df above every posting length -> identical pairs AND values
+    loose = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", 3, threshold=0.5, max_df=10**6
+        ).collect()
+    }
+    assert loose == exact and exact
+    # aggressive prune -> subset of exact, with EXACT jaccard values
+    tight = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", 3, threshold=0.5, max_df=3
+        ).collect()
+    }
+    assert set(tight) <= set(exact)
+    for k, v in tight.items():
+        assert abs(v - exact[k]) < 1e-12
