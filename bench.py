@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "stats_summary",
     "drift_psi",
     "drift_numeric_lp",
+    "drift_series",
     "approx_sketch_daily",
     "doc_stats",
     "repetition_quality",

@@ -762,6 +762,52 @@ FROM j
 """
 
 
+def _q_drift_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day tile drift series (count change %, consecutive-histogram Lp,
+    decile drift) — reference TileDriftCalculator.scala:25-82."""
+    from chronon_spark.jobs.stats import tile_drift_series
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return tile_drift_series(ev, "ts", "event_type", "value")
+
+
+_SQL_DRIFT_SERIES = """
+WITH ev AS (SELECT CAST(ts AS DATE) AS ds, event_type, value FROM events),
+tiles AS (SELECT ds, COUNT(*) AS n,
+                 [round(x, 6) for x in
+                  quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])] AS pct
+          FROM ev GROUP BY 1),
+hist AS (SELECT ds, event_type, COUNT(*) AS c FROM ev
+         WHERE event_type IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT ds, CAST(SUM(c) AS DOUBLE) AS t FROM hist GROUP BY 1),
+days AS (SELECT ds, lag(ds) OVER (ORDER BY ds) AS pds, n,
+                lag(n) OVER (ORDER BY ds) AS pn,
+                pct, lag(pct) OVER (ORDER BY ds) AS ppct
+         FROM tiles),
+cats AS (SELECT DISTINCT event_type FROM hist),
+pairs AS (SELECT d.ds, d.pds, c.event_type FROM days d CROSS JOIN cats c
+          WHERE d.pds IS NOT NULL),
+j AS (SELECT p.ds,
+             COALESCE(hc.c, 0) / tc.t AS pc,
+             COALESCE(hp.c, 0) / tp.t AS pp
+      FROM pairs p
+      JOIN tot tc ON tc.ds = p.ds
+      JOIN tot tp ON tp.ds = p.pds
+      LEFT JOIN hist hc ON hc.ds = p.ds AND hc.event_type = p.event_type
+      LEFT JOIN hist hp ON hp.ds = p.pds AND hp.event_type = p.event_type),
+hd AS (SELECT ds, ROUND(SUM(ABS(pc - pp)), 6) AS hist_l1,
+              ROUND(MAX(ABS(pc - pp)), 6) AS hist_linf
+       FROM j GROUP BY 1)
+SELECT d.ds, d.n,
+       ROUND((d.n - d.pn) / CAST(d.pn AS DOUBLE) * 100.0, 6) AS count_change_pct,
+       hd.hist_l1, hd.hist_linf,
+       ROUND(list_sum([abs(d.pct[i] - d.ppct[i]) for i in generate_series(1, 9)]) / 9, 6)
+         AS pct_drift
+FROM days d JOIN hd ON hd.ds = d.ds
+WHERE d.pds IS NOT NULL
+"""
+
+
 # ------------------------------------------------------- sketch scale path
 
 
@@ -993,6 +1039,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "drift_psi": _q_drift,
     "drift_categorical_lp": _q_drift_cat_lp,
     "drift_numeric_lp": _q_drift_numeric,
+    "drift_series": _q_drift_series,
     "approx_sketch_daily": _q_sketches,
 }
 
@@ -1015,5 +1062,6 @@ ORACLES: dict[str, str] = {
     "drift_psi": _SQL_DRIFT,
     "drift_categorical_lp": _SQL_DRIFT_CAT_LP,
     "drift_numeric_lp": _SQL_DRIFT_NUMERIC,
+    "drift_series": _SQL_DRIFT_SERIES,
     "approx_sketch_daily": _SQL_SKETCHES,
 }

@@ -179,3 +179,91 @@ def numeric_drift(
     pa = F.coalesce(F.col("__na"), F.lit(0)) / F.col("__ta")
     pb = F.coalesce(F.col("__nb"), F.lit(0)) / F.col("__tb")
     return j.agg(*_lp_agg(pa, pb, round_to))
+
+
+def tile_drift_series(
+    df: DataFrame,
+    time_col: str,
+    cat_col: str,
+    num_col: str,
+    bins: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-tile drift SERIES — the reference's TileDriftCalculator
+    (online/.../stats/TileDriftCalculator.scala:25-82: each tile summary vs
+    the tile `lookback` earlier) re-expressed Spark-first over daily tiles:
+
+    - ``count_change_pct`` — signed percent change of the tile row count
+      (reference `setCountChangePercent`);
+    - ``hist_l1`` / ``hist_linf`` — Lp distance between consecutive tiles'
+      categorical histograms after per-tile mass normalization (reference
+      `histogramDistance`), computed with `map_zip_with` over the key union
+      — no explode, no extra shuffle;
+    - ``pct_drift`` — mean |Δ| between consecutive tiles' decile vectors
+      (reference `percentileDistance` family; exact percentiles here, the
+      KLL `percentile_approx` swap is one argument at scale).
+
+    Plan: TWO map-side-combined groupBys build the per-day summaries
+    (day×category counts → one map per day; day deciles + counts), one
+    broadcast-size sort-window pairs each day with its predecessor, and every
+    metric is a codegen higher-order expression. Day count ≈ series length,
+    so everything after the two aggregates is driver-trivial at any input
+    scale."""
+    from pyspark.sql import Window
+
+    ds = F.to_date(time_col).alias("ds")
+    qs = [k / bins for k in range(1, bins)]
+    tiles = (
+        df.groupBy(ds)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.transform(
+                F.percentile(num_col, F.array(*[F.lit(q) for q in qs])),
+                lambda s: F.round(s, round_to),
+            ).alias("pct"),
+        )
+    )
+    hist = (
+        df.where(F.col(cat_col).isNotNull())
+        .groupBy(ds, F.col(cat_col).alias("__cat"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy("ds")
+        .agg(F.map_from_entries(F.collect_list(F.struct("__cat", "__c"))).alias("hist"))
+    )
+    t = tiles.join(hist, "ds", "left")
+    w = Window.orderBy("ds")
+    t = t.select(
+        "ds",
+        "n",
+        "pct",
+        "hist",
+        F.lag("n").over(w).alias("__pn"),
+        F.lag("pct").over(w).alias("__ppct"),
+        F.lag("hist").over(w).alias("__phist"),
+    ).where(F.col("__pn").isNotNull())
+    tot = lambda m: F.aggregate(F.map_values(m), F.lit(0.0), lambda a, x: a + x)  # noqa: E731
+    d = F.map_values(
+        F.map_zip_with(
+            "hist",
+            "__phist",
+            lambda k, vc, vp: F.abs(
+                F.coalesce(vc.cast("double"), F.lit(0.0)) / tot(F.col("hist"))
+                - F.coalesce(vp.cast("double"), F.lit(0.0)) / tot(F.col("__phist"))
+            ),
+        )
+    )
+    pd_ = F.aggregate(
+        F.zip_with("pct", "__ppct", lambda a, b: F.abs(a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / F.lit(len(qs))
+    return t.select(
+        "ds",
+        "n",
+        F.round((F.col("n") - F.col("__pn")) / F.col("__pn") * 100.0, round_to).alias(
+            "count_change_pct"
+        ),
+        F.round(F.aggregate(d, F.lit(0.0), lambda a, x: a + x), round_to).alias("hist_l1"),
+        F.round(F.array_max(d), round_to).alias("hist_linf"),
+        F.round(pd_, round_to).alias("pct_drift"),
+    )

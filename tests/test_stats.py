@@ -86,3 +86,29 @@ def test_numeric_drift_matches_numpy(spark):
     # approx (100 TB) path runs and stays close at this size
     ap = numeric_drift(a, b, "v", bins=10, approx=True).collect()[0]
     assert abs(ap["l1"] - row["l1"]) < 0.1
+
+
+def test_tile_drift_series_hand_computed(spark):
+    import datetime as dt
+
+    from chronon_spark.jobs.stats import tile_drift_series
+
+    # day1: 4 rows {a:2, b:2}; day2: 8 rows {a:6, b:2}; day3: 4 rows {b:4}
+    rows = []
+    for day, cats in [(1, "aabb"), (2, "aaaaaabb"), (3, "bbbb")]:
+        for i, c in enumerate(cats):
+            rows.append((dt.datetime(2024, 3, day, 10, i), c, float(i + 1)))
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    out = {r["ds"].isoformat(): r for r in tile_drift_series(df, "ts", "event_type", "value").collect()}
+    assert set(out) == {"2024-03-02", "2024-03-03"}
+    d2 = out["2024-03-02"]
+    assert d2["n"] == 8 and d2["count_change_pct"] == 100.0
+    # hists: day1 (.5,.5) day2 (.75,.25) -> l1 = .25+.25, linf = .25
+    assert abs(d2["hist_l1"] - 0.5) < 1e-9 and abs(d2["hist_linf"] - 0.25) < 1e-9
+    d3 = out["2024-03-03"]
+    assert d3["count_change_pct"] == -50.0
+    # day2 (a:.75,b:.25) vs day3 (a:0,b:1) -> l1 = .75+.75, linf = .75
+    assert abs(d3["hist_l1"] - 1.5) < 1e-9 and abs(d3["hist_linf"] - 0.75) < 1e-9
+    # identical consecutive value distributions per construction at days 1->2?
+    # values differ; just sanity: drift is finite and non-negative
+    assert d2["pct_drift"] >= 0.0 and d3["pct_drift"] >= 0.0
