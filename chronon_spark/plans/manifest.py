@@ -180,3 +180,49 @@ def run_partitioned_backfill(
         "partitions_skipped_resume": skipped,
         "rows_out": total_out,
     }
+
+
+def partition_stats(spark: SparkSession, out_path: str, checkpoint_dir: str | None = None):
+    """Per-partition table statistics WITHOUT scanning data — the reference's
+    `IcebergPartitionStatsExtractor` (batch/iceberg/IcebergPartitionStatsExtractor.scala:
+    walks Iceberg manifest files for per-partition row counts / sizes) over
+    this engine's parquet+manifest catalog form:
+
+    ``(ds, n_files, bytes, rows, semantic_hash, wall_sec)``
+
+    Row counts come from parquet FOOTER metadata (``pyarrow.parquet``
+    ``metadata.num_rows``), sizes from the filesystem, lineage fields from
+    the backfill's per-partition manifest JSONs when ``checkpoint_dir`` is
+    given. Cost is O(files) driver-side metadata reads — valid at any data
+    scale because partition counts are calendar-bounded, not data-bounded.
+    Returns a Spark DataFrame so downstream jobs (drift over partition sizes,
+    freshness monitors) can compose it.
+    """
+    import pyarrow.parquet as pq
+
+    rows = []
+    for entry in sorted(os.listdir(out_path)):
+        if not entry.startswith("ds="):
+            continue
+        ds = entry.split("=", 1)[1]
+        pdir = os.path.join(out_path, entry)
+        n_files = n_bytes = n_rows = 0
+        for fn in os.listdir(pdir):
+            if not fn.endswith(".parquet"):
+                continue
+            fp = os.path.join(pdir, fn)
+            n_files += 1
+            n_bytes += os.path.getsize(fp)
+            n_rows += pq.ParquetFile(fp).metadata.num_rows
+        sem, wall = None, None
+        if checkpoint_dir is not None:
+            mp = os.path.join(checkpoint_dir, f"{ds}.json")
+            if os.path.exists(mp):
+                with open(mp) as f:
+                    m = json.load(f)
+                sem = m.get("semantic_hash")
+                wall = m.get("stage_metrics", {}).get("wall_sec")
+        rows.append((ds, n_files, n_bytes, n_rows, sem, wall))
+    return spark.createDataFrame(
+        rows, "ds string, n_files int, bytes long, rows long, semantic_hash string, wall_sec double"
+    )

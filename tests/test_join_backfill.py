@@ -68,3 +68,20 @@ def test_exactly_one_spec_required(spark, paths):
     ev_p, q_p, root = paths
     with pytest.raises(ValueError, match="exactly one"):
         run_partitioned_backfill(spark, ev_p, q_p, str(root / "x"), str(root / "y"))
+
+
+def test_partition_stats_extractor(spark, paths):
+    from chronon_spark.plans.manifest import partition_stats
+
+    ev_p, q_p, root = paths
+    run_partitioned_backfill(
+        spark, ev_p, q_p, str(root / "out"), str(root / "ckpt"), join_builder=_builder
+    )
+    st = {r["ds"]: r for r in partition_stats(spark, str(root / "out"), str(root / "ckpt")).collect()}
+    out = spark.read.parquet(str(root / "out"))
+    want = {str(r["ds"]): r["n"] for r in out.groupBy("ds").count().withColumnRenamed("count", "n").collect()}
+    assert set(st) == set(want)
+    for ds, row in st.items():
+        assert row["rows"] == want[ds]          # footer metadata == actual
+        assert row["n_files"] >= 1 and row["bytes"] > 0
+        assert row["semantic_hash"] is not None and row["wall_sec"] is not None
