@@ -97,3 +97,32 @@ def test_stream_sessionize_counts(spark, stream_dir):
         starts = g["session_start"].to_numpy()
         ends = g["session_end"].to_numpy()
         assert (starts[1:] >= ends[:-1]).all()
+
+
+def test_stream_metrics_collector(spark, stream_dir, tmp_path):
+    from chronon_spark.streaming.metrics import StreamMetricsCollector
+
+    collector = StreamMetricsCollector(spark)
+    try:
+        sdf = stream_tumbling_agg(
+            _read_stream(spark, stream_dir), ["conv_id"], "1d", {"n": F.count(F.lit(1))}
+        )
+        _drain(sdf, "metrics_probe")
+        import time as _t
+
+        for _ in range(40):  # listener delivery is async
+            rows = [r for r in collector.rows() if r["num_input_rows"]]
+            if rows:
+                break
+            _t.sleep(0.5)
+        assert rows, "no progress events captured"
+        assert sum(r["num_input_rows"] for r in rows) == 4000
+        assert all(r["batch_id"] >= 0 and "triggerExecution" in r["duration_ms"] for r in rows)
+        p = str(tmp_path / "metrics.jsonl")
+        n = collector.to_json(p)
+        assert n == len(collector.rows())
+        import json as _json
+
+        assert all(_json.loads(ln) for ln in open(p))
+    finally:
+        collector.stop()
