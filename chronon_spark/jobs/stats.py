@@ -111,18 +111,23 @@ def categorical_lp_distances(
     categories is scored. Shape: two map-side-combined groupBys + a full
     outer join on the (small) category domain + broadcast totals.
     """
+    from pyspark.sql import Window
+
     ca = df_a.where(F.col(col).isNotNull()).groupBy(col).agg(F.count("*").alias("__na"))
     cb = df_b.where(F.col(col).isNotNull()).groupBy(col).agg(F.count("*").alias("__nb"))
-    ta = df_a.where(F.col(col).isNotNull()).agg(F.count("*").alias("__ta"))
-    tb = df_b.where(F.col(col).isNotNull()).agg(F.count("*").alias("__tb"))
-    j = (
-        ca.join(cb, on=col, how="full_outer")
-        .crossJoin(F.broadcast(ta))
-        .crossJoin(F.broadcast(tb))
+    j = ca.join(cb, on=col, how="full_outer")
+    # slice totals as window sums over the (category-domain-sized) joined
+    # frame — the full outer join keeps every category of each slice, so the
+    # sum of its counts IS the slice total; avoids two scalar-attach
+    # nested-loop joins and two extra aggregate jobs
+    w = Window.partitionBy()
+    na = F.coalesce(F.col("__na"), F.lit(0))
+    nb = F.coalesce(F.col("__nb"), F.lit(0))
+    pa = na / F.sum(na).over(w)
+    pb = nb / F.sum(nb).over(w)
+    return j.select(pa.alias("__pa"), pb.alias("__pb")).agg(
+        *_lp_agg(F.col("__pa"), F.col("__pb"), round_to)
     )
-    pa = F.coalesce(F.col("__na"), F.lit(0)) / F.col("__ta")
-    pb = F.coalesce(F.col("__nb"), F.lit(0)) / F.col("__tb")
-    return j.agg(*_lp_agg(pa, pb, round_to))
 
 
 def numeric_drift(
@@ -168,17 +173,20 @@ def numeric_drift(
             .agg(F.count("*").alias(f"__n{alias}"))
         )
 
+    from pyspark.sql import Window
+
     ba, bb = binned(df_a, "a"), binned(df_b, "b")
-    ta = df_a.where(F.col(col).isNotNull()).agg(F.count("*").alias("__ta"))
-    tb = df_b.where(F.col(col).isNotNull()).agg(F.count("*").alias("__tb"))
-    j = (
-        ba.join(bb, on="bin", how="full_outer")
-        .crossJoin(F.broadcast(ta))
-        .crossJoin(F.broadcast(tb))
+    j = ba.join(bb, on="bin", how="full_outer")
+    # slice totals as window sums over the bins-sized frame (every non-null
+    # row of each slice landed in exactly one bin) — no scalar-attach joins
+    w = Window.partitionBy()
+    na = F.coalesce(F.col("__na"), F.lit(0))
+    nb = F.coalesce(F.col("__nb"), F.lit(0))
+    pa = na / F.sum(na).over(w)
+    pb = nb / F.sum(nb).over(w)
+    return j.select(pa.alias("__pa"), pb.alias("__pb")).agg(
+        *_lp_agg(F.col("__pa"), F.col("__pb"), round_to)
     )
-    pa = F.coalesce(F.col("__na"), F.lit(0)) / F.col("__ta")
-    pb = F.coalesce(F.col("__nb"), F.lit(0)) / F.col("__tb")
-    return j.agg(*_lp_agg(pa, pb, round_to))
 
 
 def tile_drift_series(

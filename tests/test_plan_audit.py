@@ -26,7 +26,16 @@ SF_DIR = "/root/testdata/sf0.001"
 # the operator under test (latest-partition scan) is a pure filter.
 # drift_psi: two crossJoin(broadcast(<1-row total>)) scalar attaches — the
 # canonical way to divide by a global count without a collect.
-BNLJ_ALLOWED = {"embedding_topk", "embedding_near_dups", "cumulative_events_scan", "drift_psi"}
+# drift_numeric_lp: crossJoin(broadcast(<1-row split-point array>)) feeding
+# the map-side binning expression — the canonical distributed scalar attach
+# (the alternative is a driver collect of the splits).
+BNLJ_ALLOWED = {
+    "embedding_topk",
+    "embedding_near_dups",
+    "cumulative_events_scan",
+    "drift_psi",
+    "drift_numeric_lp",
+}
 
 # iterative/stateful queries execute eagerly inside (checkpoint/collect) —
 # plan text only reflects the last round; still audited, just noted
