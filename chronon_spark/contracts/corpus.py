@@ -628,6 +628,96 @@ SELECT doc_id, lang, quality, rank FROM ranked WHERE rank <= 5
 """
 
 
+# ---------------------------------------------------------------- winnowing
+
+
+def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints per document (k=8 char-grams, window w=4):
+    doc_id, fingerprint count, and the sorted fingerprint set serialized
+    with '|' (driver-canonicalizable). The fingerprint set is the substring-
+    level dedup index: two docs sharing any >=11-char normalized substring
+    share a fingerprint, so candidate pairs come from a plain equi-join on
+    fp — no all-pairs comparison at any scale."""
+    d = _load_docs(spark, sf_dir)
+    out = d.select(
+        "doc_id", text.winnow_fingerprints("text", k=8, w=4).alias("fps_arr")
+    ).where(F.size("fps_arr") > 0)
+    return out.select(
+        "doc_id",
+        F.size("fps_arr").alias("n_fps"),
+        F.array_join(F.array_sort("fps_arr"), "|").alias("fps"),
+    )
+
+
+_SQL_DOC_FINGERPRINTS = """
+WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+           FROM documents),
+g AS (SELECT doc_id,
+             list_transform(range(1, length(norm) - 8 + 2),
+                            i -> substring(md5(substring(norm, i::INT, 8)), 1, 16)) AS hs
+      FROM d WHERE length(norm) >= 8),
+f AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(1, len(hs) - 4 + 1) + 1),
+                                          j -> list_min(hs[j::INT : j::INT + 3]))) AS fps
+      FROM g)
+SELECT doc_id, len(fps)::INT AS n_fps, array_to_string(list_sort(fps), '|') AS fps
+FROM f WHERE len(fps) > 0
+"""
+
+
+# ---------------------------------------------------------------- tf-idf
+
+
+def _q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (score = tf * ln(N/df), rounded to 6
+    decimals; ties broken by term asc).
+
+    Scale shape: explode -> groupBy(doc,term) with map-side partial count
+    (one shuffle), vocabulary df as a second partial agg, tf x df equi-join
+    on term left to AQE (vocab may exceed broadcast at corpus scale), and a
+    plain per-doc window for the top-k — doc_id groups are numerous and
+    tiny, so window skew (the reason quality_topk uses the salted two-phase
+    form) does not apply here."""
+    from pyspark.sql.window import Window
+
+    d = _load_docs(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(text.tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("score"),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(win))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", "term", "rnk", "score")
+    )
+
+
+_SQL_TFIDF_TOPK = f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+s AS (SELECT doc_id, term, round(tf * ln(n_docs::DOUBLE / df), 6) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n),
+r AS (SELECT doc_id, term, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS INT) AS rnk
+      FROM s)
+SELECT doc_id, term, rnk, score FROM r WHERE rnk <= 3
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_topk_per_lang": _q_quality_topk,
     "doc_chunks": _q_doc_chunks,
@@ -648,6 +738,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": _q_ann_topk,
     "ann_ivf_topk": _q_ivf_topk,
     "media_features": _q_media_features,
+    "doc_fingerprints": _q_doc_fingerprints,
+    "tfidf_topk": _q_tfidf_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -670,4 +762,6 @@ ORACLES: dict[str, str] = {
     "ann_lsh_topk": _ann_sql(),
     "ann_ivf_topk": _ivf_sql(),
     "media_features": _SQL_MEDIA,
+    "doc_fingerprints": _SQL_DOC_FINGERPRINTS,
+    "tfidf_topk": _SQL_TFIDF_TOPK,
 }

@@ -123,6 +123,53 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(normalize_text(text))
 
 
+def winnow_fingerprints(text: Column | str, k: int = 8, w: int = 4) -> Column:
+    """MOSS-style winnowing fingerprints (Schleimer et al., SIGMOD '03):
+    hash every char ``k``-gram of the normalized text, then keep the minimum
+    hash of each sliding window of ``w`` consecutive gram hashes. Guarantees
+    any shared substring of length >= k + w - 1 contributes at least one
+    shared fingerprint, at ~2/(w+1) the density of full k-gram hashing.
+
+    Returns ``array<string>`` of the distinct selected hashes (first 16 hex
+    chars of md5 — portable to any SQL engine). Documents shorter than ``k``
+    (normalized) yield an empty array.
+
+    Entirely codegen built-ins — no UDF, no shuffle; the downstream
+    fingerprint->doc inverted index is where the (single) shuffle lives.
+
+    Expression shape: each stage is let-bound through a single-element
+    ``transform(array(x), v -> body)[0]`` so the normalize regex runs once
+    per row and the gram-hash array is materialized once before the O(n*w)
+    window-min pass — a bare nested expression would be re-inlined per
+    element by CollapseProject (the O(T^2) trap documented on
+    ``word_shingles``).
+    """
+    c = F.col(text) if isinstance(text, str) else text
+
+    def grams(nrm: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(1), F.length(nrm) - k + 1),
+            lambda i: F.substring(F.md5(nrm.substr(i, F.lit(k))), 1, 16),
+        )
+
+    def winnow(hs: Column) -> Column:
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(hs) - w + 1)),
+                lambda j: F.array_min(F.slice(hs, j, w)),
+            )
+        )
+
+    bound = F.transform(
+        F.array(normalize_text(c)),
+        lambda nrm: F.when(
+            F.length(nrm) >= k,
+            F.transform(F.array(grams(nrm)), winnow)[0],
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    return bound[0]
+
+
 def word_shingles(text: Column | str, n: int = 3, distinct: bool = True) -> Column:
     """Word n-gram shingles (the MinHash/Jaccard input set).
 

@@ -479,3 +479,81 @@ def test_ngram_jaccard_max_df(docs):
     assert set(tight) <= set(exact)
     for k, v in tight.items():
         assert abs(v - exact[k]) < 1e-12
+
+
+# ---------------------------------------------------------------- winnowing
+
+
+def _py_winnow(t: str, k: int = 8, w: int = 4) -> list[str]:
+    import re
+
+    norm = re.sub(r"\s+", " ", t.lower()).strip()
+    if len(norm) < k:
+        return []
+    hs = [
+        hashlib.md5(norm[i : i + k].encode()).hexdigest()[:16]
+        for i in range(len(norm) - k + 1)
+    ]
+    return sorted({min(hs[j : j + w]) for j in range(max(1, len(hs) - w + 1))})
+
+
+def test_winnow_fingerprints_match_python(docs):
+    rows = (
+        docs.limit(20)
+        .select("doc_id", "text", text.winnow_fingerprints("text").alias("fps"))
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert sorted(r["fps"]) == _py_winnow(r["text"])
+
+
+def test_winnow_short_and_exact_k_texts(spark):
+    df = spark.createDataFrame(
+        [("short", "abc"), ("exact", "abcdefgh"), ("ws", "  a   b  ")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r["fps"]
+        for r in df.select(
+            "doc_id", text.winnow_fingerprints("text").alias("fps")
+        ).collect()
+    }
+    assert got["short"] == []
+    assert got["exact"] == [hashlib.md5(b"abcdefgh").hexdigest()[:16]]
+    # whitespace collapses to "a b" (3 chars) -> below k
+    assert got["ws"] == []
+
+
+def test_winnow_guarantee_shared_substring(spark):
+    """Winnowing guarantee: any shared normalized substring of length
+    >= k + w - 1 (= 11) contributes at least one shared fingerprint."""
+    shared = "zqxjkvbwpyg"  # 11 chars, appears in both docs
+    df = spark.createDataFrame(
+        [(1, f"left prefix {shared} left tail"), (2, f"other {shared} ending here")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: set(r["fps"])
+        for r in df.select(
+            "doc_id", text.winnow_fingerprints("text").alias("fps")
+        ).collect()
+    }
+    assert got[1] & got[2], "docs sharing an 11-char substring must share a fingerprint"
+
+
+def test_tfidf_topk_contract(spark):
+    from chronon_spark.contracts.corpus import _q_tfidf_topk
+
+    out = _q_tfidf_topk(spark, "/root/testdata/sf0.001").collect()
+    assert out
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["rnk"], r["score"], r["term"]))
+    for doc_id, rows in by_doc.items():
+        rows.sort()
+        assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= 3
+        # scores weakly decreasing in rank; ties broken by term asc
+        for (r1, s1, t1), (r2, s2, t2) in zip(rows, rows[1:]):
+            assert s1 > s2 or (s1 == s2 and t1 < t2)

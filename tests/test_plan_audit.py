@@ -29,12 +29,15 @@ SF_DIR = "/root/testdata/sf0.001"
 # drift_numeric_lp: crossJoin(broadcast(<1-row split-point array>)) feeding
 # the map-side binning expression — the canonical distributed scalar attach
 # (the alternative is a driver collect of the splits).
+# tfidf_topk: crossJoin(broadcast(<1-row corpus doc count>)) for the idf
+# denominator — same scalar-attach shape.
 BNLJ_ALLOWED = {
     "embedding_topk",
     "embedding_near_dups",
     "cumulative_events_scan",
     "drift_psi",
     "drift_numeric_lp",
+    "tfidf_topk",
 }
 
 # iterative/stateful queries execute eagerly inside (checkpoint/collect) —
