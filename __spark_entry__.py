@@ -365,6 +365,49 @@ FROM q
 """
 
 
+def _q_transcript_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation transcript profile: turn counts by role, tool-call
+    count, time span, mean score, and role-handover count (lag window).
+    One window shuffle keyed by conv_id, reused by the groupBy on the same
+    key (no second exchange — plan-audited)."""
+    from pyspark.sql.window import Window
+
+    _configure(spark)
+    t = _transcripts(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("tus", "turn_idx")
+    t2 = t.withColumn("prev_role", F.lag("role").over(w))
+    return t2.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.when(F.col("role") == "user", 1).otherwise(0)).alias("n_user"),
+        F.count("tool").alias("n_tool_calls"),
+        (F.max("tus") - F.min("tus")).alias("span_us"),
+        F.round(F.avg("score"), 6).alias("avg_score"),
+        F.sum(
+            F.when(
+                F.col("prev_role").isNotNull() & (F.col("prev_role") != F.col("role")),
+                1,
+            ).otherwise(0)
+        ).alias("n_handovers"),
+    )
+
+
+_SQL_TRANSCRIPT_STATS = f"""
+WITH t AS ({_DUCK_TRANSCRIPTS}),
+l AS (SELECT conv_id, role, tool, score, tus,
+             LAG(role) OVER (PARTITION BY conv_id ORDER BY tus, turn_idx) AS prev_role
+      FROM t)
+SELECT conv_id,
+       COUNT(*)                                                        AS n_turns,
+       SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END)::BIGINT          AS n_user,
+       COUNT(tool)                                                     AS n_tool_calls,
+       MAX(tus) - MIN(tus)                                             AS span_us,
+       ROUND(AVG(score), 6)                                            AS avg_score,
+       SUM(CASE WHEN prev_role IS NOT NULL AND prev_role <> role
+                THEN 1 ELSE 0 END)::BIGINT                             AS n_handovers
+FROM l GROUP BY conv_id
+"""
+
+
 # ---------------------------------------------------------------- contract
 
 
@@ -388,6 +431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sawtooth_13d_sliced": _q_sawtooth_sliced,
         "sawtooth_13d_skew_split": _q_sawtooth_skew_split,
         "snapshot_daily": _q_snapshot_daily,
+        "transcript_stats": _q_transcript_stats,
         **ops.QUERIES,
         **corpus.QUERIES,
     }
@@ -408,6 +452,7 @@ def oracle_sql() -> dict[str, str]:
         "sawtooth_13d_sliced": _SQL_SAWTOOTH,
         "sawtooth_13d_skew_split": _SQL_SAWTOOTH,
         "snapshot_daily": _SQL_SNAPSHOT,
+        "transcript_stats": _SQL_TRANSCRIPT_STATS,
         **ops.ORACLES,
         **corpus.ORACLES,
     }

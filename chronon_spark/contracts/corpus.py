@@ -665,6 +665,37 @@ FROM f WHERE len(fps) > 0
 """
 
 
+def _q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level near-dup pairs: winnowing-fingerprint inverted index
+    (one shuffle keyed by fingerprint), containment >= 0.5. Exact path
+    (max_df=None) so the oracle is a plain fingerprint self-join."""
+    d = _load_docs(spark, sf_dir)
+    return dedup.winnow_overlap_pairs(d, "doc_id", "text", k=8, w=4, threshold=0.5)
+
+
+_SQL_WINNOW_OVERLAP = """
+WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+           FROM documents),
+g AS (SELECT doc_id,
+             list_transform(range(1, length(norm) - 8 + 2),
+                            i -> substring(md5(substring(norm, i::INT, 8)), 1, 16)) AS hs
+      FROM d WHERE length(norm) >= 8),
+f AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(1, len(hs) - 4 + 1) + 1),
+                                          j -> list_min(hs[j::INT : j::INT + 3]))) AS fps
+      FROM g WHERE len(hs) > 0),
+ex AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+co AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+       FROM ex a JOIN ex b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       GROUP BY a.doc_id, b.doc_id),
+sz AS (SELECT doc_id, len(fps) AS n FROM f)
+SELECT id_a, id_b, common,
+       common::DOUBLE / least(sa.n, sb.n) AS containment
+FROM co JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+WHERE common::DOUBLE / least(sa.n, sb.n) >= 0.5
+"""
+
+
 # ---------------------------------------------------------------- tf-idf
 
 
@@ -739,6 +770,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": _q_ivf_topk,
     "media_features": _q_media_features,
     "doc_fingerprints": _q_doc_fingerprints,
+    "dedup_winnow_overlap": _q_winnow_overlap,
     "tfidf_topk": _q_tfidf_topk,
 }
 
@@ -763,5 +795,6 @@ ORACLES: dict[str, str] = {
     "ann_ivf_topk": _ivf_sql(),
     "media_features": _SQL_MEDIA,
     "doc_fingerprints": _SQL_DOC_FINGERPRINTS,
+    "dedup_winnow_overlap": _SQL_WINNOW_OVERLAP,
     "tfidf_topk": _SQL_TFIDF_TOPK,
 }

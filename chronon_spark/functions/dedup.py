@@ -22,7 +22,12 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from chronon_spark.functions.text import fingerprint, tokens, word_shingles
+from chronon_spark.functions.text import (
+    fingerprint,
+    tokens,
+    winnow_fingerprints,
+    word_shingles,
+)
 
 def ensure_parallelism(df: DataFrame) -> DataFrame:
     """Repartition up to the session's default parallelism when the input
@@ -285,6 +290,91 @@ def ngram_jaccard_pairs(
             (F.col("common").cast("double") / (F.col("na") + F.col("nb") - F.col("common"))).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    w: int = 4,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Substring-level near-dup pairs from winnowing fingerprints
+    (text.winnow_fingerprints): any shared normalized substring of length
+    >= k + w - 1 guarantees a shared fingerprint, so candidate pairs come
+    from the fingerprint inverted index — same one-shuffle posting-list
+    shape as ngram_jaccard_pairs, never an all-pairs join. Score is
+    containment |Fa ∩ Fb| / min(|Fa|, |Fb|) (the plagiarism-detection
+    convention: a small doc fully embedded in a large one scores 1.0,
+    where Jaccard would dilute it).
+
+    ``max_df`` prunes boilerplate fingerprints exactly as in
+    ngram_jaccard_pairs: long postings generate no candidates, and the
+    surviving candidates are re-scored EXACTLY over the full fingerprint
+    sets via a join-back (array_intersect), so emitted scores are never
+    approximate — only recall of pairs whose sole witnesses are boilerplate
+    is traded away.
+    """
+    fp = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            winnow_fingerprints(text_col, k=k, w=w).alias("fps"),
+        )
+        .where(F.size("fps") > 0)
+    )
+    sizes = fp.select("doc_id", F.size("fps").alias("n_fp"))
+    ex = fp.select("doc_id", F.explode("fps").alias("f"))
+    postings = (
+        ex.groupBy("f")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .where(F.size("docs") > 1)
+        .select("docs")
+    )
+    if max_df is not None:
+        postings = postings.where(F.size("docs") <= max_df)
+    co = (
+        postings.select(F.posexplode("docs").alias("pos", "id_a"), F.col("docs"))
+        .select(
+            "id_a",
+            F.explode(F.slice("docs", F.col("pos") + F.lit(2), F.size("docs"))).alias("id_b"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    if max_df is not None:
+        fa = fp.select(F.col("doc_id").alias("id_a"), F.col("fps").alias("__fa"))
+        fb = fp.select(F.col("doc_id").alias("id_b"), F.col("fps").alias("__fb"))
+        return (
+            co.select("id_a", "id_b")
+            .join(fa, "id_a")
+            .join(fb, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                F.size(F.array_intersect("__fa", "__fb")).cast("bigint").alias("common"),
+                (
+                    F.size(F.array_intersect("__fa", "__fb")).cast("double")
+                    / F.least(F.size("__fa"), F.size("__fb"))
+                ).alias("containment"),
+            )
+            .where(F.col("containment") >= threshold)
+        )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_fp").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_fp").alias("nb"))
+    return (
+        co.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "common",
+            (F.col("common").cast("double") / F.least("na", "nb")).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
     )
 
 

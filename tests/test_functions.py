@@ -557,3 +557,23 @@ def test_tfidf_topk_contract(spark):
         # scores weakly decreasing in rank; ties broken by term asc
         for (r1, s1, t1), (r2, s2, t2) in zip(rows, rows[1:]):
             assert s1 > s2 or (s1 == s2 and t1 < t2)
+
+
+def test_winnow_overlap_max_df_exact_scores(docs):
+    exact = {
+        (r["id_a"], r["id_b"]): (r["common"], r["containment"])
+        for r in dedup.winnow_overlap_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert exact, "sf0.01 planted dups must produce winnow-overlap pairs"
+    for (a, b), (c, s) in exact.items():
+        assert a < b and c >= 1 and 0.5 <= s <= 1.0
+    # aggressive posting prune -> subset of exact pairs with EXACT scores
+    tight = {
+        (r["id_a"], r["id_b"]): (r["common"], r["containment"])
+        for r in dedup.winnow_overlap_pairs(
+            docs, "doc_id", "text", threshold=0.5, max_df=3
+        ).collect()
+    }
+    assert set(tight) <= set(exact)
+    for pair, v in tight.items():
+        assert v == exact[pair]
