@@ -637,18 +637,37 @@ def _grouped_kernel(
     side: str,
 ) -> np.ndarray:
     """Run one part's kernel per group value (bucket or map key), assembling
-    Map[group -> aggregate] per query; NULL when no group has data."""
+    Map[group -> aggregate] per query; NULL when no group has data.
+
+    Group slicing is ONE factorize + stable argsort (within-group ts order
+    preserved, so the searchsorted bounds stay valid) instead of a boolean
+    scan per group — O(N log N) total where the scan form was O(N·B).
+    Dict assembly touches only queries whose kernel value is non-NULL
+    (flatnonzero), so sparse buckets cost proportional to their hits, not
+    to Q. Group iteration order is factorize's first-appearance order —
+    identical to the pd.unique order of the scan form, so map key order
+    (and any downstream serialization) is unchanged."""
     res = np.empty(len(q_ts), object)
     res[:] = None
-    acc: list[dict] = [dict() for _ in range(len(q_ts))]
-    for bv in pd.unique(group_vals):
-        bm = group_vals == bv
-        cs = _ColumnSeries(ts[bm], vals[bm])
+    if not len(ts):
+        return res
+    codes, uniques = pd.factorize(group_vals)
+    order = np.argsort(codes, kind="stable")
+    sorted_codes = codes[order]
+    bounds = np.searchsorted(sorted_codes, np.arange(len(uniques) + 1))
+    ts_s, vals_s = ts[order], vals[order]
+    acc: list[dict | None] = [None] * len(q_ts)
+    for g in range(len(uniques)):
+        lo, hi = int(bounds[g]), int(bounds[g + 1])
+        cs = _ColumnSeries(ts_s[lo:hi], vals_s[lo:hi])
         s, e = cs.bounds(q_starts, q_ts, side)
         kv = _kernel(part, cs, s, e)
-        for i in range(len(q_ts)):
-            if kv[i] is not None:
-                acc[i][str(bv)] = kv[i]
-    for i in range(len(q_ts)):
-        res[i] = acc[i] or None
+        key = str(uniques[g])
+        for i in np.flatnonzero(kv != None):  # noqa: E711 — elementwise on object array
+            d = acc[i]
+            if d is None:
+                d = acc[i] = {}
+            d[key] = kv[i]
+    for i, d in enumerate(acc):
+        res[i] = d
     return res
