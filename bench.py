@@ -57,6 +57,10 @@ BENCH_QUERIES = [
     "external_contextual",
     "compare_metrics_drift",
     "doc_chunks",
+    "transcript_stats",
+    "doc_fingerprints",
+    "dedup_winnow_overlap",
+    "tfidf_topk",
 ]
 
 

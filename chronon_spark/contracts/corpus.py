@@ -667,10 +667,19 @@ FROM f WHERE len(fps) > 0
 
 def _q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level near-dup pairs: winnowing-fingerprint inverted index
-    (one shuffle keyed by fingerprint), containment >= 0.5. Exact path
-    (max_df=None) so the oracle is a plain fingerprint self-join."""
+    (one shuffle keyed by fingerprint), containment >= 0.5.
+
+    ``max_df=20`` is NOT optional here: char 8-gram fingerprints hit common
+    English substrings, so posting lengths grow with corpus size and an
+    unpruned index degenerates quadratically (measured 178 s at sf0.1 vs
+    ~10 s pruned). Candidates come from bounded postings only; scores are
+    re-computed EXACTLY over the full fingerprint sets via the join-back,
+    so emitted values are identical to the exact path's for every surviving
+    pair — the oracle mirrors the same prune."""
     d = _load_docs(spark, sf_dir)
-    return dedup.winnow_overlap_pairs(d, "doc_id", "text", k=8, w=4, threshold=0.5)
+    return dedup.winnow_overlap_pairs(
+        d, "doc_id", "text", k=8, w=4, threshold=0.5, max_df=20
+    )
 
 
 _SQL_WINNOW_OVERLAP = """
@@ -685,14 +694,15 @@ f AS (SELECT doc_id,
                                           j -> list_min(hs[j::INT : j::INT + 3]))) AS fps
       FROM g WHERE len(hs) > 0),
 ex AS (SELECT doc_id, unnest(fps) AS fp FROM f),
-co AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-       FROM ex a JOIN ex b ON a.fp = b.fp AND a.doc_id < b.doc_id
-       GROUP BY a.doc_id, b.doc_id),
-sz AS (SELECT doc_id, len(fps) AS n FROM f)
-SELECT id_a, id_b, common,
-       common::DOUBLE / least(sa.n, sb.n) AS containment
-FROM co JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-WHERE common::DOUBLE / least(sa.n, sb.n) >= 0.5
+pf AS (SELECT fp, count(*) AS c FROM ex GROUP BY fp),
+exp AS (SELECT ex.doc_id, ex.fp FROM ex JOIN pf USING (fp) WHERE pf.c BETWEEN 2 AND 20),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM exp a JOIN exp b ON a.fp = b.fp AND a.doc_id < b.doc_id)
+SELECT id_a, id_b,
+       len(list_intersect(fa.fps, fb.fps))::BIGINT AS common,
+       len(list_intersect(fa.fps, fb.fps))::DOUBLE / least(len(fa.fps), len(fb.fps)) AS containment
+FROM cand JOIN f fa ON fa.doc_id = id_a JOIN f fb ON fb.doc_id = id_b
+WHERE len(list_intersect(fa.fps, fb.fps))::DOUBLE / least(len(fa.fps), len(fb.fps)) >= 0.5
 """
 
 

@@ -245,3 +245,33 @@ def test_snapshot_accuracy_bigint_millis_left_ts(spark, data):
     left_ms = left_ms.withColumn("ts", F.col("ts").cast("long"))
     got = compute_join(left_ms, join).toPandas().drop(columns=["ts"])
     assert_frames_allclose(got, want.drop(columns=["ts"]), sort_by=["query_id"])
+
+
+def test_per_turn_text_stable_under_repartition(spark):
+    """North-rule invariant: per-turn text equality under stable turn
+    ordering — the derived (conv_id, turn_idx) -> text mapping must be
+    identical no matter how the input events are partitioned (row_number
+    is ordered by (ts, event_id), a total order, so shuffling the input
+    cannot reassign turn indices)."""
+    from chronon_spark.sources.tables import transcripts_from_events
+
+    base = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in transcripts_from_events(spark, "/root/testdata/sf0.001").collect()
+    }
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    shuffled = ev.repartition(7, "event_type")
+    shuffled.createOrReplaceTempView("__shuffled_events")
+    from pyspark.sql import Window, functions as F
+
+    w = Window.partitionBy("conv_id").orderBy("ts", "event_id")
+    t2 = (
+        shuffled.withColumn("conv_id", F.concat(F.lit("c"), F.col("user_id").cast("string")))
+        .withColumn("turn_idx", (F.row_number().over(w) - 1).cast("int"))
+        .withColumn("text", F.concat("event_type", F.lit(":"), F.col("event_id").cast("string")))
+    )
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in t2.select("conv_id", "turn_idx", "text").collect()
+    }
+    assert got == base
