@@ -61,6 +61,8 @@ BENCH_QUERIES = [
     "doc_fingerprints",
     "dedup_winnow_overlap",
     "tfidf_topk",
+    "log_flatten",
+    "stream_stats_tiles",
 ]
 
 

@@ -1020,7 +1020,129 @@ FROM j
 """
 
 
+# ------------------------------------------------------- log flattening
+
+
+def _q_log_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LogFlattenerJob (spark/.../LogFlattenerJob.scala): schema-evolving
+    key/value logs → one flat typed table (union of schema versions' fields,
+    absent → NULL). The log table is synthesized deterministically from
+    `events`: v1 payloads (click/view) carry {score, event_type}; v2 adds
+    `amount` — the schema-evolution case the job exists for."""
+    from chronon_spark.jobs.log_flattener import flatten_logs
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    is_v1 = F.col("event_type").isin("click", "view")
+    logs = ev.select(
+        "event_id",
+        F.when(is_v1, F.lit("v1")).otherwise(F.lit("v2")).alias("schema_hash"),
+        F.to_json(F.struct("user_id")).alias("key_json"),
+        F.when(
+            is_v1,
+            F.to_json(F.struct(F.col("value").alias("score"), "event_type")),
+        )
+        .otherwise(
+            F.to_json(
+                F.struct(
+                    F.col("value").alias("score"),
+                    "event_type",
+                    (F.col("value") * 2).alias("amount"),
+                )
+            )
+        )
+        .alias("value_json"),
+    )
+    return flatten_logs(logs, carry=("event_id",))
+
+
+_SQL_LOG_FLATTEN = """
+SELECT event_id,
+       CASE WHEN event_type IN ('click','view') THEN 'v1' ELSE 'v2' END AS schema_hash,
+       user_id,
+       value AS score,
+       event_type,
+       CASE WHEN event_type IN ('click','view') THEN NULL ELSE value * 2 END AS amount
+FROM events
+"""
+
+
+# ------------------------------------------------------- streaming stats
+
+
+def _q_stream_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-tile column summaries under the HARD oracle gate: the
+    events table is replayed as a Structured Stream (availableNow), the
+    incremental per-day tile summaries (streaming/stats_stream.py — the
+    streaming half of the reference's StatsCompute/TileSummary producers) are
+    drained to a memory sink, and the result must hash-match the batch SQL.
+    Executes eagerly (drain-then-return), like the other stateful queries."""
+    import uuid
+
+    from chronon_spark.streaming.stats_stream import stream_summary_tiles
+
+    import os
+    import tempfile
+
+    path = f"{sf_dir}/events.parquet"
+    # the streaming file source lists a DIRECTORY; stage the (read-only)
+    # table file into one via symlink — no data copy
+    src_dir = tempfile.mkdtemp(prefix="stream_stats_src")
+    os.symlink(os.path.abspath(path), f"{src_dir}/events.parquet")
+    schema = spark.read.parquet(path).schema
+    # watermarks require TIMESTAMP (LTZ); parquet reads NTZ. Session TZ is
+    # UTC, so the cast round-trip preserves wall-clock labels exactly.
+    stream = spark.readStream.schema(schema).parquet(src_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    tiles = stream_summary_tiles(stream, time_col="ts", columns=["value", "user_id"], tile="1d")
+    name = f"stream_stats_{uuid.uuid4().hex}"
+    q = (
+        tiles.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.table(name)
+    return out.select(
+        F.col("tile_start").cast("timestamp_ntz").alias("tile_start"),
+        "column",
+        "metric",
+        F.when(F.col("metric") == "sum", F.round("value", 3)).otherwise(F.col("value")).alias("value"),
+    )
+
+
+_SQL_STREAM_STATS = """
+WITH g AS (
+  SELECT date_trunc('day', ts) AS tile_start,
+         CAST(COUNT(value) AS DOUBLE)                                   AS v_count,
+         CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS v_nulls,
+         ROUND(CAST(SUM(value) AS DOUBLE), 3)                           AS v_sum,
+         CAST(MIN(value) AS DOUBLE)                                     AS v_min,
+         CAST(MAX(value) AS DOUBLE)                                     AS v_max,
+         CAST(COUNT(user_id) AS DOUBLE)                                   AS u_count,
+         CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS u_nulls,
+         ROUND(CAST(SUM(user_id) AS DOUBLE), 3)                           AS u_sum,
+         CAST(MIN(user_id) AS DOUBLE)                                     AS u_min,
+         CAST(MAX(user_id) AS DOUBLE)                                     AS u_max
+  FROM events GROUP BY 1)
+SELECT tile_start, 'value' AS "column", 'count' AS metric, v_count AS value FROM g
+UNION ALL SELECT tile_start, 'value', 'nulls', v_nulls FROM g
+UNION ALL SELECT tile_start, 'value', 'sum',   v_sum   FROM g
+UNION ALL SELECT tile_start, 'value', 'min',   v_min   FROM g
+UNION ALL SELECT tile_start, 'value', 'max',   v_max   FROM g
+UNION ALL SELECT tile_start, 'user_id', 'count', u_count FROM g
+UNION ALL SELECT tile_start, 'user_id', 'nulls', u_nulls FROM g
+UNION ALL SELECT tile_start, 'user_id', 'sum',   u_sum   FROM g
+UNION ALL SELECT tile_start, 'user_id', 'min',   u_min   FROM g
+UNION ALL SELECT tile_start, 'user_id', 'max',   u_max   FROM g
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "log_flatten": _q_log_flatten,
+    "stream_stats_tiles": _q_stream_stats,
     "label_join_forward": _q_label_join,
     "external_contextual": _q_external_parts,
     "compare_metrics_drift": _q_compare_metrics,
@@ -1044,6 +1166,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "log_flatten": _SQL_LOG_FLATTEN,
+    "stream_stats_tiles": _SQL_STREAM_STATS,
     "label_join_forward": _SQL_LABEL_JOIN,
     "external_contextual": _SQL_EXTERNAL,
     "compare_metrics_drift": _SQL_COMPARE,
