@@ -344,23 +344,17 @@ def winnow_overlap_pairs(
         .agg(F.count(F.lit(1)).alias("common"))
     )
     if max_df is not None:
-        # exact re-score over full fingerprint sets, recomputed ONLY for
-        # candidate docs: joining back to the raw text (cheap scan) and
-        # winnowing 2×|pairs| docs beats re-winnowing the whole corpus on
-        # both join branches (measured 27 s → ~12 s at sf0.1)
-        ta = base.select(F.col("doc_id").alias("id_a"), F.col("__text").alias("__ta"))
-        tb = base.select(F.col("doc_id").alias("id_b"), F.col("__text").alias("__tb"))
-        rescored = (
-            co.select("id_a", "id_b")
-            .join(ta, "id_a")
-            .join(tb, "id_b")
-            .select(
-                "id_a",
-                "id_b",
-                winnow_fingerprints("__ta", k=k, w=w).alias("__fa"),
-                winnow_fingerprints("__tb", k=k, w=w).alias("__fb"),
-            )
-        )
+        # exact re-score over full fingerprint sets via join-back to the
+        # PRECOMPUTED per-doc fingerprint arrays. Never re-winnow per pair:
+        # candidate pairs can vastly outnumber docs (sf0.1: 185k pairs from
+        # 5k docs), and winnowing is the expensive expression — a per-pair
+        # recompute measured 200 s where this join-back runs the whole query
+        # in ~14 s. Each join branch re-derives fp lazily (corpus-sized map
+        # work ×2) — same deliberate trade as the minhash band join above;
+        # persist fp to trade map CPU for storage on a saturated cluster.
+        fa = fp.select(F.col("doc_id").alias("id_a"), F.col("fps").alias("__fa"))
+        fb = fp.select(F.col("doc_id").alias("id_b"), F.col("fps").alias("__fb"))
+        rescored = co.select("id_a", "id_b").join(fa, "id_a").join(fb, "id_b")
         return rescored.select(
             "id_a",
             "id_b",
