@@ -583,23 +583,27 @@ def compute_parts(
             nn = col_full.dropna()
             if len(nn) and isinstance(nn.iloc[0], dict):
                 # map input: aggregate PER MAP KEY (reference:
-                # row/MapColumnAggregator.scala) — output Map[key -> agg]
+                # row/MapColumnAggregator.scala) — output Map[key -> agg].
+                # Flatten via chain + np.repeat: one C-level pass over the
+                # entries instead of a per-entry python append loop
+                from itertools import chain
+
                 mask = col_full.notna().to_numpy()
-                ts_rep, mkeys, mvals = [], [], []
-                for t, d in zip(ec.ts[mask], col_full[mask]):
-                    for k, v in d.items():
-                        if v is not None:
-                            ts_rep.append(t)
-                            mkeys.append(str(k))
-                            mvals.append(v)
+                sub = col_full[mask]
+                lens = np.fromiter((len(d) for d in sub), np.int64, count=len(sub))
+                flat = list(chain.from_iterable(d.items() for d in sub))
+                ts_rep = np.repeat(ec.ts[mask], lens)
+                if flat:
+                    ks, vs = zip(*flat)
+                    keep = np.fromiter((v is not None for v in vs), bool, count=len(vs))
+                    mkeys = np.fromiter((str(k) for k in ks), object, count=len(ks))[keep]
+                    ts_rep = ts_rep[keep]
+                    mvals = _to_numpy(pd.Series([v for v, ok in zip(vs, keep) if ok]))
+                else:
+                    mkeys = np.empty(0, object)
+                    mvals = _to_numpy(pd.Series([], dtype=object))
                 out[part.output_name] = _grouped_kernel(
-                    part,
-                    np.asarray(ts_rep, np.int64),
-                    np.asarray(mkeys, object),
-                    _to_numpy(pd.Series(mvals)),
-                    q_starts,
-                    q_ts,
-                    side,
+                    part, ts_rep, mkeys, mvals, q_starts, q_ts, side
                 )
                 continue
             cs = ec.column(part.input_column)
