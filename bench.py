@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "doc_fingerprints",
     "dedup_winnow_overlap",
     "tfidf_topk",
+    "decontaminate",
     "log_flatten",
     "stream_stats_tiles",
 ]

@@ -759,7 +759,50 @@ SELECT doc_id, term, rnk, score FROM r WHERE rnk <= 3
 """
 
 
+# ---------------------------------------------------------------- decontamination
+
+
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination report: every document scored against an
+    'eval set' (the doc_id % 20 == 0 slice — deterministic stand-in for a
+    held-out benchmark) on distinct 8-gram overlap. Bench docs flag
+    themselves (hit_frac 1.0); cross-hits surface shared boilerplate.
+
+    Scale shape: benchmark hash set broadcast, train side streams map-side
+    through the broadcast join; only matched shingles shuffle (see
+    functions/decontaminate.py docstring)."""
+    from chronon_spark.functions.decontaminate import contamination
+
+    d = _load_docs(spark, sf_dir)
+    bench = d.where(F.col("doc_id") % 20 == 0)
+    out = contamination(d, bench, shingle_n=8, min_hits=1)
+    return out.withColumn("n_ngrams", F.col("n_ngrams").cast("long"))
+
+
+_SQL_DECONTAMINATE = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id,
+              list_distinct(CASE WHEN len(toks) >= 8
+                THEN list_transform(range(1, len(toks) - 6),
+                                    i -> md5(array_to_string(toks[i:i+7], ' ')))
+                ELSE []::VARCHAR[] END) AS hs
+       FROM t),
+bench AS (SELECT DISTINCT unnest(hs) AS h FROM sh WHERE doc_id % 20 = 0),
+hits AS (SELECT s.doc_id, count(*) AS n_hit
+         FROM (SELECT doc_id, unnest(hs) AS h FROM sh) s JOIN bench USING (h)
+         GROUP BY s.doc_id)
+SELECT sh.doc_id AS doc_id,
+       len(sh.hs)::BIGINT AS n_ngrams,
+       COALESCE(hits.n_hit, 0)::BIGINT AS n_hit,
+       CASE WHEN len(sh.hs) > 0
+            THEN COALESCE(hits.n_hit, 0)::DOUBLE / len(sh.hs) ELSE 0.0 END AS hit_frac,
+       CASE WHEN COALESCE(hits.n_hit, 0) >= 1 THEN 1 ELSE 0 END AS contaminated
+FROM sh LEFT JOIN hits USING (doc_id)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "decontaminate": _q_decontaminate,
     "quality_topk_per_lang": _q_quality_topk,
     "doc_chunks": _q_doc_chunks,
     "pack_bins": _q_pack_bins,
@@ -785,6 +828,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "decontaminate": _SQL_DECONTAMINATE,
     "quality_topk_per_lang": _SQL_QUALITY_TOPK,
     "doc_chunks": _SQL_DOC_CHUNKS,
     "pack_bins": _SQL_PACK_BINS,
