@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "dedup_winnow_overlap",
     "tfidf_topk",
     "decontaminate",
+    "pii_scrub",
     "log_flatten",
     "stream_stats_tiles",
 ]

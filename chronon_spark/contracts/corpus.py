@@ -801,7 +801,103 @@ FROM sh LEFT JOIN hits USING (doc_id)
 """
 
 
+# ---------------------------------------------------------------- pii scrub
+
+
+def _pii_fixture_expr(cast_type: str) -> str:
+    """Deterministic PII-bearing text derived from doc_id — the synthetic
+    documents table contains no real PII, so both engines append the same
+    synthetic emails / IPs / SSNs / phones / card numbers / URLs before the
+    scrub runs. Identical SQL in both dialects except the cast target
+    (STRING vs VARCHAR)."""
+
+    def c(e: str) -> str:
+        return f"CAST({e} AS {cast_type})"
+
+    email = f"' mail user' || {c('doc_id % 97')} || '@ex' || {c('doc_id % 7')} || '.org'"
+    ipv4 = (
+        f"' ip ' || {c('doc_id % 223 + 1')} || '.' || {c('(doc_id * 7) % 256')}"
+        f" || '.0.' || {c('(doc_id * 13) % 256')}"
+    )
+    ssn = (
+        f"' ssn ' || lpad({c('doc_id % 1000')}, 3, '0') || '-' || "
+        f"lpad({c('doc_id % 100')}, 2, '0') || '-' || lpad({c('doc_id % 10000')}, 4, '0')"
+    )
+    phone = (
+        f"' tel ' || lpad({c('(doc_id * 3) % 1000')}, 3, '0') || '-' || "
+        f"lpad({c('(doc_id * 5) % 1000')}, 3, '0') || '-' || lpad({c('doc_id % 10000')}, 4, '0')"
+    )
+    cc = f"' card 4' || lpad({c('(doc_id * 2654435761) % 1000000000000000')}, 15, '0')"
+    url = f"' see https://site' || {c('doc_id % 11')} || '.example.org/p/' || {c('doc_id')}"
+    parts = [
+        ("doc_id % 3 = 0", email),
+        ("doc_id % 4 = 0", ipv4),
+        ("doc_id % 5 = 0", ssn),
+        ("doc_id % 6 = 1", phone),
+        ("doc_id % 7 = 2", cc),
+        ("doc_id % 2 = 0", url),
+    ]
+    cases = " || ".join(f"CASE WHEN {cond} THEN {frag} ELSE '' END" for cond, frag in parts)
+    return f"trim(text) || {cases}"
+
+
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII counts + redacted text. One codegen projection —
+    no shuffle at any scale; the redacted string is compared byte-for-byte
+    against the oracle's RE2 replay of the same detector chain."""
+    from chronon_spark.functions import pii
+
+    d = _load_docs(spark, sf_dir)
+    p = d.select("doc_id", F.expr(_pii_fixture_expr("STRING")).alias("ptext"))
+    return p.select(
+        "doc_id",
+        *pii.pii_counts("ptext"),
+        pii.redact_pii("ptext").alias("redacted"),
+    )
+
+
+def _pii_scrub_sql() -> str:
+    from chronon_spark.functions import pii
+
+    counts = ",\n       ".join(pii.pii_counts_sql("ptext"))
+    return f"""
+WITH p AS (SELECT doc_id, {_pii_fixture_expr("VARCHAR")} AS ptext FROM documents)
+SELECT doc_id,
+       {counts},
+       {pii.redact_pii_sql("ptext")} AS redacted
+FROM p
+"""
+
+
+def _q_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain URL rollup (the C4-style pre-blocklist frequency table).
+    Scale shape: extract+explode are map-side; the only shuffle is the
+    groupBy on domain (low cardinality vs docs), with map-side partial
+    aggregation — the classic word-count plan."""
+    from chronon_spark.functions import pii
+
+    d = _load_docs(spark, sf_dir)
+    p = d.select("doc_id", F.expr(_pii_fixture_expr("STRING")).alias("ptext"))
+    urls = p.select("doc_id", F.explode(pii.extract_domains("ptext")).alias("domain"))
+    return urls.groupBy("domain").agg(
+        F.count("*").alias("n_urls"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+def _url_domains_sql() -> str:
+    from chronon_spark.functions.pii import URL_PATTERN
+
+    return f"""
+WITH p AS (SELECT doc_id, {_pii_fixture_expr("VARCHAR")} AS ptext FROM documents),
+u AS (SELECT doc_id, unnest(regexp_extract_all(ptext, '{URL_PATTERN}', 1)) AS domain FROM p)
+SELECT domain, COUNT(*) AS n_urls, COUNT(DISTINCT doc_id) AS n_docs FROM u GROUP BY domain
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pii_scrub": _q_pii_scrub,
+    "url_domains": _q_url_domains,
     "decontaminate": _q_decontaminate,
     "quality_topk_per_lang": _q_quality_topk,
     "doc_chunks": _q_doc_chunks,
@@ -828,6 +924,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "pii_scrub": _pii_scrub_sql(),
+    "url_domains": _url_domains_sql(),
     "decontaminate": _SQL_DECONTAMINATE,
     "quality_topk_per_lang": _SQL_QUALITY_TOPK,
     "doc_chunks": _SQL_DOC_CHUNKS,
