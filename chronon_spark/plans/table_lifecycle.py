@@ -22,6 +22,18 @@ parquet directory + ``_table_meta.json`` (authoritative schema, semantic
 hash, properties). Every operation maps 1:1 onto the Iceberg calls a
 deployment would use instead: ``df.writeTo(t).overwritePartitions()``,
 ``ALTER TABLE ... ADD COLUMNS``, ``ALTER TABLE ... RENAME TO``.
+
+Snapshot versioning / time travel (Iceberg's snapshot log, re-expressed):
+every ``insert_partitions`` is a commit appended to ``_snapshots.json``
+recording the per-partition commit mapping + the schema AT that commit.
+The live layout stays plain ``ds=p/*.parquet`` (so every existing reader,
+glob, and duckdb spot-check keeps working); files superseded by a
+partition overwrite move into hidden ``._history/ds=p/commit_{n}/`` dirs
+that Hadoop's listing filter hides from normal scans. ``read(version=n)``
+reconstructs any snapshot; ``expire_snapshots(keep_last)`` is the GC
+(Iceberg ``expireSnapshots``) that bounds storage at scale. Snapshot cost
+per commit is one directory rename per overwritten partition + one JSON
+append — O(partitions touched), never O(data).
 """
 
 from __future__ import annotations
@@ -33,6 +45,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 META_FILE = "_table_meta.json"
+SNAPSHOTS_FILE = "_snapshots.json"
 
 
 class SchemaEvolutionError(ValueError):
@@ -69,6 +82,57 @@ class ManagedTable:
 
     def semantic_hash(self) -> str | None:
         return self._read_meta().get("semantic_hash")
+
+    # ----------------------------------------------------------- snapshots
+
+    @property
+    def _snapshots_path(self) -> str:
+        return os.path.join(self.path, SNAPSHOTS_FILE)
+
+    def snapshots(self) -> list[dict]:
+        """Commit history, oldest first (Iceberg snapshot log analogue)."""
+        if not os.path.exists(self._snapshots_path):
+            return []
+        with open(self._snapshots_path) as f:
+            return json.load(f)
+
+    def _write_snapshots(self, snaps: list[dict]) -> None:
+        tmp = self._snapshots_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(snaps, f, indent=1)
+        os.replace(tmp, self._snapshots_path)
+
+    def current_version(self) -> int:
+        snaps = self.snapshots()
+        return snaps[-1]["version"] if snaps else 0
+
+    def _live_commit_map(self) -> dict[str, int]:
+        snaps = self.snapshots()
+        return dict(snaps[-1]["partitions"]) if snaps else {}
+
+    def _commit_dir(self, partition: str, commit: int) -> str:
+        """Where a superseded commit's files live: under the table-root
+        hidden ``._history`` dir (dot prefix => invisible to Hadoop listing
+        and to the ``ds=*`` glob; OUTSIDE the partition dir because Spark's
+        overwrite mode truncates the whole write target)."""
+        return os.path.join(
+            self.path, "._history", f"{self.partition_col}={partition}", f"commit_{commit}"
+        )
+
+    def _retire_live_files(self, partition: str, commit: int) -> None:
+        """Move a partition's live data files into their hidden history dir,
+        so normal scans and globs never see superseded data but time-travel
+        reads still can."""
+        part_dir = os.path.join(self.path, f"{self.partition_col}={partition}")
+        if not os.path.isdir(part_dir):
+            return
+        files = [f for f in os.listdir(part_dir) if not f.startswith((".", "_"))]
+        if not files:
+            return
+        dst = self._commit_dir(partition, commit)
+        os.makedirs(dst, exist_ok=True)
+        for f in files:
+            os.replace(os.path.join(part_dir, f), os.path.join(dst, f))
 
     # ---------------------------------------------------------------- ops
 
@@ -146,26 +210,107 @@ class ManagedTable:
                 for f in final_schema.fields
             ]
         )
-        # dynamic partition overwrite: replace exactly the incoming partitions
-        parts = [r[0] for r in out.select(self.partition_col).distinct().collect()]
+        # dynamic partition overwrite: replace exactly the incoming partitions.
+        # Superseded files retire into hidden commit dirs first, so every
+        # write is a snapshot commit and old versions stay readable.
+        parts = [str(r[0]) for r in out.select(self.partition_col).distinct().collect()]
+        live_map = self._live_commit_map()
+        version = self.current_version() + 1
         for p in parts:
+            self._retire_live_files(p, live_map.get(p, 0))
             part_dir = os.path.join(self.path, f"{self.partition_col}={p}")
             out.where(F.col(self.partition_col) == p).drop(self.partition_col).write.mode(
                 "overwrite"
             ).parquet(part_dir)
-        report["partitions_written"] = sorted(str(p) for p in parts)
+        snaps = self.snapshots()
+        snaps.append(
+            {
+                "version": version,
+                "at_unix": int(time.time()),
+                "operation": "overwrite_partitions",
+                "partitions": {**live_map, **{p: version for p in parts}},
+                "schema": self.schema().jsonValue(),
+                "semantic_hash": semantic_hash,
+            }
+        )
+        self._write_snapshots(snaps)
+        report["partitions_written"] = sorted(parts)
+        report["snapshot_version"] = version
         return report
 
-    def read(self) -> DataFrame:
+    def read(self, version: int | None = None) -> DataFrame:
         """Read with the authoritative schema: partitions written before an
-        auto-expand surface the newer columns as NULL."""
-        schema = self.schema()  # includes the partition column: no value inference
-        df = (
-            self.spark.read.schema(schema)
-            .option("basePath", self.path)
-            .parquet(os.path.join(self.path, f"{self.partition_col}=*"))
-        )
-        return df.select(*[f.name for f in schema.fields])
+        auto-expand surface the newer columns as NULL.
+
+        ``version=n`` time-travels to snapshot n (1-based commit number, see
+        ``snapshots()``): each partition resolves to the commit that was live
+        AT that snapshot — in the live dir if still current, else in its
+        hidden ``._commit_{n}`` dir — read with the schema recorded by that
+        snapshot. Audit path: per-partition union (partition counts are
+        calendar-bounded, so the union is metadata-sized at any data scale)."""
+        if version is None:
+            schema = self.schema()  # includes the partition column: no inference
+            df = (
+                self.spark.read.schema(schema)
+                .option("basePath", self.path)
+                .parquet(os.path.join(self.path, f"{self.partition_col}=*"))
+            )
+            return df.select(*[f.name for f in schema.fields])
+
+        snaps = {s["version"]: s for s in self.snapshots()}
+        if version not in snaps:
+            raise ValueError(f"no snapshot {version}; have {sorted(snaps)}")
+        snap = snaps[version]
+        schema = T.StructType.fromJson(snap["schema"])
+        part_field = next(f for f in schema.fields if f.name == self.partition_col)
+        data_schema = T.StructType([f for f in schema.fields if f.name != self.partition_col])
+        live_map = self._live_commit_map()
+        pieces = []
+        for p, c in sorted(snap["partitions"].items()):
+            part_dir = os.path.join(self.path, f"{self.partition_col}={p}")
+            d = part_dir if live_map.get(p) == c else self._commit_dir(p, c)
+            if not os.path.isdir(d):
+                raise ValueError(
+                    f"snapshot {version} partition {p!r} (commit {c}) was expired"
+                )
+            pieces.append(
+                self.spark.read.schema(data_schema)
+                .parquet(d)
+                .withColumn(self.partition_col, F.lit(p).cast(part_field.dataType))
+            )
+        out = pieces[0]
+        for piece in pieces[1:]:
+            out = out.unionByName(piece)
+        return out.select(*[f.name for f in schema.fields])
+
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """GC (Iceberg ``expireSnapshots``): keep the newest ``keep_last``
+        snapshots, delete every hidden commit dir only reachable from the
+        expired ones. Live files are never touched (the current snapshot is
+        always kept)."""
+        import shutil
+
+        snaps = self.snapshots()
+        keep_last = max(1, keep_last)
+        kept, dropped = snaps[-keep_last:], snaps[:-keep_last]
+        reachable = {
+            (p, c) for s in kept for p, c in s["partitions"].items()
+        }
+        removed = []
+        hist = os.path.join(self.path, "._history")
+        pre = f"{self.partition_col}="
+        if os.path.isdir(hist):
+            for pdir in os.listdir(hist):
+                if not pdir.startswith(pre):
+                    continue
+                p = pdir[len(pre):]
+                for entry in os.listdir(os.path.join(hist, pdir)):
+                    c = int(entry.rsplit("_", 1)[1])
+                    if (p, c) not in reachable:
+                        shutil.rmtree(os.path.join(hist, pdir, entry))
+                        removed.append(f"{p}@{c}")
+        self._write_snapshots(kept)
+        return {"snapshots_expired": len(dropped), "commit_dirs_removed": sorted(removed)}
 
     def partitions(self) -> list[str]:
         pre = f"{self.partition_col}="

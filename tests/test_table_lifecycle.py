@@ -77,3 +77,51 @@ def test_archive_on_semantic_change(spark, tmp_path):
     assert {r["k"] for r in t.read().collect()} == {"b"}
     old = ManagedTable(spark, rep["archived"])
     assert {r["k"] for r in old.read().collect()} == {"a"}
+
+
+# ------------------------------------------------------- snapshots / time travel
+
+
+def test_time_travel_reads(spark, tmp_path):
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    t.insert_partitions(_df(spark, [("a", 1, "2024-01-01"), ("b", 2, "2024-01-02")]))
+    t.insert_partitions(_df(spark, [("b", 99, "2024-01-02")]))
+    t.insert_partitions(
+        _df(spark, [("c", 3, 7.5, "2024-01-03")], "k string, v bigint, extra double, ds string"),
+        auto_expand=True,
+    )
+    snaps = t.snapshots()
+    assert [s["version"] for s in snaps] == [1, 2, 3]
+    # latest: overwrite + expanded column visible
+    live = {(r["k"], r["v"]) for r in t.read().collect()}
+    assert live == {("a", 1), ("b", 99), ("c", 3)}
+    # v1: pre-overwrite values, pre-expand schema (no 'extra')
+    v1 = t.read(version=1)
+    assert "extra" not in v1.columns
+    assert {(r["k"], r["v"]) for r in v1.collect()} == {("a", 1), ("b", 2)}
+    # v2: overwritten partition, still pre-expand
+    assert {(r["k"], r["v"]) for r in t.read(version=2).collect()} == {("a", 1), ("b", 99)}
+
+
+def test_superseded_files_hidden_from_live_scans(spark, tmp_path):
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    t.insert_partitions(_df(spark, [("a", 1, "2024-01-01")]))
+    t.insert_partitions(_df(spark, [("a", 2, "2024-01-01")]))
+    # raw recursive read of the table dir must see ONLY live files
+    raw = spark.read.option("basePath", str(tmp_path / "t")).parquet(
+        str(tmp_path / "t" / "ds=2024-01-01")
+    )
+    assert [r["v"] for r in raw.collect()] == [2]
+    assert os.path.isdir(str(tmp_path / "t" / "._history" / "ds=2024-01-01" / "commit_1"))
+
+
+def test_expire_snapshots(spark, tmp_path):
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    t.insert_partitions(_df(spark, [("a", 1, "2024-01-01")]))
+    t.insert_partitions(_df(spark, [("a", 2, "2024-01-01")]))
+    t.insert_partitions(_df(spark, [("a", 3, "2024-01-01")]))
+    rep = t.expire_snapshots(keep_last=1)
+    assert rep["snapshots_expired"] == 2 and rep["commit_dirs_removed"]
+    assert [r["v"] for r in t.read().collect()] == [3]
+    with pytest.raises(ValueError, match="no snapshot 1"):
+        t.read(version=1)
