@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "doc_stats",
     "repetition_quality",
     "dedup_minhash_lsh",
+    "dedup_incremental",
     "dedup_ngram_jaccard",
     "dedup_clusters",
     "dedup_simhash",

@@ -197,6 +197,64 @@ SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= {_J_THRESHOLD}
 """
 
 
+# ------------------------------------------------------- incremental dedup
+
+
+def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-batch dedup (docs with doc_id % 10 == 7 play the incoming
+    batch) against the standing corpus: candidates come from the batch's
+    band keys joined to the corpus LSH index — no corpus-vs-corpus pair is
+    ever generated, so a daily batch costs O(batch), not O(corpus²)."""
+    d = _load_docs(spark, sf_dir)
+    new = d.where(F.col("doc_id") % 10 == 7)
+    corpus = d.where(F.col("doc_id") % 10 != 7)
+    return dedup.incremental_minhash_dedup(
+        corpus, new, "doc_id", "text",
+        num_hashes=_NUM_HASHES, bands=_BANDS, shingle_n=_SHINGLE_N, threshold=_J_THRESHOLD,
+    )
+
+
+def _incremental_sql() -> str:
+    from chronon_spark.functions.vec_kernels import minhash_params
+
+    a_c, b_c = minhash_params(_NUM_HASHES)
+    r = _NUM_HASHES // _BANDS
+    mins = ",\n             ".join(
+        f"min(({a_c[i]} * x + {b_c[i]}) % 4294967296) AS h{i}" for i in range(_NUM_HASHES)
+    )
+    band_exprs = ", ".join(
+        "md5(" + " || '|' || ".join(f"h{b * r + j}::VARCHAR" for j in range(r)) + ")"
+        for b in range(_BANDS)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+docs AS (SELECT doc_id,
+                list_distinct(CASE WHEN len(toks) >= {_SHINGLE_N}
+                  THEN list_transform(range(1, len(toks) - {_SHINGLE_N - 2}),
+                                      i -> array_to_string(toks[i:i+{_SHINGLE_N - 1}], ' '))
+                  ELSE []::VARCHAR[] END) AS sh
+         FROM t),
+nz AS (SELECT * FROM docs WHERE len(sh) > 0),
+ex AS (SELECT doc_id, ('0x' || substring(md5(unnest(sh)), 1, 8))::BIGINT AS x FROM nz),
+sig AS (SELECT doc_id, {mins} FROM ex GROUP BY doc_id),
+bk AS (SELECT doc_id, [{band_exprs}] AS bks FROM sig),
+banded AS (SELECT doc_id, unnest(bks) AS band_key FROM bk),
+cand AS (
+  SELECT DISTINCT n.doc_id AS id_new, o.doc_id AS id_old, 'corpus' AS vs
+  FROM banded n JOIN banded o ON n.band_key = o.band_key
+  WHERE n.doc_id % 10 = 7 AND o.doc_id % 10 != 7
+  UNION ALL
+  SELECT DISTINCT n.doc_id AS id_new, o.doc_id AS id_old, 'batch' AS vs
+  FROM banded n JOIN banded o ON n.band_key = o.band_key
+  WHERE n.doc_id % 10 = 7 AND o.doc_id % 10 = 7 AND o.doc_id < n.doc_id),
+j AS (SELECT id_new, id_old, vs,
+             len(list_intersect(dn.sh, dd.sh))::DOUBLE
+               / len(list_distinct(list_concat(dn.sh, dd.sh))) AS jaccard
+      FROM cand JOIN nz dn ON dn.doc_id = id_new JOIN nz dd ON dd.doc_id = id_old)
+SELECT id_new, id_old, vs, jaccard FROM j WHERE jaccard >= {_J_THRESHOLD}
+"""
+
+
 # ---------------------------------------------------------------- exact jaccard
 
 
@@ -910,6 +968,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_quality": _q_lang_quality,
     "dedup_exact": _q_dedup_exact,
     "dedup_minhash_lsh": _q_dedup_minhash,
+    "dedup_incremental": _q_dedup_incremental,
     "dedup_ngram_jaccard": _q_ngram_jaccard,
     "dedup_clusters": _q_dedup_clusters,
     "dedup_simhash": _q_simhash_pairs,
@@ -938,6 +997,7 @@ ORACLES: dict[str, str] = {
     "lang_quality": _SQL_LANG_QUALITY,
     "dedup_exact": _SQL_DEDUP_EXACT,
     "dedup_minhash_lsh": _minhash_sql(),
+    "dedup_incremental": _incremental_sql(),
     "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
     "dedup_clusters": _SQL_DEDUP_CLUSTERS,
     "dedup_simhash": _simhash_sql(),

@@ -835,3 +835,109 @@ def dedup_clusters(
         F.col("comp").alias("cluster_id"),
         (F.col("id") == F.col("comp")).alias("is_canonical"),
     )
+
+
+# ------------------------------------------------------- incremental dedup
+
+
+def build_minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Persistable LSH index of a corpus: one (doc_id, band_idx, band_key)
+    row per band per doc. This is the table a production pipeline writes
+    ONCE per corpus snapshot (bucketed by band_key — see sources/bucketed)
+    so that daily incremental batches join against it without ever touching
+    corpus text again: index bytes ≈ docs × bands × 32-char digests,
+    independent of document length."""
+    from chronon_spark.functions.vec_kernels import minhash_sig_arrow
+
+    rows_per_band = num_hashes // bands
+    docs = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"), word_shingles(text_col, n=shingle_n).alias("sh")
+    ).where(F.size("sh") > 0)
+    sig = docs.select("doc_id", minhash_sig_arrow(F.col("sh"), num_hashes).alias("sig"))
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                *[
+                    F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                    for r in range(rows_per_band)
+                ],
+            )
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        "doc_id", F.posexplode(F.array(*band_cols)).alias("band_idx", "band_key")
+    )
+
+
+def incremental_minhash_dedup(
+    corpus: DataFrame,
+    new_batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    corpus_index: DataFrame | None = None,
+) -> DataFrame:
+    """Dedup an incoming batch against an existing (already-deduped) corpus
+    plus within itself — WITHOUT generating any corpus-vs-corpus pair.
+
+    This is the production shape at 10^9-docs scale: the full self-join
+    (`minhash_lsh_dedup`) runs once to bootstrap the corpus; every
+    subsequent ingest batch runs THIS, whose cost is O(batch) signatures +
+    one equi-join of batch band keys against the (precomputed, persisted)
+    corpus index — pass it as ``corpus_index`` (from
+    ``build_minhash_index``) to skip re-signing the corpus. Exact-Jaccard
+    verification joins text back ONLY for matched candidate ids.
+
+    Returns (id_new, id_old, vs, jaccard): ``vs='corpus'`` rows pair a new
+    doc with its corpus duplicate; ``vs='batch'`` rows are within-batch
+    pairs (id_old < id_new). New docs appearing in neither are safe to
+    append to the corpus + index.
+    """
+    if corpus_index is None:
+        corpus_index = build_minhash_index(
+            corpus, id_col, text_col, num_hashes, bands, shingle_n
+        )
+    new_index = build_minhash_index(new_batch, id_col, text_col, num_hashes, bands, shingle_n)
+
+    n = new_index.select(F.col("doc_id").alias("id_new"), "band_key")
+    o = corpus_index.select(F.col("doc_id").alias("id_old"), "band_key")
+    cand_corpus = n.join(o, "band_key").select("id_new", "id_old").distinct()
+    n2 = new_index.select(F.col("doc_id").alias("id_old"), "band_key")
+    cand_batch = (
+        n.join(n2, "band_key")
+        .where(F.col("id_old") < F.col("id_new"))
+        .select("id_new", "id_old")
+        .distinct()
+    )
+    cand = cand_corpus.withColumn("vs", F.lit("corpus")).unionByName(
+        cand_batch.withColumn("vs", F.lit("batch"))
+    )
+
+    def shingles(df: DataFrame, alias: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(alias), word_shingles(text_col, n=shingle_n).alias(f"sh_{alias}")
+        )
+
+    sh_new = shingles(new_batch, "id_new")
+    sh_old = shingles(corpus, "id_old").unionByName(shingles(new_batch, "id_old"))
+    return (
+        cand.join(sh_new, "id_new")
+        .join(sh_old, "id_old")
+        .select(
+            "id_new", "id_old", "vs",
+            jaccard(F.col("sh_id_new"), F.col("sh_id_old")).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

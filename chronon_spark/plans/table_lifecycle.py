@@ -283,6 +283,56 @@ class ManagedTable:
             out = out.unionByName(piece)
         return out.select(*[f.name for f in schema.fields])
 
+    def compact(self, target_file_bytes: int = 512 * 1024 * 1024) -> dict:
+        """Small-file compaction (Iceberg ``rewrite_data_files``): rewrite
+        every partition whose file count exceeds ceil(bytes/target) down to
+        that many files, as a normal snapshot commit — values unchanged, old
+        layout still time-travel-readable until expired. At 100 TB sinks the
+        steady drip of per-backfill writes fragments partitions; compaction
+        restores scan-sized files without touching table semantics. Only
+        over-fragmented partitions rewrite (no-op partitions keep their
+        commit)."""
+        schema = self.schema()
+        live_map = self._live_commit_map()
+        version = self.current_version() + 1
+        rewritten = []
+        for p in self.partitions():
+            part_dir = os.path.join(self.path, f"{self.partition_col}={p}")
+            files = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+            n_bytes = sum(os.path.getsize(os.path.join(part_dir, f)) for f in files)
+            want = max(1, -(-n_bytes // target_file_bytes))
+            if len(files) <= want:
+                continue
+            data_schema = T.StructType(
+                [f for f in schema.fields if f.name != self.partition_col]
+            )
+            df = self.spark.read.schema(data_schema).parquet(part_dir).coalesce(int(want))
+            tmp_dir = os.path.join(self.path, f"._compact_tmp_{p}")
+            df.write.mode("overwrite").parquet(tmp_dir)
+            self._retire_live_files(p, live_map.get(p, 0))
+            for f in os.listdir(tmp_dir):
+                if not f.startswith((".", "_")):
+                    os.replace(os.path.join(tmp_dir, f), os.path.join(part_dir, f))
+            import shutil
+
+            shutil.rmtree(tmp_dir)
+            live_map[p] = version
+            rewritten.append(p)
+        if rewritten:
+            snaps = self.snapshots()
+            snaps.append(
+                {
+                    "version": version,
+                    "at_unix": int(time.time()),
+                    "operation": "compact",
+                    "partitions": dict(live_map),
+                    "schema": schema.jsonValue(),
+                    "semantic_hash": self._read_meta().get("semantic_hash"),
+                }
+            )
+            self._write_snapshots(snaps)
+        return {"partitions_compacted": sorted(rewritten), "snapshot_version": version if rewritten else self.current_version()}
+
     def expire_snapshots(self, keep_last: int = 1) -> dict:
         """GC (Iceberg ``expireSnapshots``): keep the newest ``keep_last``
         snapshots, delete every hidden commit dir only reachable from the

@@ -125,3 +125,21 @@ def test_expire_snapshots(spark, tmp_path):
     assert [r["v"] for r in t.read().collect()] == [3]
     with pytest.raises(ValueError, match="no snapshot 1"):
         t.read(version=1)
+
+
+def test_compaction(spark, tmp_path):
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    df = _df(spark, [("k%d" % i, i, "2024-01-01") for i in range(40)]).repartition(8)
+    t.insert_partitions(df)
+    part = str(tmp_path / "t" / "ds=2024-01-01")
+    n_before = len([f for f in os.listdir(part) if f.endswith(".parquet")])
+    assert n_before >= 8
+    rep = t.compact(target_file_bytes=10**9)  # everything fits one file
+    assert rep["partitions_compacted"] == ["2024-01-01"]
+    n_after = len([f for f in os.listdir(part) if f.endswith(".parquet")])
+    assert n_after == 1
+    # values unchanged; pre-compaction snapshot still readable
+    assert {r["v"] for r in t.read().collect()} == set(range(40))
+    assert {r["v"] for r in t.read(version=1).collect()} == set(range(40))
+    # idempotent: second compact is a no-op commit-wise
+    assert t.compact(target_file_bytes=10**9)["partitions_compacted"] == []
