@@ -185,6 +185,26 @@ def cmd_summarize(args) -> int:
     return 0
 
 
+def cmd_table_maintain(args) -> int:
+    """Sink maintenance over the managed (snapshot-versioned) table:
+    list snapshots / compact small files / expire old snapshots /
+    time-travel read — the Iceberg maintenance verbs of the reference's
+    TableUtils surface, on this engine's parquet+manifest catalog."""
+    from chronon_spark.plans.table_lifecycle import ManagedTable
+
+    spark = _spark(args)
+    t = ManagedTable(spark, args.table)
+    if args.action == "snapshots":
+        print(json.dumps(t.snapshots(), default=str))
+    elif args.action == "compact":
+        print(json.dumps(t.compact(target_file_bytes=args.target_file_mb * 1024 * 1024)))
+    elif args.action == "expire":
+        print(json.dumps(t.expire_snapshots(keep_last=args.keep_last)))
+    elif args.action == "read":
+        _print_df(t.read(version=args.version), args.out)
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="chronon_spark", description=__doc__)
     sub = ap.add_subparsers(dest="verb", required=True)
@@ -269,6 +289,16 @@ def main(argv=None) -> int:
     p.add_argument("--out", default=None)
     _add_common(p)
     p.set_defaults(fn=cmd_summarize)
+
+    p = sub.add_parser("table-maintain")
+    p.add_argument("action", choices=["snapshots", "compact", "expire", "read"])
+    p.add_argument("--table", required=True)
+    p.add_argument("--target-file-mb", type=int, default=512)
+    p.add_argument("--keep-last", type=int, default=3)
+    p.add_argument("--version", type=int, default=None)
+    p.add_argument("--out", default=None)
+    _add_common(p)
+    p.set_defaults(fn=cmd_table_maintain)
 
     for verb, why in _OUT_OF_SCOPE.items():
         p = sub.add_parser(verb)

@@ -85,3 +85,21 @@ def test_consistency_metrics_verb(paths, capsys):
 def test_out_of_scope_verbs_reject_with_pointer(capsys):
     assert cli.main(["fetch"]) == 2
     assert "out of scope" in capsys.readouterr().err
+
+
+def test_table_maintain_verbs(paths, capsys, spark):
+    ev_p, q_p, root = paths
+    out, ckpt = str(root / "tm_out"), str(root / "tm_ckpt")
+    assert cli.main([
+        "group-by-backfill", "--events", ev_p, "--queries", q_p,
+        "--out", out, "--checkpoint", ckpt, "--group-by", GB,
+    ]) == 0
+    capsys.readouterr()
+    assert cli.main(["table-maintain", "snapshots", "--table", out]) == 0
+    snaps = json.loads(capsys.readouterr().out.strip())
+    assert [s["version"] for s in snaps] == list(range(1, len(snaps) + 1))
+    assert cli.main(["table-maintain", "compact", "--table", out, "--target-file-mb", "512"]) == 0
+    capsys.readouterr()
+    assert cli.main(["table-maintain", "expire", "--table", out, "--keep-last", "1"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip())
+    assert rep["snapshots_expired"] >= 0
