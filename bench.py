@@ -27,6 +27,7 @@ BENCH_QUERIES = [
     "hopping_1h_15m",
     "sawtooth_13d",
     "sawtooth_13d_tiled",
+    "sawtooth_tiled_rich",
     "sawtooth_13d_sliced",
     "sawtooth_13d_skew_split",
     "snapshot_daily",

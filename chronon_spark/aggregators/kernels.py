@@ -438,24 +438,8 @@ def _kernel(part: AggregationPart, cs: _ColumnSeries, s: np.ndarray, e: np.ndarr
             runs = _run_starts(seg, vals)
             run_seg, run_val = seg[runs], vals[runs]
             bounds = np.concatenate([np.flatnonzero(runs), [len(seg)]])
-            run_cnt = np.diff(bounds)
-            if k is not None and len(run_seg):
-                # deterministic truncation: count desc, value asc — per segment
-                order = np.lexsort((run_val, -run_cnt, run_seg))
-                run_seg, run_val, run_cnt = run_seg[order], run_val[order], run_cnt[order]
-                rank = np.arange(len(run_seg)) - np.searchsorted(run_seg, run_seg, side="left")
-                keep = rank < k
-                run_seg, run_val, run_cnt = run_seg[keep], run_val[keep], run_cnt[keep]
-            counts_per_seg = np.bincount(run_seg, minlength=hi - lo) if len(run_seg) else np.zeros(hi - lo, np.int64)
-            cuts = np.cumsum(counts_per_seg)[:-1]
-            vs = np.split(run_val, cuts)
-            csplit = np.split(run_cnt.astype(np.int64), cuts)
-            out[lo:hi] = _obj_array(
-                [
-                    None if lens[i] <= 0 else dict(sorted(zip(vs[i].tolist(), csplit[i].tolist())))
-                    for i in range(hi - lo)
-                ]
-            )
+            run_cnt = np.diff(bounds).astype(np.int64)
+            out[lo:hi] = hist_finalize(run_seg, run_val, run_cnt, hi - lo, k, lens <= 0)
         return out
     if op == Op.UNIQUE_TOP_K:
         out = np.empty(len(s), object)
@@ -493,6 +477,37 @@ def _kernel(part: AggregationPart, cs: _ColumnSeries, s: np.ndarray, e: np.ndarr
             )
         return out
     raise NotImplementedError(f"op {op}")
+
+
+def hist_finalize(
+    run_seg: np.ndarray,
+    run_val: np.ndarray,
+    run_cnt: np.ndarray,
+    n_rows: int,
+    k: int | None,
+    empty_mask: np.ndarray,
+) -> np.ndarray:
+    """Assemble per-segment value->count dicts from (segment, value, count)
+    runs, applying the reference's deterministic finalize-time truncation
+    (count desc, value asc; SimpleAggregators.scala:303-322). Shared by the
+    raw-event kernel (weight 1 per occurrence) and the tiled path (per-tile
+    pre-counted weights)."""
+    if k is not None and len(run_seg):
+        order = np.lexsort((run_val, -run_cnt, run_seg))
+        run_seg, run_val, run_cnt = run_seg[order], run_val[order], run_cnt[order]
+        rank = np.arange(len(run_seg)) - np.searchsorted(run_seg, run_seg, side="left")
+        keep = rank < k
+        run_seg, run_val, run_cnt = run_seg[keep], run_val[keep], run_cnt[keep]
+    counts_per_seg = np.bincount(run_seg, minlength=n_rows) if len(run_seg) else np.zeros(n_rows, np.int64)
+    cuts = np.cumsum(counts_per_seg)[:-1]
+    vs = np.split(run_val, cuts)
+    csplit = np.split(run_cnt.astype(np.int64), cuts)
+    return _obj_array(
+        [
+            None if empty_mask[i] else dict(sorted(zip(vs[i].tolist(), csplit[i].tolist())))
+            for i in range(n_rows)
+        ]
+    )
 
 
 # chunk budget: bounds the gathered flat array (sum of window sizes) per pass

@@ -1140,7 +1140,97 @@ UNION ALL SELECT tile_start, 'user_id', 'max',   u_max   FROM g
 """
 
 
+def _q_tiled_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL op set through the TILED physical strategy: per-tile entry
+    lists (last_k/first), k-extreme lists (top_k), distinct sets
+    (unique_count), value->count maps (histogram) and power sums (variance)
+    built in ONE JVM groupBy(keys, hop) (+ the two-level value-count agg),
+    merged with exact head events in the cogroup kernel — the reference's
+    FinalBatchIr collapse for non-abelian ops (SawtoothOnlineAggregator.scala:
+    86-126, SimpleAggregators.scala:200-322)."""
+    from chronon_spark.operators.tiles import tiled_sawtooth_asof_join
+
+    t = _transcripts(spark, sf_dir)
+    gb = GroupBy(
+        keys=["conv_id"],
+        aggregations=[
+            Aggregation("text", Op.LAST_K, windows=("7d",), k=2),
+            Aggregation("text", Op.FIRST, windows=("13d",)),
+            Aggregation("role", Op.UNIQUE_COUNT, windows=("13d",)),
+            Aggregation("role", Op.HISTOGRAM, windows=("7d",)),
+            Aggregation("score", Op.TOP_K, windows=("7d",), k=2),
+            Aggregation("score", Op.BOTTOM_K, windows=("7d",), k=2),
+        ],
+        tie_breakers=["turn_idx"],
+        sawtooth=True,
+    )
+    out = tiled_sawtooth_asof_join(_user_left(t), t, gb)
+    h = F.col("role_histogram_7d")
+    top = F.col("score_top_k2_7d")
+    bot = F.col("score_bottom_k2_7d")
+    keys = F.array_sort(F.map_keys(h))
+    hist_str = F.array_join(
+        F.transform(keys, lambda x: F.concat(x, F.lit("="), F.element_at(h, x).cast("string"))), "|"
+    )
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "tus",
+        F.array_join(F.col("text_last_k2_7d"), "|").alias("last2_texts"),
+        F.col("text_first_13d").alias("first_text"),
+        F.col("role_unique_count_13d").alias("n_roles"),
+        hist_str.alias("role_hist"),
+        F.try_element_at(top, F.lit(1)).alias("top2_1"),
+        F.try_element_at(top, F.lit(2)).alias("top2_2"),
+        F.try_element_at(bot, F.lit(1)).alias("bot2_1"),
+        F.try_element_at(bot, F.lit(2)).alias("bot2_2"),
+    )
+    # moments stay off this hard gate on purpose: the tiled raw-power-sum
+    # finalize and DuckDB's two-pass VAR_POP can disagree by 1 ulp exactly at
+    # a ROUND() half-boundary (2-decimal inputs make those boundaries common).
+    # Tiled moments are gated by tests/test_tiles_slicing.py (vs the plain
+    # path) and the plain path by the asof_moments oracle row.
+
+
+# sawtooth bounds: 13d windows round their start to 1d hops, 7d to 1h hops
+# (Resolution.scala:43-48) — mirrored literally in the oracle
+_W7 = f"e.tus >= ((q.tus - {7 * US_D}) // {US_H}) * {US_H} AND e.tus < q.tus"
+_W13 = f"e.tus >= ((q.tus - {13 * US_D}) // {US_D}) * {US_D} AND e.tus < q.tus"
+
+_SQL_TILED_RICH = f"""
+WITH t AS ({_DUCK_T}),
+q AS (SELECT conv_id, turn_idx, tus FROM t WHERE role = 'user'),
+g AS (SELECT q.conv_id, q.turn_idx AS qi, q.tus AS qtus, e.role, COUNT(*) AS c
+      FROM q JOIN t e ON e.conv_id = q.conv_id AND {_W7}
+      WHERE e.role IS NOT NULL GROUP BY 1, 2, 3, 4),
+hist AS (SELECT conv_id, qi, qtus,
+                array_to_string(list(role || '=' || CAST(c AS VARCHAR) ORDER BY role), '|') AS role_hist
+         FROM g GROUP BY 1, 2, 3)
+SELECT q.conv_id AS conv_id, q.turn_idx AS turn_idx, q.tus AS tus,
+       (SELECT CASE WHEN COUNT(*) = 0 THEN NULL
+                    ELSE array_to_string(list(text ORDER BY tus DESC, turn_idx DESC), '|') END
+          FROM (SELECT e.text, e.tus, e.turn_idx FROM t e
+                 WHERE e.conv_id = q.conv_id AND {_W7} AND e.text IS NOT NULL
+                 ORDER BY e.tus DESC, e.turn_idx DESC LIMIT 2)) AS last2_texts,
+       (SELECT e.text FROM t e WHERE e.conv_id = q.conv_id AND {_W13}
+         AND e.text IS NOT NULL ORDER BY e.tus, e.turn_idx LIMIT 1) AS first_text,
+       (SELECT NULLIF(COUNT(DISTINCT e.role), 0) FROM t e
+         WHERE e.conv_id = q.conv_id AND {_W13}) AS n_roles,
+       h.role_hist AS role_hist,
+       (SELECT e.score FROM t e WHERE e.conv_id = q.conv_id AND {_W7}
+         AND e.score IS NOT NULL ORDER BY e.score DESC LIMIT 1) AS top2_1,
+       (SELECT e.score FROM t e WHERE e.conv_id = q.conv_id AND {_W7}
+         AND e.score IS NOT NULL ORDER BY e.score DESC LIMIT 1 OFFSET 1) AS top2_2,
+       (SELECT e.score FROM t e WHERE e.conv_id = q.conv_id AND {_W7}
+         AND e.score IS NOT NULL ORDER BY e.score LIMIT 1) AS bot2_1,
+       (SELECT e.score FROM t e WHERE e.conv_id = q.conv_id AND {_W7}
+         AND e.score IS NOT NULL ORDER BY e.score LIMIT 1 OFFSET 1) AS bot2_2
+FROM q LEFT JOIN hist h ON h.conv_id = q.conv_id AND h.qi = q.turn_idx AND h.qtus = q.tus
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "sawtooth_tiled_rich": _q_tiled_rich,
     "log_flatten": _q_log_flatten,
     "stream_stats_tiles": _q_stream_stats,
     "label_join_forward": _q_label_join,
@@ -1166,6 +1256,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "sawtooth_tiled_rich": _SQL_TILED_RICH,
     "log_flatten": _SQL_LOG_FLATTEN,
     "stream_stats_tiles": _SQL_STREAM_STATS,
     "label_join_forward": _SQL_LABEL_JOIN,

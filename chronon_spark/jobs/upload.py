@@ -21,14 +21,29 @@ Spark-first shape: the collapsed IRs are ONE whole-stage-codegen
 ``groupBy(keys)`` with per-part conditional aggregates; tail hops are a
 ``groupBy(keys, hop)`` over the (narrow) tail-buffer slice collected into a
 sorted array per key; the fetch merge is the same cogroup + Arrow kernel
-pattern as the as-of join. Exact for the decomposable ops
-(COUNT/SUM/MIN/MAX/AVERAGE) — the same subset the reference can collapse.
+pattern as the as-of join.
+
+Per-op IR shapes (mirroring the reference ColumnAggregator IRs):
+- COUNT/SUM/MIN/MAX/AVERAGE        -> scalar partials
+- VARIANCE/SKEW/KURTOSIS           -> raw power sums (abelian re-expression
+  of the reference's Welford IRs; finalized by central-moment algebra)
+- FIRST/LAST/FIRST_K/LAST_K        -> bounded (ts, tie..., value) entry lists
+  (the reference's bounded ArrayDeque IRs, SimpleAggregators.scala:200-260);
+  requires ``tie_breakers`` for a total order
+- TOP_K/BOTTOM_K/UNIQUE_TOP_K      -> k-extreme value lists (pigeonhole-exact)
+- UNIQUE_COUNT/APPROX_UNIQUE_COUNT -> distinct-value sets (exact; the CPC
+  sketch at SimpleAggregators.scala:499 is the lossy 100 TB variant)
+- HISTOGRAM/FREQUENT/HEAVY_HITTERS -> value->count maps (two-level groupBy)
+NOT uploadable: APPROX_PERCENTILE (the reference's IR is a KLL sketch, i.e.
+inherently lossy — exact fetch needs raw values) and bucketed parts.
 
 Valid fetch range: ``batchEndTs <= queryTs < batchEndTs + tailBuffer`` (after
 that the reference re-uploads a fresh batch; we assert the same contract).
 """
 
 from __future__ import annotations
+
+from collections import Counter
 
 import numpy as np
 import pandas as pd
@@ -39,7 +54,14 @@ from chronon_spark.operators.asof_join import ensure_ts_us
 from chronon_spark.resolution import tail_hop_millis
 from chronon_spark.types import part_output_type
 
-UPLOAD_OPS = {Op.COUNT, Op.SUM, Op.MIN, Op.MAX, Op.AVERAGE}
+_SCALAR_OPS = {Op.COUNT, Op.SUM, Op.MIN, Op.MAX, Op.AVERAGE}
+_MOMENT_OPS = {Op.VARIANCE, Op.SKEW, Op.KURTOSIS}
+_ORDER_OPS = {Op.FIRST, Op.LAST, Op.FIRST_K, Op.LAST_K}
+_EXTREME_OPS = {Op.TOP_K, Op.BOTTOM_K, Op.UNIQUE_TOP_K}
+_SET_OPS = {Op.UNIQUE_COUNT, Op.APPROX_UNIQUE_COUNT}
+_HIST_OPS = {Op.HISTOGRAM, Op.APPROX_FREQUENT_K, Op.APPROX_HEAVY_HITTERS_K}
+
+UPLOAD_OPS = _SCALAR_OPS | _MOMENT_OPS | _ORDER_OPS | _EXTREME_OPS | _SET_OPS | _HIST_OPS
 TAIL_BUFFER_MS = 2 * 86_400_000  # reference default: Window(2, DAYS)
 
 _TS_US = "__ts_us"
@@ -49,12 +71,25 @@ def _check(gb: GroupBy) -> list:
     parts = gb.parts()
     bad = [p.op for p in parts if p.op not in UPLOAD_OPS]
     if bad:
-        raise ValueError(f"batch-IR upload supports {sorted(o.value for o in UPLOAD_OPS)}; got {bad}")
+        raise ValueError(
+            f"batch-IR upload supports {sorted(o.value for o in UPLOAD_OPS)}; got {bad} "
+            "(approx_percentile's exact form needs raw values)"
+        )
     if any(p.bucket for p in parts):
         raise ValueError("batch-IR upload does not support buckets")
     if not gb.sawtooth:
         raise ValueError("batch-IR upload requires sawtooth=True (hop-rounded window tails)")
+    if any(p.op in _ORDER_OPS for p in parts) and not gb.tie_breakers:
+        raise ValueError("first/last(_k) IRs need tie_breakers for a total event order")
     return parts
+
+
+def _pow_upto(op: Op) -> int:
+    return 2 if op == Op.VARIANCE else (3 if op == Op.SKEW else 4)
+
+
+def _entry_k(p) -> int:
+    return 1 if p.op in (Op.FIRST, Op.LAST) else int(p.k)
 
 
 def build_batch_irs(
@@ -63,19 +98,28 @@ def build_batch_irs(
     batch_end_ts_us: int,
     tail_buffer_ms: int = TAIL_BUFFER_MS,
 ) -> DataFrame:
-    """One row per key: per-part collapsed IR columns ``__c{i}_{stat}`` plus a
-    time-sorted tail-hop array ``__tails_{i}`` of struct(hop, cnt, sm, mn, mx).
-    """
+    """One row per key: per-part collapsed IR columns ``__c{i}_*`` plus a
+    time-sorted tail-hop array ``__tails_{i}`` whose struct carries the
+    part's IR family (scalar stats / power sums / entry lists / value lists /
+    value-count maps)."""
     parts = _check(gb)
     _check_alignment(parts, batch_end_ts_us)
     buf_us = tail_buffer_ms * 1000
     ev = ensure_ts_us(events, gb.time_column).where(F.col(_TS_US) < batch_end_ts_us)
     for k in gb.keys:
         ev = ev.where(F.col(k).isNotNull())
+    tie_cols = [t for t in gb.tie_breakers if t in events.columns and t not in gb.keys]
+
+    def entry_struct(c: str, cond):
+        fields = [F.col(_TS_US).alias("t")]
+        fields += [F.col(t).alias(f"b{i}") for i, t in enumerate(tie_cols)]
+        fields.append(F.col(c).alias("v"))
+        return F.when(cond & F.col(c).isNotNull(), F.struct(*fields))
 
     # collapsed: one conditional-aggregate pass (whole-stage codegen, map-side
     # combine — the 100 TB bulk of history reduces to one row per key here)
     aggs = []
+    hist_parts: list[tuple[int, object]] = []
     for i, p in enumerate(parts):
         c = F.col(p.input_column)
         if p.window.millis is None:
@@ -84,15 +128,51 @@ def build_batch_irs(
             tail = batch_end_ts_us - p.window.millis * 1000
             cond = F.col(_TS_US) >= F.lit(tail + buf_us)
         val = F.when(cond, c)
-        if p.op in (Op.COUNT, Op.SUM, Op.AVERAGE):
+        if p.op in (Op.COUNT, Op.SUM, Op.AVERAGE) or p.op in _MOMENT_OPS:
             aggs.append(F.count(val).alias(f"__c{i}_cnt"))
-        if p.op in (Op.SUM, Op.AVERAGE):
+        if p.op in (Op.SUM, Op.AVERAGE) or p.op in _MOMENT_OPS:
             aggs.append(F.sum(val.cast("double")).alias(f"__c{i}_sm"))
         if p.op == Op.MIN:
             aggs.append(F.min(val).alias(f"__c{i}_mn"))
         if p.op == Op.MAX:
             aggs.append(F.max(val).alias(f"__c{i}_mx"))
+        if p.op in _MOMENT_OPS:
+            for pw in range(2, _pow_upto(p.op) + 1):
+                aggs.append(F.sum(F.pow(val.cast("double"), F.lit(pw))).alias(f"__c{i}_p{pw}"))
+        if p.op in (Op.FIRST, Op.FIRST_K):
+            aggs.append(
+                F.slice(F.sort_array(F.collect_list(entry_struct(p.input_column, cond))), 1, _entry_k(p)).alias(
+                    f"__c{i}_ent"
+                )
+            )
+        if p.op in (Op.LAST, Op.LAST_K):
+            aggs.append(
+                F.slice(
+                    F.sort_array(F.collect_list(entry_struct(p.input_column, cond)), asc=False), 1, _entry_k(p)
+                ).alias(f"__c{i}_ent")
+            )
+        if p.op == Op.TOP_K:
+            aggs.append(F.slice(F.sort_array(F.collect_list(val), asc=False), 1, p.k).alias(f"__c{i}_ext"))
+        if p.op == Op.BOTTOM_K:
+            aggs.append(F.slice(F.sort_array(F.collect_list(val)), 1, p.k).alias(f"__c{i}_ext"))
+        if p.op == Op.UNIQUE_TOP_K:
+            aggs.append(F.slice(F.sort_array(F.collect_set(val), asc=False), 1, p.k).alias(f"__c{i}_ext"))
+        if p.op in _SET_OPS:
+            aggs.append(F.collect_set(val).alias(f"__c{i}_set"))
+        if p.op in _HIST_OPS:
+            hist_parts.append((i, cond))
     out = ev.groupBy(*gb.keys).agg(*aggs)
+    for i, cond in hist_parts:
+        c = parts[i].input_column
+        vc = (
+            ev.where(cond & F.col(c).isNotNull())
+            .select(*gb.keys, F.col(c).cast("string").alias("__v"))
+            .groupBy(*gb.keys, "__v")
+            .agg(F.count("*").alias("__n"))
+            .groupBy(*gb.keys)
+            .agg(F.collect_list(F.struct("__v", "__n")).alias(f"__c{i}_hist"))
+        )
+        out = out.join(vc, on=gb.keys, how="full")
 
     # tail hops: per part, the (tail, tail+buffer) slice at hop granularity
     for i, p in enumerate(parts):
@@ -106,22 +186,58 @@ def build_batch_irs(
         # sawtooth backfill whose hop-rounded window start is inclusive;
         # hops below a query's rounded wstart are filtered at fetch time
         sl = ev.where((F.col(_TS_US) >= tail) & (F.col(_TS_US) < min(tail + buf_us, batch_end_ts_us)))
+        sl = sl.withColumn("__hop", (F.col(_TS_US) / F.lit(hop_us)).cast("long") * F.lit(hop_us))
         c = F.col(p.input_column)
-        hops = (
-            sl.withColumn("__hop", (F.col(_TS_US) / F.lit(hop_us)).cast("long") * F.lit(hop_us))
-            .groupBy(*gb.keys, "__hop")
-            .agg(
+        if p.op in _ORDER_OPS:
+            asc = p.op in (Op.FIRST, Op.FIRST_K)
+            hop_aggs = [
+                F.slice(
+                    F.sort_array(F.collect_list(entry_struct(p.input_column, F.lit(True))), asc=asc),
+                    1,
+                    _entry_k(p),
+                ).alias("ent")
+            ]
+        elif p.op in _EXTREME_OPS:
+            coll = F.collect_set(c) if p.op == Op.UNIQUE_TOP_K else F.collect_list(c)
+            hop_aggs = [F.slice(F.sort_array(coll, asc=p.op == Op.BOTTOM_K), 1, p.k).alias("ext")]
+        elif p.op in _SET_OPS:
+            hop_aggs = [F.collect_set(c).alias("st")]
+        elif p.op in _HIST_OPS:
+            hops = (
+                sl.where(c.isNotNull())
+                .select(*gb.keys, "__hop", c.cast("string").alias("__v"))
+                .groupBy(*gb.keys, "__hop", "__v")
+                .agg(F.count("*").alias("__n"))
+                .groupBy(*gb.keys, "__hop")
+                .agg(F.collect_list(F.struct("__v", "__n")).alias("hmap"))
+                .groupBy(*gb.keys)
+                .agg(
+                    F.sort_array(F.collect_list(F.struct(F.col("__hop").alias("hop"), "hmap"))).alias(
+                        f"__tails_{i}"
+                    )
+                )
+            )
+            out = out.join(hops, on=gb.keys, how="full")
+            continue
+        elif p.op in _MOMENT_OPS:
+            hop_aggs = [F.count(c).alias("cnt"), F.sum(c.cast("double")).alias("sm")]
+            hop_aggs += [
+                F.sum(F.pow(c.cast("double"), F.lit(pw))).alias(f"p{pw}")
+                for pw in range(2, _pow_upto(p.op) + 1)
+            ]
+        else:
+            hop_aggs = [
                 F.count(c).alias("cnt"),
                 F.sum(c.cast("double")).alias("sm"),
                 F.min(c.cast("double")).alias("mn"),
                 F.max(c.cast("double")).alias("mx"),
-            )
-            .groupBy(*gb.keys)
-            .agg(
-                F.sort_array(
-                    F.collect_list(F.struct(F.col("__hop").alias("hop"), "cnt", "sm", "mn", "mx"))
-                ).alias(f"__tails_{i}")
-            )
+            ]
+        per_hop = sl.groupBy(*gb.keys, "__hop").agg(*hop_aggs)
+        stat_names = [n for n in per_hop.columns if n not in gb.keys and n != "__hop"]
+        hops = per_hop.groupBy(*gb.keys).agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("__hop").alias("hop"), *stat_names))
+            ).alias(f"__tails_{i}")
         )
         out = out.join(hops, on=gb.keys, how="full")
     return out
@@ -168,7 +284,12 @@ def fetch_features(
     """Batch-simulated online fetch: for every query row (key, ts), merge its
     key's batch IR + tail hops + streaming rows into final feature values —
     ``lambdaAggregateIr`` (SawtoothOnlineAggregator.scala:86-126) as a cogroup
-    kernel. Strict head (``rowTs < queryTs``), exactly the engine default."""
+    kernel. Strict head (``rowTs < queryTs``), exactly the engine default.
+
+    Scalar/moment merges are vectorized across a key's queries; collection
+    merges (entry lists, sets, histograms) walk tail hops per query — the
+    serving-path shape, where a key's hop count is bounded by window/hop and
+    the candidate lists are k-bounded."""
     parts = _check(gb)
     _check_alignment(parts, batch_end_ts_us)
     del tail_buffer_ms  # upper hop bound is enforced at build time
@@ -176,7 +297,8 @@ def fetch_features(
     st = ensure_ts_us(streaming, gb.time_column).where(F.col(_TS_US) >= batch_end_ts_us)
     for k in gb.keys:
         st = st.where(F.col(k).isNotNull())
-    in_cols = sorted({p.input_column for p in parts})
+    tie_cols = [t for t in gb.tie_breakers if t in streaming.columns and t not in gb.keys]
+    in_cols = sorted({p.input_column for p in parts} | set(tie_cols))
     st = st.select(*gb.keys, _TS_US, *in_cols).withColumn("__is_ir", F.lit(False))
 
     ir_cols = [c for c in batch_irs.columns if c.startswith("__c") or c.startswith("__tails_")]
@@ -211,8 +333,17 @@ def fetch_features(
             raise ValueError("fetch ts < batchEndTs (reference raises the same)")
         is_ir = rpdf["__is_ir"].to_numpy(bool)
         ir_rows = rpdf[is_ir]
-        stream = rpdf[~is_ir].sort_values(_TS_US, kind="stable")
+        # stream ordered by (ts, tie_breakers): the raw kernels' event order,
+        # so first/last(_k) heads match the offline backfill exactly
+        stream = rpdf[~is_ir].sort_values([_TS_US] + tie_cols, kind="stable")
         ir_row = ir_rows.iloc[0] if len(ir_rows) else None
+
+        def _c(name):
+            v = ir_row.get(name) if ir_row is not None else None
+            return v if v is not None and not (np.isscalar(v) and pd.isna(v)) else None
+
+        def _lst(v):
+            return list(v) if isinstance(v, (list, np.ndarray)) else []
 
         out = lpdf[left_cols].copy()
         for i, (p, fname) in enumerate(zip(part_list, feat_names)):
@@ -220,7 +351,7 @@ def fetch_features(
             # streaming slice per query: [max(batchEnd, window_start), q)
             s_ser = stream[[_TS_US, col]].dropna(subset=[col])
             s_ts = s_ser[_TS_US].to_numpy("int64")
-            s_vals = s_ser[col].to_numpy("float64") if len(s_ser) else np.empty(0)
+            s_raw = s_ser[col].tolist()
             if p.window.millis is None:
                 wstart = np.full(len(q_ts), -(2**62), "int64")
             else:
@@ -231,10 +362,12 @@ def fetch_features(
 
             # tail hops relevant per query: hop >= wstart (upper bound already
             # enforced at build: hop < tail + buffer)
-            if ir_row is not None and isinstance(ir_row.get(f"__tails_{i}"), (list, np.ndarray)):
-                tl = pd.DataFrame(list(ir_row[f"__tails_{i}"]))
-            else:
-                tl = pd.DataFrame(columns=["hop", "cnt", "sm", "mn", "mx"])
+            tails_raw = _c(f"__tails_{i}")
+            tl = (
+                pd.DataFrame(list(tails_raw))
+                if isinstance(tails_raw, (list, np.ndarray)) and len(tails_raw)
+                else pd.DataFrame()
+            )
             t_hop = tl["hop"].to_numpy("int64") if len(tl) else np.empty(0, "int64")
             ti = np.searchsorted(t_hop, wstart, side="left")  # tails sorted by hop
 
@@ -243,14 +376,15 @@ def fetch_features(
                 cs = np.concatenate([[0.0], np.nancumsum(vals)])
                 return cs[-1] - cs[ti]
 
-            c_cnt = float(ir_row[f"__c{i}_cnt"]) if ir_row is not None and f"__c{i}_cnt" in ir_row and pd.notna(ir_row.get(f"__c{i}_cnt")) else 0.0
+            c_cnt = float(_c(f"__c{i}_cnt")) if _c(f"__c{i}_cnt") is not None else 0.0
 
-            if p.op in (Op.COUNT, Op.SUM, Op.AVERAGE):
+            if p.op in (Op.COUNT, Op.SUM, Op.AVERAGE) or p.op in _MOMENT_OPS:
+                s_vals = np.asarray(s_raw, dtype="float64") if s_raw else np.empty(0)
                 n = c_cnt + _tail_sum("cnt") + (se - ss)
                 if p.op == Op.COUNT:
                     out[fname] = [None if v <= 0 else int(v) for v in n]
                     continue
-                c_sm = float(ir_row[f"__c{i}_sm"]) if ir_row is not None and pd.notna(ir_row.get(f"__c{i}_sm")) else 0.0
+                c_sm = float(_c(f"__c{i}_sm")) if _c(f"__c{i}_sm") is not None else 0.0
                 scs = np.concatenate([[0.0], np.cumsum(s_vals)])
                 total = c_sm + _tail_sum("sm") + (scs[se] - scs[ss])
                 if p.op == Op.SUM:
@@ -258,12 +392,35 @@ def fetch_features(
                         None if nv <= 0 else (int(round(v)) if integral[i] else float(v))
                         for v, nv in zip(total, n)
                     ]
-                else:
+                elif p.op == Op.AVERAGE:
                     out[fname] = [None if nv <= 0 else float(v / nv) for v, nv in zip(total, n)]
-            else:
+                else:
+                    # moments: merged raw power sums -> central-moment algebra
+                    upto = _pow_upto(p.op)
+                    S = {1: total}
+                    for pw in range(2, upto + 1):
+                        c_p = float(_c(f"__c{i}_p{pw}")) if _c(f"__c{i}_p{pw}") is not None else 0.0
+                        pcs = np.concatenate([[0.0], np.cumsum(s_vals**pw)])
+                        S[pw] = c_p + _tail_sum(f"p{pw}") + (pcs[se] - pcs[ss])
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        mu = S[1] / n
+                        m2 = np.maximum(S[2] / n - mu**2, 0.0)
+                        if p.op == Op.VARIANCE:
+                            vo, bad = m2, n <= 0
+                        elif p.op == Op.SKEW:
+                            m3 = S[3] / n - 3 * mu * S[2] / n + 2 * mu**3
+                            vo, bad = m3 / np.power(m2, 1.5), (n < 3) | (m2 <= 0)
+                        else:
+                            m4 = S[4] / n - 4 * mu * S[3] / n + 6 * mu**2 * S[2] / n - 3 * mu**4
+                            vo, bad = m4 / (m2**2) - 3.0, (n < 4) | (m2 <= 0)
+                    res = vo.astype(object)
+                    res[bad | (n <= 0)] = None
+                    out[fname] = res
+            elif p.op in (Op.MIN, Op.MAX):
+                s_vals = np.asarray(s_raw, dtype="float64") if s_raw else np.empty(0)
                 take_min = p.op == Op.MIN
                 stat, cstat = ("mn", f"__c{i}_mn") if take_min else ("mx", f"__c{i}_mx")
-                c_v = ir_row[cstat] if ir_row is not None and pd.notna(ir_row.get(cstat)) else None
+                c_v = _c(cstat)
                 t_vals = tl[stat].to_numpy("float64") if len(tl) else np.empty(0)
                 # suffix min/max over sorted-by-hop tails; NaN (all-null hop)
                 # mapped to the identity so it never wins
@@ -290,6 +447,92 @@ def fetch_features(
                     else:
                         v = min(cand) if take_min else max(cand)
                         vals_out.append(int(round(v)) if integral[i] else v)
+                out[fname] = vals_out
+            elif p.op in _ORDER_OPS:
+                k = _entry_k(p)
+                asc = p.op in (Op.FIRST, Op.FIRST_K)
+                hop_ents = tl["ent"].tolist() if len(tl) else []
+                c_ent = [e["v"] for e in _lst(_c(f"__c{i}_ent"))]
+                vals_out = []
+                for j in range(len(q_ts)):
+                    if asc:  # chronological: tails -> collapsed -> stream
+                        acc = []
+                        for h in range(int(ti[j]), len(hop_ents)):
+                            acc += [e["v"] for e in _lst(hop_ents[h])]
+                            if len(acc) >= k:
+                                break
+                        if len(acc) < k:
+                            acc += c_ent
+                        if len(acc) < k:
+                            acc += s_raw[ss[j] : se[j]][: k - len(acc)]
+                    else:  # most-recent-first: stream -> collapsed -> tails
+                        acc = s_raw[ss[j] : se[j]][: -k - 1 : -1] if se[j] > ss[j] else []
+                        if len(acc) < k:
+                            acc += c_ent
+                        if len(acc) < k:
+                            for h in range(len(hop_ents) - 1, int(ti[j]) - 1, -1):
+                                acc += [e["v"] for e in _lst(hop_ents[h])]
+                                if len(acc) >= k:
+                                    break
+                    acc = acc[:k]
+                    if p.op in (Op.FIRST, Op.LAST):
+                        vals_out.append(acc[0] if acc else None)
+                    else:
+                        vals_out.append(acc or None)
+                out[fname] = vals_out
+            elif p.op in _EXTREME_OPS:
+                hop_ext = tl["ext"].tolist() if len(tl) else []
+                c_ext = _lst(_c(f"__c{i}_ext"))
+                vals_out = []
+                for j in range(len(q_ts)):
+                    cand = list(c_ext)
+                    for h in range(int(ti[j]), len(hop_ext)):
+                        cand += _lst(hop_ext[h])
+                    cand += s_raw[ss[j] : se[j]]
+                    if not cand:
+                        vals_out.append(None)
+                    elif p.op == Op.TOP_K:
+                        vals_out.append(sorted(cand, reverse=True)[: p.k])
+                    elif p.op == Op.BOTTOM_K:
+                        vals_out.append(sorted(cand)[: p.k])
+                    else:
+                        vals_out.append(sorted(set(cand), reverse=True)[: p.k])
+                out[fname] = vals_out
+            elif p.op in _SET_OPS:
+                hop_sets = [set(_lst(v)) for v in tl["st"].tolist()] if len(tl) else []
+                # suffix unions: distinct(hops >= j) without re-walking per query
+                sfx_sets = [set() for _ in range(len(hop_sets) + 1)]
+                for h in range(len(hop_sets) - 1, -1, -1):
+                    sfx_sets[h] = sfx_sets[h + 1] | hop_sets[h]
+                c_set = set(_lst(_c(f"__c{i}_set")))
+                vals_out = []
+                for j in range(len(q_ts)):
+                    u = c_set | sfx_sets[min(int(ti[j]), len(hop_sets))]
+                    seg = s_raw[ss[j] : se[j]]
+                    if seg:
+                        u = u | set(seg)
+                    vals_out.append(len(u) if u else None)
+                out[fname] = vals_out
+            else:  # histogram family
+                hop_maps = tl["hmap"].tolist() if len(tl) else []
+                c_hist = Counter({e["__v"]: e["__n"] for e in _lst(_c(f"__c{i}_hist"))})
+                k = p.k if (p.k or p.op != Op.HISTOGRAM) else None
+                vals_out = []
+                for j in range(len(q_ts)):
+                    cnt = Counter(c_hist)
+                    for h in range(int(ti[j]), len(hop_maps)):
+                        for e in _lst(hop_maps[h]):
+                            cnt[e["__v"]] += e["__n"]
+                    for v in s_raw[ss[j] : se[j]]:
+                        cnt[str(v)] += 1
+                    if not cnt:
+                        vals_out.append(None)
+                        continue
+                    items = list(cnt.items())
+                    if k is not None:
+                        # deterministic truncation: count desc, value asc
+                        items = sorted(items, key=lambda kv: (-kv[1], kv[0]))[:k]
+                    vals_out.append(dict(sorted(items)))
                 out[fname] = vals_out
         return out
 

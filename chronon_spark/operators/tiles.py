@@ -1,30 +1,64 @@
-"""Tiled sawtooth as-of join: bounded per-key state for decomposable ops.
+"""Tiled sawtooth as-of join: bounded per-key state for the FULL op set.
 
 The reference's hop-tile architecture (HopsAggregator.scala:36-175 +
 SawtoothMutationAggregator's BatchIr{collapsed, tailHops}) re-expressed
 Spark-first:
 
-1. **Tile build** — ONE JVM `groupBy(keys, hop_start)` producing partial IRs
-   (sum/count/min/max per input column). Whole-stage codegen, map-side
-   combine, shuffle payload = one small row per (key, hop) instead of every
-   raw event.
+1. **Tile build** — ONE JVM `groupBy(keys, hop_start)` producing partial IRs.
+   Whole-stage codegen, map-side combine, shuffle payload = one small row per
+   (key, hop) instead of every raw event. Per-op IR shapes mirror the
+   reference's ColumnAggregator IRs (aggregator/.../row/ColumnAggregator.scala,
+   SimpleAggregators.scala):
+     - sum/count/min/max/average  -> scalar partials
+     - variance/skew/kurtosis    -> raw power sums (cnt, sum, sum^2..sum^4);
+       the reference carries (count, mean, M2..) Welford IRs — power sums are
+       the abelian re-expression (binomial-rebased at finalize)
+     - first/last/first_k/last_k -> per-tile bounded entry lists
+       sorted by (ts, tie_breakers) — the reference's bounded
+       ArrayDeque IRs (SimpleAggregators.scala:200-260)
+     - top_k/bottom_k/unique_top_k -> per-tile k-extreme value lists
+       (pigeonhole: any value in the window's global top-k is in its own
+       tile's top-k)
+     - unique_count              -> per-tile distinct sets (exact; the CPC
+       sketch at SimpleAggregators.scala:499 is the lossy 100 TB variant —
+       Spark-side `hll_sketch_agg`/`hll_union` is the drop-in when
+       approximate counts are acceptable)
+     - histogram/frequent/heavy_hitters -> per-tile value->count maps built
+       by a two-level groupBy ((keys,hop,value) count, then collect per
+       (keys,hop)) — both shuffles run on pre-reduced data
 2. **Head restriction** — a query's window head is exact only inside its own
    hop, so raw events are needed ONLY in hops that contain at least one
    query for that key: a broadcast-able left-semi join on (key, hop) prunes
-   the rest. For sparse query patterns this drops the raw volume by
-   ~hop/density; for dense backfills it is the tail tiles that carry the win
-   (a 13d window touches ≤13 tile rows + 1 hop of raw events per query
-   instead of 13 days of raw events).
+   the rest.
 3. **Kernel** — tiles and head events enter the cogroup as one union frame
-   (marker column); the kernel aggregates tiles over [window_start,
-   head_hop) and raw events over [head_hop, query_ts), then merges the two
-   partials per op (sum+sum, min∧min, …) — the reference's
-   `lambdaAggregateIr` merge of collapsed IR + tail hops.
+   (marker column). Scalar partials merge as range sums / sparse-table
+   min-max; collection IRs are flattened to (composite_ts, value[, weight])
+   entry arrays ONCE per column and served by the SAME vectorized kernels as
+   the raw path (`aggregators/kernels._kernel`), then merged with the head's
+   exact result per op — the reference's `lambdaAggregateIr` merge of
+   collapsed IR + tail hops (SawtoothOnlineAggregator.scala:86-126).
 
-Supported ops: COUNT / SUM / MIN / MAX / AVERAGE (the decomposable subset —
-exactly what the reference can collapse; order-sensitive ops keep the raw
-path or the sliced path). Semantics are identical to
-`asof_join(..., sawtooth=True)`, which the tests assert.
+Exactness: every supported op is EXACT and equal to `asof_join(...,
+sawtooth=True)` (asserted by tests/test_tiles_slicing.py), because
+  - window tails cover whole hops (wstart is a multiple of every part's tail
+    hop, which is a multiple of the tile hop), so entry-level ts bounds and
+    tile-level inclusion coincide;
+  - entry lists carry the original (ts, tie_breakers) so cross-tile ordering
+    is reconstructed exactly;
+  - per-tile k-truncation is lossless for first/last/top/bottom/unique-top
+    (supersets of any window's k-extremes).
+Order ops require `tie_breakers` to make the event order total (the north
+rule's stable turn ordering); with ties left unbroken the raw path's
+input-order fallback is not reproducible from tiles (nor across shuffles).
+
+NOT tiled: APPROX_PERCENTILE (exact percentiles need the raw values — use
+the plain or sliced path; the reference's tiled form is a KLL sketch IR,
+i.e. inherently lossy) and bucketed parts (use the plain path).
+
+Moment-op caveat: raw power sums lose precision when |mean| >> stddev
+(classic cancellation); the raw path's globally-shifted prefix sums
+(kernels._moments) do not. Equivalence holds to ~1e-9 relative at realistic
+magnitudes; for pathological columns keep moments on the plain path.
 
 When to use which (measured, local[32]):
 - many keys + queries sparse in (key, hop): tiled wins — 4M events / 2000
@@ -42,30 +76,79 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
-from chronon_spark.aggregators.kernels import _ColumnSeries, _prefix, _sparse_query, _sparse_table
-from chronon_spark.api import GroupBy, Op
+from chronon_spark.aggregators.kernels import (
+    _ColumnSeries,
+    _flat_ranges,
+    _kernel,
+    _prefix,
+    _query_chunks,
+    _run_starts,
+    _sparse_query,
+    _sparse_table,
+    _to_numpy,
+    hist_finalize,
+)
+from chronon_spark.api import AggregationPart, GroupBy, Op
 from chronon_spark.operators.asof_join import ensure_ts_us
 from chronon_spark.resolution import tail_hop_millis
 from chronon_spark.types import part_output_type
 
-TILED_OPS = {Op.COUNT, Op.SUM, Op.MIN, Op.MAX, Op.AVERAGE}
+_SCALAR_OPS = {Op.COUNT, Op.SUM, Op.MIN, Op.MAX, Op.AVERAGE}
+_MOMENT_OPS = {Op.VARIANCE, Op.SKEW, Op.KURTOSIS}
+_ORDER_OPS = {Op.FIRST, Op.LAST, Op.FIRST_K, Op.LAST_K}
+_EXTREME_OPS = {Op.TOP_K, Op.BOTTOM_K, Op.UNIQUE_TOP_K}
+_SET_OPS = {Op.UNIQUE_COUNT, Op.APPROX_UNIQUE_COUNT}
+_HIST_OPS = {Op.HISTOGRAM, Op.APPROX_FREQUENT_K, Op.APPROX_HEAVY_HITTERS_K}
+
+TILED_OPS = _SCALAR_OPS | _MOMENT_OPS | _ORDER_OPS | _EXTREME_OPS | _SET_OPS | _HIST_OPS
 
 _TS_US = "__ts_us"
 
 
-def _tile_stats_needed(gb: GroupBy) -> dict[str, set[str]]:
-    """Which per-column tile stats each input column needs."""
-    need: dict[str, set[str]] = {}
+def _op_family(op: Op) -> str | None:
+    """Which per-tile collection IR (if any) an op reads."""
+    if op in (Op.FIRST, Op.FIRST_K):
+        return "firstk"
+    if op in (Op.LAST, Op.LAST_K):
+        return "lastk"
+    if op == Op.TOP_K:
+        return "topk"
+    if op == Op.BOTTOM_K:
+        return "bottomk"
+    if op == Op.UNIQUE_TOP_K:
+        return "utopk"
+    if op in _SET_OPS:
+        return "set"
+    if op in _HIST_OPS:
+        return "hist"
+    return None
+
+
+def _tile_stats_needed(gb: GroupBy) -> dict[str, dict[str, int | None]]:
+    """Which per-column tile stats each input column needs.
+
+    Values: max k for bounded-list stats, highest power for ``pow``,
+    None for unparameterized stats."""
+    need: dict[str, dict[str, int | None]] = {}
     for p in gb.parts():
-        s = need.setdefault(p.input_column, set())
-        if p.op in (Op.COUNT, Op.AVERAGE, Op.SUM):
-            s.add("cnt")  # SUM needs cnt for empty-window NULL semantics
-        if p.op in (Op.SUM, Op.AVERAGE):
-            s.add("sum")
+        d = need.setdefault(p.input_column, {})
+        if p.op in (Op.COUNT, Op.AVERAGE, Op.SUM) or p.op in _MOMENT_OPS:
+            d["cnt"] = None  # SUM needs cnt for empty-window NULL semantics
+        if p.op in (Op.SUM, Op.AVERAGE) or p.op in _MOMENT_OPS:
+            d["sum"] = None
         if p.op == Op.MIN:
-            s.add("min")
+            d["min"] = None
         if p.op == Op.MAX:
-            s.add("max")
+            d["max"] = None
+        if p.op in _MOMENT_OPS:
+            upto = 2 if p.op == Op.VARIANCE else (3 if p.op == Op.SKEW else 4)
+            d["pow"] = max(d.get("pow") or 0, upto)
+        fam = _op_family(p.op)
+        if fam in ("firstk", "lastk", "topk", "bottomk", "utopk"):
+            k = 1 if p.op in (Op.FIRST, Op.LAST) else int(p.k)
+            d[fam] = max(d.get(fam) or 0, k)
+        elif fam in ("set", "hist"):
+            d[fam] = None
     return need
 
 
@@ -76,6 +159,33 @@ def _range_sum(vals: np.ndarray, s: np.ndarray, e: np.ndarray) -> np.ndarray:
 
 def _range_minmax(vals: np.ndarray, s: np.ndarray, e: np.ndarray, take_min: bool) -> np.ndarray:
     return _sparse_query(_sparse_table(vals, take_min), s, e, take_min)
+
+
+def _merge_order(op: Op, k: int | None, tail: np.ndarray, head: np.ndarray) -> list:
+    """Merge the tail (tiles) and head kernel results per query for order /
+    extreme ops. tail is strictly earlier in time than head."""
+    out = []
+    if op == Op.FIRST:
+        return [t if t is not None else h for t, h in zip(tail, head)]
+    if op == Op.LAST:
+        return [h if h is not None else t for t, h in zip(tail, head)]
+    for t, h in zip(tail, head):
+        if t is None and h is None:
+            out.append(None)
+            continue
+        t = t or []
+        h = h or []
+        if op == Op.FIRST_K:
+            out.append((t + h)[:k])
+        elif op == Op.LAST_K:  # most-recent-first
+            out.append((h + t)[:k])
+        elif op == Op.TOP_K:
+            out.append(sorted(t + h, reverse=True)[:k])
+        elif op == Op.BOTTOM_K:
+            out.append(sorted(t + h)[:k])
+        else:  # UNIQUE_TOP_K: distinct union, desc, k
+            out.append(sorted(set(t) | set(h), reverse=True)[:k])
+    return out
 
 
 def tiled_sawtooth_asof_join(
@@ -90,15 +200,24 @@ def tiled_sawtooth_asof_join(
     """Sawtooth-mode PITC as-of join where the window tail reads pre-
     aggregated hop tiles instead of raw events. ``coarse_buckets`` as in
     asof_join: cogroup on hash(keys) %% N so one Arrow batch carries many
-    keys and the whole-batch composite-index kernel resolves them at once."""
+    keys and searchsorted in composite-index space resolves them at once."""
     parts = gb.parts()
     bad = [p.op for p in parts if p.op not in TILED_OPS]
     if bad:
-        raise ValueError(f"tiled path supports {sorted(o.value for o in TILED_OPS)}; got {bad}")
+        raise ValueError(
+            f"tiled path supports {sorted(o.value for o in TILED_OPS)}; got {bad} "
+            "(approx_percentile needs raw values — use the plain or sliced path)"
+        )
     if any(p.window.millis is None for p in parts):
         raise ValueError("tiled path requires bounded windows")
     if any(p.bucket for p in parts):
         raise ValueError("tiled path does not support buckets yet")
+    order_parts = [p for p in parts if p.op in _ORDER_OPS]
+    if order_parts and not gb.tie_breakers:
+        raise ValueError(
+            "tiled first/last(_k) needs tie_breakers for a total event order "
+            "(per-tile truncation is order-dependent)"
+        )
     hop_ms = min(tail_hop_millis(p.window.millis) for p in parts)
     hop_us = hop_ms * 1000
 
@@ -113,10 +232,21 @@ def tiled_sawtooth_asof_join(
 
     need = _tile_stats_needed(gb)
     in_cols = sorted(need)
+    tie_cols = [t for t in gb.tie_breakers if t in right.columns and t not in right_keys]
+    head_cols = in_cols + [t for t in tie_cols if t not in in_cols]
     hop_col = (F.col(_TS_US) / F.lit(hop_us)).cast("long")
+
+    def entry_struct(c: str):
+        """Non-null (ts, tie..., value) struct — sort_array orders it exactly
+        like the raw kernel's (ts, tie_breakers) event sort."""
+        fields = [F.col(_TS_US).alias("t")]
+        fields += [F.col(t).alias(f"b{i}") for i, t in enumerate(tie_cols)]
+        fields.append(F.col(c).alias("v"))
+        return F.when(F.col(c).isNotNull(), F.struct(*fields))
 
     # 1) tile build: one JVM shuffle on (keys, hop)
     aggs = []
+    hist_cols: list[str] = []
     for c in in_cols:
         stats = need[c]
         if "cnt" in stats:
@@ -127,10 +257,49 @@ def tiled_sawtooth_asof_join(
             aggs.append(F.min(c).alias(f"{c}__min"))
         if "max" in stats:
             aggs.append(F.max(c).alias(f"{c}__max"))
+        if "pow" in stats:
+            for pw in range(2, (stats["pow"] or 2) + 1):
+                aggs.append(F.sum(F.pow(F.col(c).cast("double"), F.lit(pw))).alias(f"{c}__pow{pw}"))
+        if "firstk" in stats:
+            aggs.append(
+                F.slice(F.sort_array(F.collect_list(entry_struct(c))), 1, stats["firstk"]).alias(f"{c}__firstk")
+            )
+        if "lastk" in stats:
+            aggs.append(
+                F.slice(
+                    F.sort_array(F.collect_list(entry_struct(c)), asc=False), 1, stats["lastk"]
+                ).alias(f"{c}__lastk")
+            )
+        if "topk" in stats:
+            aggs.append(F.slice(F.sort_array(F.collect_list(c), asc=False), 1, stats["topk"]).alias(f"{c}__topk"))
+        if "bottomk" in stats:
+            aggs.append(F.slice(F.sort_array(F.collect_list(c)), 1, stats["bottomk"]).alias(f"{c}__bottomk"))
+        if "utopk" in stats:
+            aggs.append(F.slice(F.sort_array(F.collect_set(c), asc=False), 1, stats["utopk"]).alias(f"{c}__utopk"))
+        if "set" in stats:
+            aggs.append(F.collect_set(c).alias(f"{c}__set"))
+        if "hist" in stats:
+            hist_cols.append(c)
     tiles = (
-        r.select(*right_keys, hop_col.alias("__hop"), *in_cols)
+        r.select(*right_keys, hop_col.alias("__hop"), _TS_US, *head_cols)
         .groupBy(*right_keys, "__hop")
         .agg(*aggs)
+    )
+    for c in hist_cols:
+        # two-level: value counts shrink map-side, then one small row per tile.
+        # The join keys match the tile agg's output partitioning, so only the
+        # (already tiny) value-count side pays an exchange.
+        vc = (
+            r.select(*right_keys, hop_col.alias("__hop"), F.col(c).cast("string").alias("__v"))
+            .where(F.col("__v").isNotNull())
+            .groupBy(*right_keys, "__hop", "__v")
+            .agg(F.count("*").alias("__c"))
+            .groupBy(*right_keys, "__hop")
+            .agg(F.collect_list(F.struct("__v", "__c")).alias(f"{c}__hist"))
+        )
+        tiles = tiles.join(vc, on=right_keys + ["__hop"], how="left")
+    tiles = (
+        tiles
         # tile timestamp = 1µs before hop end: the strict '<' kernel then
         # includes a tile iff the hop lies fully inside [wstart, q)
         .withColumn(_TS_US, (F.col("__hop") + 1) * F.lit(hop_us) - F.lit(1))
@@ -148,7 +317,7 @@ def tiled_sawtooth_asof_join(
         r.withColumn("__hop", hop_col)
         .join(q_hops, on=right_keys + ["__hop"], how="leftsemi")
         .drop("__hop")
-        .select(*right_keys, _TS_US, *in_cols)
+        .select(*right_keys, _TS_US, *head_cols)
         .withColumn("__is_tile", F.lit(False))
     )
 
@@ -158,9 +327,9 @@ def tiled_sawtooth_asof_join(
     for c in tile_stat_cols:
         heads_u = heads_u.withColumn(c, F.lit(None).cast(dict(tiles.dtypes)[c]))
     tiles_u = tiles
-    for c in in_cols:
+    for c in head_cols:
         tiles_u = tiles_u.withColumn(c, F.lit(None).cast(dict(r.dtypes)[c]))
-    cols_order = right_keys + [_TS_US, "__is_tile"] + in_cols + tile_stat_cols
+    cols_order = right_keys + [_TS_US, "__is_tile"] + head_cols + tile_stat_cols
     union = tiles_u.select(*cols_order).unionByName(heads_u.select(*cols_order))
     union = union.select(*[F.col(c).alias(f"__r_{c}") for c in union.columns])
 
@@ -173,6 +342,7 @@ def tiled_sawtooth_asof_join(
     left_cols = [f.name for f in left.schema.fields]
     feat_names = [f.name for f in feat_fields]
     part_list = list(parts)
+    n_ties = len(tie_cols)
 
     def kernel(lpdf: pd.DataFrame, rpdf: pd.DataFrame, lcodes: np.ndarray, rcodes: np.ndarray) -> pd.DataFrame:
         """Whole-batch kernel in composite-index space: code·block + (ts−base)
@@ -180,9 +350,7 @@ def tiled_sawtooth_asof_join(
         (same trick as kernels.MultiKeyEventColumns; per-key grouping is the
         all-zero-codes special case). base is day-aligned so the sawtooth hop
         rounding commutes with rebasing; clamping window offsets to [0, block)
-        keeps ranges inside their key's segment. Decomposable ops are
-        order-insensitive within a timestamp, so the comp-only sort suffices
-        (tie-breakers matter only for first/last/k ops, not served here)."""
+        keeps ranges inside their key's segment."""
         q_ts = lpdf[_TS_US].to_numpy(np.int64)
         r_ts = rpdf[_TS_US].to_numpy(np.int64) if len(rpdf) else np.empty(0, np.int64)
         lo = int(min(q_ts.min(), r_ts.min())) if len(r_ts) else int(q_ts.min())
@@ -198,8 +366,78 @@ def tiled_sawtooth_asof_join(
         torder = np.argsort(tcomp_all, kind="stable")
         tiles_pdf, tcomp_all = tiles_pdf.iloc[torder], tcomp_all[torder]
         hcomp_all, heads_pdf = rcomp[~is_tile], rpdf[~is_tile]
-        horder = np.argsort(hcomp_all, kind="stable")
+        # heads sorted by (comp, tie_breakers): identical to the raw kernel's
+        # event order so first/last(_k) heads match the plain path exactly
+        htie_arrays = [heads_pdf[t].to_numpy() for t in tie_cols] if len(heads_pdf) else []
+        horder = (
+            np.lexsort(tuple(reversed([hcomp_all] + htie_arrays)))
+            if htie_arrays
+            else np.argsort(hcomp_all, kind="stable")
+        )
         heads_pdf, hcomp_all = heads_pdf.iloc[horder], hcomp_all[horder]
+        tile_code_base = (tcomp_all // block) * block
+
+        head_cache: dict[str, _ColumnSeries] = {}
+
+        def head_series(c: str) -> _ColumnSeries:
+            if c not in head_cache:
+                if len(heads_pdf):
+                    mask = heads_pdf[c].notna().to_numpy()
+                    head_cache[c] = _ColumnSeries(hcomp_all[mask], _to_numpy(heads_pdf[c][mask]))
+                else:
+                    head_cache[c] = _ColumnSeries(np.empty(0, np.int64), np.empty(0, object))
+            return head_cache[c]
+
+        entry_cache: dict[str, tuple] = {}
+
+        def entries(stat_col: str, kind: str) -> tuple:
+            """Flatten one tile collection column into sorted entry arrays.
+
+            kind='ts'    -> (comp_by_orig_ts, values) ordered by (ts, ties)
+            kind='value' -> (tile_comp, values)
+            kind='hist'  -> (tile_comp, values, weights)
+            Entry-level ts bounds equal tile-level inclusion because window
+            starts are hop multiples (module docstring)."""
+            if stat_col in entry_cache:
+                return entry_cache[stat_col]
+            empty: tuple
+            if kind == "hist":
+                empty = (np.empty(0, np.int64), np.empty(0, object), np.empty(0, np.int64))
+            else:
+                empty = (np.empty(0, np.int64), np.empty(0, object))
+            if not len(tiles_pdf):
+                entry_cache[stat_col] = empty
+                return empty
+            lists = tiles_pdf[stat_col].to_numpy()
+            lens = np.fromiter(
+                (len(v) if isinstance(v, (list, np.ndarray)) else 0 for v in lists), np.int64, len(lists)
+            )
+            total = int(lens.sum())
+            if not total:
+                entry_cache[stat_col] = empty
+                return empty
+            flat = [e for v in lists if isinstance(v, (list, np.ndarray)) for e in v]
+            if kind == "ts":
+                ets = np.fromiter((e["t"] for e in flat), np.int64, total)
+                comp = np.repeat(tile_code_base, lens) + (ets - base)
+                vals = _to_numpy(pd.Series([e["v"] for e in flat]))
+                tie_arrs = [_to_numpy(pd.Series([e[f"b{i}"] for e in flat])) for i in range(n_ties)]
+                order = (
+                    np.lexsort(tuple(reversed([comp] + tie_arrs)))
+                    if tie_arrs
+                    else np.argsort(comp, kind="stable")
+                )
+                out = (comp[order], vals[order])
+            elif kind == "hist":
+                comp = np.repeat(tcomp_all, lens)
+                vals = np.fromiter((e["__v"] for e in flat), object, total)
+                wts = np.fromiter((e["__c"] for e in flat), np.int64, total)
+                out = (comp, vals, wts)  # comp already ascending (tiles sorted)
+            else:  # value entries: bound by the tile's own comp
+                comp = np.repeat(tcomp_all, lens)
+                out = (comp, _to_numpy(pd.Series(flat)))
+            entry_cache[stat_col] = out
+            return out
 
         nullkey = lcodes < 0
         head_start = (q_ts // hop_us) * hop_us
@@ -215,13 +453,11 @@ def tiled_sawtooth_asof_join(
             comp_w = np.where(nullkey, np.int64(0), kbase + np.clip(wstart - base, 0, block - 1))
             c = p.input_column
 
-            # head: raw events in [head_start, q), compacted per column
-            hmask = heads_pdf[c].notna().to_numpy() if len(heads_pdf) else np.empty(0, bool)
-            h_comp, h_vals = hcomp_all[hmask], heads_pdf[c].to_numpy()[hmask]
-            hs = np.searchsorted(h_comp, comp_h, side="left")
-            he = np.maximum(np.searchsorted(h_comp, comp_q, side="left"), hs)
+            hcs = head_series(c)
+            hs = np.searchsorted(hcs.ts, comp_h, side="left")
+            he = np.maximum(np.searchsorted(hcs.ts, comp_q, side="left"), hs)
 
-            if p.op in (Op.COUNT, Op.SUM, Op.AVERAGE):
+            if p.op in (Op.COUNT, Op.SUM, Op.AVERAGE) or p.op in _MOMENT_OPS:
                 # tail: tiles fully inside [wstart, head_start)
                 ts_idx_s = np.searchsorted(tcomp_all, comp_w, side="left")
                 ts_idx_e = np.maximum(np.searchsorted(tcomp_all, comp_h, side="left"), ts_idx_s)
@@ -230,10 +466,11 @@ def tiled_sawtooth_asof_join(
                 if p.op == Op.COUNT:
                     out[fname] = [None if v <= 0 else int(v) for v in n]
                     continue
+                hvals = hcs.vals.astype(np.float64) if len(hcs.vals) else np.empty(0, np.float64)
                 sum_t = _range_sum(
                     np.nan_to_num(tiles_pdf[f"{c}__sum"].to_numpy(np.float64)), ts_idx_s, ts_idx_e
                 )
-                sum_h = _range_sum(h_vals.astype(np.float64), hs, he)
+                sum_h = _range_sum(hvals, hs, he)
                 total = sum_t + sum_h
                 if p.op == Op.SUM:
                     integral = isinstance(part_output_type(p, right_types[c]), T.LongType)
@@ -242,9 +479,37 @@ def tiled_sawtooth_asof_join(
                         for v, nv in zip(total, n)
                     ]
                     continue
+                if p.op == Op.AVERAGE:
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        avg = np.where(n > 0, total / n, np.nan)
+                    out[fname] = [None if np.isnan(v) else float(v) for v in avg]
+                    continue
+                # moments from merged raw power sums (same central-moment
+                # algebra as kernels._moments at shift 0)
+                upto = 2 if p.op == Op.VARIANCE else (3 if p.op == Op.SKEW else 4)
+                S = {1: total}
+                for pw in range(2, upto + 1):
+                    s_t = _range_sum(
+                        np.nan_to_num(tiles_pdf[f"{c}__pow{pw}"].to_numpy(np.float64)), ts_idx_s, ts_idx_e
+                    )
+                    p_h = _prefix(hvals, pw)
+                    S[pw] = s_t + (p_h[he] - p_h[hs])
                 with np.errstate(invalid="ignore", divide="ignore"):
-                    avg = np.where(n > 0, total / n, np.nan)
-                out[fname] = [None if np.isnan(v) else float(v) for v in avg]
+                    mu = S[1] / n
+                    m2 = np.maximum(S[2] / n - mu**2, 0.0)
+                    if p.op == Op.VARIANCE:
+                        vals_out, bad = m2, n <= 0
+                    elif p.op == Op.SKEW:
+                        m3 = S[3] / n - 3 * mu * S[2] / n + 2 * mu**3
+                        vals_out = m3 / np.power(m2, 1.5)
+                        bad = (n < 3) | (m2 <= 0)
+                    else:
+                        m4 = S[4] / n - 4 * mu * S[3] / n + 6 * mu**2 * S[2] / n - 3 * mu**4
+                        vals_out = m4 / (m2**2) - 3.0
+                        bad = (n < 4) | (m2 <= 0)
+                res = vals_out.astype(object)
+                res[bad | (n <= 0)] = None
+                out[fname] = res
             elif p.op in (Op.MIN, Op.MAX):
                 take_min = p.op == Op.MIN
                 tcol = f"{c}__{'min' if take_min else 'max'}"
@@ -253,7 +518,7 @@ def tiled_sawtooth_asof_join(
                 s2 = np.searchsorted(tt, comp_w, side="left")
                 e2 = np.maximum(np.searchsorted(tt, comp_h, side="left"), s2)
                 part_t = _range_minmax(tv, s2, e2, take_min)
-                part_h = _range_minmax(h_vals, hs, he, take_min)
+                part_h = _range_minmax(hcs.vals, hs, he, take_min)
                 merged = []
                 for a, b in zip(part_t, part_h):
                     if a is None:
@@ -263,6 +528,42 @@ def tiled_sawtooth_asof_join(
                     else:
                         merged.append(min(a, b) if take_min else max(a, b))
                 out[fname] = merged
+            elif p.op in _ORDER_OPS or p.op in _EXTREME_OPS:
+                fam = _op_family(p.op)
+                kind = "ts" if p.op in _ORDER_OPS else "value"
+                ecomp, evals = entries(f"{c}__{fam}", kind)
+                es = np.searchsorted(ecomp, comp_w, side="left")
+                ee = np.maximum(np.searchsorted(ecomp, comp_h, side="left"), es)
+                # reuse the raw-path kernel on both sides, merge per op.
+                # FIRST/LAST ride their _K kernels so the list merge is uniform
+                kp = p
+                if p.op in (Op.FIRST, Op.LAST):
+                    kp = AggregationPart(
+                        p.input_column,
+                        Op.FIRST_K if p.op == Op.FIRST else Op.LAST_K,
+                        p.window,
+                        k=1,
+                    )
+                tail_res = _kernel(kp, _ColumnSeries(ecomp, evals), es, ee)
+                head_res = _kernel(kp, hcs, hs, he)
+                if p.op in (Op.FIRST, Op.LAST):
+                    merged_k = _merge_order(
+                        Op.FIRST_K if p.op == Op.FIRST else Op.LAST_K, 1, tail_res, head_res
+                    )
+                    out[fname] = [None if v is None else v[0] for v in merged_k]
+                else:
+                    out[fname] = _merge_order(p.op, p.k, tail_res, head_res)
+            elif p.op in _SET_OPS:
+                ecomp, evals = entries(f"{c}__set", "value")
+                es = np.searchsorted(ecomp, comp_w, side="left")
+                ee = np.maximum(np.searchsorted(ecomp, comp_h, side="left"), es)
+                out[fname] = _distinct2(evals, es, ee, hcs.vals, hs, he)
+            else:  # histogram family
+                ecomp, evals, ewts = entries(f"{c}__hist", "hist")
+                es = np.searchsorted(ecomp, comp_w, side="left")
+                ee = np.maximum(np.searchsorted(ecomp, comp_h, side="left"), es)
+                k = p.k if (p.k or p.op != Op.HISTOGRAM) else None
+                out[fname] = _hist2(evals, ewts, es, ee, hcs.vals, hs, he, k)
         return out
 
     def fn_perkey(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
@@ -315,3 +616,74 @@ def tiled_sawtooth_asof_join(
         union.groupby(*[F.col(f"__r_{c}") for c in right_keys])
     )
     return grouped.applyInPandas(fn_perkey, schema=out_schema)
+
+
+def _distinct2(
+    evals: np.ndarray,
+    es: np.ndarray,
+    ee: np.ndarray,
+    hvals: np.ndarray,
+    hs: np.ndarray,
+    he: np.ndarray,
+) -> np.ndarray:
+    """Distinct count over the union of two index-range families (tile-set
+    entries + head events) — one segmented lexsort per chunk, like the raw
+    kernel's UNIQUE_COUNT but gathering from both sides."""
+    n = (ee - es) + (he - hs)
+    out = np.empty(len(n), object)
+    for lo, hi in _query_chunks(n):
+        f1, l1 = _flat_ranges(es[lo:hi], ee[lo:hi])
+        f2, l2 = _flat_ranges(hs[lo:hi], he[lo:hi])
+        seg = np.concatenate(
+            [np.repeat(np.arange(hi - lo, dtype=np.int64), l1), np.repeat(np.arange(hi - lo, dtype=np.int64), l2)]
+        )
+        vals = np.concatenate(
+            [evals[f1] if len(f1) else evals[:0], hvals[f2] if len(f2) else hvals[:0]]
+        )
+        if len(vals):
+            order = np.lexsort((vals, seg))
+            seg, vals = seg[order], vals[order]
+        runs = _run_starts(seg, vals)
+        cnt = np.bincount(seg[runs], minlength=hi - lo) if len(seg) else np.zeros(hi - lo, np.int64)
+        chunk = cnt.astype(object)
+        chunk[(l1 + l2) <= 0] = None
+        out[lo:hi] = chunk
+    return out
+
+
+def _hist2(
+    evals: np.ndarray,
+    ewts: np.ndarray,
+    es: np.ndarray,
+    ee: np.ndarray,
+    hvals: np.ndarray,
+    hs: np.ndarray,
+    he: np.ndarray,
+    k: int | None,
+) -> np.ndarray:
+    """Weighted histogram over tile (value, count) entries + weight-1 head
+    events; finalize (incl. deterministic k-truncation) shared with the raw
+    kernel via kernels.hist_finalize."""
+    n = (ee - es) + (he - hs)
+    out = np.empty(len(n), object)
+    hstr = hvals.astype(str) if len(hvals) else np.empty(0, object)
+    for lo, hi in _query_chunks(n):
+        f1, l1 = _flat_ranges(es[lo:hi], ee[lo:hi])
+        f2, l2 = _flat_ranges(hs[lo:hi], he[lo:hi])
+        seg = np.concatenate(
+            [np.repeat(np.arange(hi - lo, dtype=np.int64), l1), np.repeat(np.arange(hi - lo, dtype=np.int64), l2)]
+        )
+        vals = np.concatenate(
+            [evals[f1].astype(str) if len(f1) else np.empty(0, object), hstr[f2] if len(f2) else np.empty(0, object)]
+        )
+        wts = np.concatenate([ewts[f1] if len(f1) else ewts[:0], np.ones(len(f2), np.int64)])
+        if len(vals):
+            order = np.lexsort((vals, seg))
+            seg, vals, wts = seg[order], vals[order], wts[order]
+        runs = _run_starts(seg, vals)
+        run_seg, run_val = seg[runs], vals[runs]
+        wprefix = np.concatenate(([0], np.cumsum(wts)))
+        bounds = np.concatenate([np.flatnonzero(runs), [len(seg)]]) if len(seg) else np.array([0])
+        run_cnt = (wprefix[bounds[1:]] - wprefix[bounds[:-1]]).astype(np.int64) if len(run_seg) else np.empty(0, np.int64)
+        out[lo:hi] = hist_finalize(run_seg, run_val, run_cnt, hi - lo, k, (l1 + l2) <= 0)
+    return out

@@ -63,15 +63,91 @@ def test_tiled_equals_plain_sawtooth(spark, tdf):
     _assert_same(plain, tiled)
 
 
-def test_tiled_rejects_order_ops(tdf):
+def test_tiled_rejects_percentile(tdf):
+    gb = GroupBy(
+        keys=["conv_id"],
+        aggregations=[Aggregation("n_chars", Op.APPROX_PERCENTILE, windows=("1d",))],
+        sawtooth=True,
+    )
+    left = tdf.limit(1)
+    with pytest.raises(ValueError, match="tiled path supports"):
+        tiled_sawtooth_asof_join(left, tdf, gb)
+
+
+def test_tiled_order_ops_need_tie_breakers(tdf):
     gb = GroupBy(
         keys=["conv_id"],
         aggregations=[Aggregation("n_chars", Op.LAST_K, windows=("1d",), k=2)],
         sawtooth=True,
     )
     left = tdf.limit(1)
-    with pytest.raises(ValueError, match="tiled path supports"):
+    with pytest.raises(ValueError, match="tie_breakers"):
         tiled_sawtooth_asof_join(left, tdf, gb)
+
+
+GB_FULL = GroupBy(
+    keys=["conv_id"],
+    aggregations=[
+        # order ops (per-tile bounded entry lists carrying (ts, ties))
+        Aggregation("text", Op.FIRST, windows=("13d",)),
+        Aggregation("text", Op.LAST, windows=("3h",)),
+        Aggregation("text", Op.FIRST_K, windows=("13d",), k=3),
+        Aggregation("text", Op.LAST_K, windows=("2d", "3h"), k=3),
+        # extreme-value ops (per-tile k-extreme pigeonhole lists)
+        Aggregation("n_chars", Op.TOP_K, windows=("13d",), k=4),
+        Aggregation("n_chars", Op.BOTTOM_K, windows=("2d",), k=4),
+        Aggregation("n_chars", Op.UNIQUE_TOP_K, windows=("13d",), k=4),
+        # distinct (per-tile sets)
+        Aggregation("role", Op.UNIQUE_COUNT, windows=("13d", "3h")),
+        Aggregation("role", Op.APPROX_UNIQUE_COUNT, windows=("2d",)),
+        # histogram family (per-tile value->count maps, two-level build)
+        Aggregation("tool", Op.HISTOGRAM, windows=("13d",)),
+        Aggregation("tool", Op.HISTOGRAM, windows=("2d",), k=2),
+        Aggregation("tool", Op.APPROX_FREQUENT_K, windows=("13d",), k=2),
+        Aggregation("tool", Op.APPROX_HEAVY_HITTERS_K, windows=("13d",), k=2),
+        # moments (per-tile raw power sums, binomial finalize)
+        Aggregation("n_chars", Op.VARIANCE, windows=("13d",)),
+        Aggregation("n_chars", Op.SKEW, windows=("13d",)),
+        Aggregation("n_chars", Op.KURTOSIS, windows=("13d",)),
+    ],
+    tie_breakers=["turn_idx"],
+    sawtooth=True,
+)
+
+_MOMENT_COLS = {"n_chars_variance_13d", "n_chars_skew_13d", "n_chars_kurtosis_13d"}
+
+
+def _canon_complex(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: tuple(sorted(v.items()))
+                if isinstance(v, dict)
+                else (tuple(v) if isinstance(v, (list, tuple)) or hasattr(v, "__len__") and not isinstance(v, str) else v)
+            )
+    return df
+
+
+def test_tiled_full_ops_equal_plain(spark, tdf):
+    """Every tiled op family — order, extreme, distinct, histogram, moments —
+    must reproduce the plain sawtooth path exactly (moments to float
+    tolerance: raw-power-sum vs shifted-prefix finalize)."""
+    left = tdf.where(F.col("role") == "user").select("conv_id", "turn_idx", "ts")
+    feats = [p.output_name for p in GB_FULL.parts()]
+    plain = _canon_complex(_collect(asof_join(left, tdf, GB_FULL), feats))
+    tiled = _canon_complex(_collect(tiled_sawtooth_asof_join(left, tdf, GB_FULL), feats))
+    assert len(plain) == len(tiled)
+    for c in plain.columns:
+        x, y = plain[c], tiled[c]
+        if c in _MOMENT_COLS:
+            xv, yv = x.astype(float), y.astype(float)
+            ok = (xv.isna() & yv.isna()) | ((xv - yv).abs() <= 1e-7 + 1e-7 * yv.abs())
+        elif x.dtype.kind == "f" or y.dtype.kind == "f":
+            ok = (x.isna() & y.isna()) | ((x - y).abs() < 1e-9)
+        else:
+            ok = (x.isna() & y.isna()) | (x == y)
+        assert ok.all(), f"col {c}: {int((~ok).sum())} diffs\n{plain[~ok].head()}\n{tiled[~ok].head()}"
 
 
 def test_sliced_equals_plain(spark, tdf):

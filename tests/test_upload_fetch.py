@@ -46,6 +46,35 @@ def _gb_short():
     )
 
 
+def _gb_rich():
+    """The collection-IR families: entry lists, k-extremes, sets, histograms,
+    power-sum moments (FinalBatchIr parity for the full op set)."""
+    return GroupBy(
+        keys=["conv_id"],
+        aggregations=[
+            Aggregation("text", Op.FIRST, windows=("13d",)),
+            Aggregation("text", Op.LAST, windows=("7d",)),
+            Aggregation("text", Op.FIRST_K, windows=("13d",), k=3),
+            Aggregation("text", Op.LAST_K, windows=("7d",), k=3),
+            Aggregation("n_chars", Op.TOP_K, windows=("13d",), k=4),
+            Aggregation("n_chars", Op.BOTTOM_K, windows=("7d",), k=4),
+            Aggregation("n_chars", Op.UNIQUE_TOP_K, windows=("13d",), k=4),
+            Aggregation("role", Op.UNIQUE_COUNT, windows=("13d",)),
+            Aggregation("role", Op.APPROX_UNIQUE_COUNT, windows=("7d",)),
+            Aggregation("tool", Op.HISTOGRAM, windows=("13d",)),
+            Aggregation("tool", Op.HISTOGRAM, windows=("7d",), k=2),
+            Aggregation("tool", Op.APPROX_FREQUENT_K, windows=("13d",), k=2),
+            Aggregation("tool", Op.APPROX_HEAVY_HITTERS_K, windows=("13d",), k=2),
+            Aggregation("n_chars", Op.VARIANCE, windows=("13d",)),
+            Aggregation("n_chars", Op.SKEW, windows=("13d",)),
+            Aggregation("n_chars", Op.KURTOSIS, windows=("13d",)),
+            Aggregation("text", Op.LAST_K, windows=(None,), k=2),  # unbounded: collapsed-only
+        ],
+        tie_breakers=["turn_idx"],
+        sawtooth=True,
+    )
+
+
 @pytest.fixture(scope="module")
 def data(spark):
     ev = synth_transcripts(n_rows=3000, n_convs=30)
@@ -58,7 +87,7 @@ def data(spark):
     return ev, q
 
 
-@pytest.mark.parametrize("gb_fn", [_gb, _gb_short])
+@pytest.mark.parametrize("gb_fn", [_gb, _gb_short, _gb_rich])
 def test_fetch_matches_offline_backfill(spark, data, gb_fn):
     ev, q = data
     events = spark.createDataFrame(ev)
