@@ -370,11 +370,15 @@ def fetch_features(
             )
             t_hop = tl["hop"].to_numpy("int64") if len(tl) else np.empty(0, "int64")
             ti = np.searchsorted(t_hop, wstart, side="left")  # tails sorted by hop
+            # upper bound: tails/tiles whose hop starts at/after the query ts
+            # are excluded — a no-op for batch tails (all < batchEnd <= q) but
+            # required once streaming tiles are merged in (fetch_features_tiled)
+            te = np.maximum(np.searchsorted(t_hop, q_ts, side="left"), ti)
 
             def _tail_sum(colname):
                 vals = tl[colname].to_numpy("float64") if len(tl) else np.empty(0)
                 cs = np.concatenate([[0.0], np.nancumsum(vals)])
-                return cs[-1] - cs[ti]
+                return cs[te] - cs[ti]
 
             c_cnt = float(_c(f"__c{i}_cnt")) if _c(f"__c{i}_cnt") is not None else 0.0
 
@@ -422,23 +426,20 @@ def fetch_features(
                 stat, cstat = ("mn", f"__c{i}_mn") if take_min else ("mx", f"__c{i}_mx")
                 c_v = _c(cstat)
                 t_vals = tl[stat].to_numpy("float64") if len(tl) else np.empty(0)
-                # suffix min/max over sorted-by-hop tails; NaN (all-null hop)
-                # mapped to the identity so it never wins
+                # NaN (all-null hop) mapped to the identity so it never wins
                 if len(t_vals):
                     ident = np.inf if take_min else -np.inf
                     t_safe = np.nan_to_num(t_vals, nan=ident)
-                    sfx = (
-                        np.minimum.accumulate(t_safe[::-1])[::-1]
-                        if take_min
-                        else np.maximum.accumulate(t_safe[::-1])[::-1]
-                    )
                 vals_out = []
                 for j in range(len(q_ts)):
                     cand = []
                     if c_v is not None:
                         cand.append(float(c_v))
-                    if len(t_vals) and ti[j] < len(t_vals) and np.isfinite(sfx[ti[j]]):
-                        cand.append(float(sfx[ti[j]]))
+                    if len(t_vals) and te[j] > ti[j]:
+                        seg_t = t_safe[ti[j] : te[j]]
+                        v_t = seg_t.min() if take_min else seg_t.max()
+                        if np.isfinite(v_t):
+                            cand.append(float(v_t))
                     if se[j] > ss[j]:
                         seg = s_vals[ss[j] : se[j]]
                         cand.append(float(seg.min() if take_min else seg.max()))
@@ -453,24 +454,40 @@ def fetch_features(
                 asc = p.op in (Op.FIRST, Op.FIRST_K)
                 hop_ents = tl["ent"].tolist() if len(tl) else []
                 c_ent = [e["v"] for e in _lst(_c(f"__c{i}_ent"))]
+                # merged tails straddle the collapsed region: batch tail hops
+                # precede it (< batchEnd), stream tiles follow it (>= batchEnd,
+                # fetch_features_tiled) — the chronological walk splits at tb
+                tb = int(np.searchsorted(t_hop, batch_end_ts_us, side="left"))
                 vals_out = []
                 for j in range(len(q_ts)):
-                    if asc:  # chronological: tails -> collapsed -> stream
+                    lo_hi = (int(ti[j]), min(int(te[j]), tb))  # batch tails
+                    hi_hi = (max(int(ti[j]), tb), int(te[j]))  # stream tiles
+                    if asc:  # chronological: tails -> collapsed -> tiles -> stream
                         acc = []
-                        for h in range(int(ti[j]), len(hop_ents)):
+                        for h in range(*lo_hi):
                             acc += [e["v"] for e in _lst(hop_ents[h])]
                             if len(acc) >= k:
                                 break
                         if len(acc) < k:
                             acc += c_ent
                         if len(acc) < k:
+                            for h in range(*hi_hi):
+                                acc += [e["v"] for e in _lst(hop_ents[h])]
+                                if len(acc) >= k:
+                                    break
+                        if len(acc) < k:
                             acc += s_raw[ss[j] : se[j]][: k - len(acc)]
-                    else:  # most-recent-first: stream -> collapsed -> tails
+                    else:  # most-recent-first: stream -> tiles -> collapsed -> tails
                         acc = s_raw[ss[j] : se[j]][: -k - 1 : -1] if se[j] > ss[j] else []
+                        if len(acc) < k:
+                            for h in range(hi_hi[1] - 1, hi_hi[0] - 1, -1):
+                                acc += [e["v"] for e in _lst(hop_ents[h])]
+                                if len(acc) >= k:
+                                    break
                         if len(acc) < k:
                             acc += c_ent
                         if len(acc) < k:
-                            for h in range(len(hop_ents) - 1, int(ti[j]) - 1, -1):
+                            for h in range(lo_hi[1] - 1, lo_hi[0] - 1, -1):
                                 acc += [e["v"] for e in _lst(hop_ents[h])]
                                 if len(acc) >= k:
                                     break
@@ -486,7 +503,7 @@ def fetch_features(
                 vals_out = []
                 for j in range(len(q_ts)):
                     cand = list(c_ext)
-                    for h in range(int(ti[j]), len(hop_ext)):
+                    for h in range(int(ti[j]), int(te[j])):
                         cand += _lst(hop_ext[h])
                     cand += s_raw[ss[j] : se[j]]
                     if not cand:
@@ -500,14 +517,12 @@ def fetch_features(
                 out[fname] = vals_out
             elif p.op in _SET_OPS:
                 hop_sets = [set(_lst(v)) for v in tl["st"].tolist()] if len(tl) else []
-                # suffix unions: distinct(hops >= j) without re-walking per query
-                sfx_sets = [set() for _ in range(len(hop_sets) + 1)]
-                for h in range(len(hop_sets) - 1, -1, -1):
-                    sfx_sets[h] = sfx_sets[h + 1] | hop_sets[h]
                 c_set = set(_lst(_c(f"__c{i}_set")))
                 vals_out = []
                 for j in range(len(q_ts)):
-                    u = c_set | sfx_sets[min(int(ti[j]), len(hop_sets))]
+                    u = set(c_set)
+                    for h in range(int(ti[j]), int(te[j])):
+                        u |= hop_sets[h]
                     seg = s_raw[ss[j] : se[j]]
                     if seg:
                         u = u | set(seg)
@@ -520,7 +535,7 @@ def fetch_features(
                 vals_out = []
                 for j in range(len(q_ts)):
                     cnt = Counter(c_hist)
-                    for h in range(int(ti[j]), len(hop_maps)):
+                    for h in range(int(ti[j]), int(te[j])):
                         for e in _lst(hop_maps[h]):
                             cnt[e["__v"]] += e["__n"]
                     for v in s_raw[ss[j] : se[j]]:
@@ -540,3 +555,106 @@ def fetch_features(
         union.groupby(*[F.col(f"__r_{c}") for c in gb.keys])
     )
     return grouped.applyInPandas(fn, schema=out_schema)
+
+
+def fetch_features_tiled(
+    queries: DataFrame,
+    batch_irs: DataFrame,
+    stream_tiles: DataFrame,
+    gb: GroupBy,
+    batch_end_ts_us: int,
+    events_like: DataFrame,
+    left_time_column: str = "ts",
+) -> DataFrame:
+    """TILED serving fetch: merge batch IRs with STREAMING TILES
+    (streaming/groupby_stream.stream_hop_tiles output) instead of raw
+    streaming rows — the reference's tiled GroupByServingInfo mode, where the
+    Flink job writes per-(key, tile) IRs to the KV store and the fetcher
+    merges batchIr + tile IRs (SawtoothOnlineAggregator + tiling,
+    GroupByServingInfo semantics).
+
+    Accuracy contract: tiles are hop-granular, so the head is exact only when
+    every query timestamp is a tile-boundary multiple (asserted). At aligned
+    timestamps the result equals the offline sawtooth backfill exactly
+    (tests/test_upload_fetch.py); the raw-row ``fetch_features`` is the
+    arbitrary-timestamp path.
+
+    Mechanics: each stream tile is converted into the SAME per-part tail-hop
+    struct the batch IR carries and concatenated onto ``__tails_{i}`` (batch
+    tails all precede stream tiles in hop order), then the untiled fetch
+    kernel runs unchanged with an empty raw-stream side.
+
+    ``events_like`` supplies the event schema (input column types) only."""
+    parts = _check(gb)
+    _check_alignment(parts, batch_end_ts_us)
+    hop_us = 1000 * min(tail_hop_millis(p.window.millis) for p in parts)
+
+    q = ensure_ts_us(queries, left_time_column)
+    n_misaligned = q.where(F.pmod(F.col(_TS_US), F.lit(hop_us)) != 0).limit(1).count()
+    if n_misaligned:
+        raise ValueError(
+            f"tiled fetch needs tile-aligned query timestamps (multiples of {hop_us}us); "
+            "use fetch_features (raw streaming rows) for arbitrary timestamps"
+        )
+
+    st = stream_tiles.withColumn(
+        "__hop_us", F.unix_micros(F.col("tile_start").cast("timestamp"))
+    ).where(F.col("__hop_us") >= batch_end_ts_us)
+    hop = F.col("__hop_us").alias("hop")
+    arr_aggs = []
+    for i, p in enumerate(parts):
+        c = p.input_column
+        if p.op in _ORDER_OPS:
+            fam = "firstk" if p.op in (Op.FIRST, Op.FIRST_K) else "lastk"
+            entry = F.struct(hop, F.col(f"{c}__{fam}").alias("ent"))
+        elif p.op in _EXTREME_OPS:
+            fam = {Op.TOP_K: "topk", Op.BOTTOM_K: "bottomk", Op.UNIQUE_TOP_K: "utopk"}[p.op]
+            entry = F.struct(hop, F.col(f"{c}__{fam}").alias("ext"))
+        elif p.op in _SET_OPS:
+            entry = F.struct(hop, F.col(f"{c}__set").alias("st"))
+        elif p.op in _HIST_OPS:
+            hmap = F.transform(
+                F.col(f"{c}__hist"),
+                lambda e: F.struct(e["__v"].alias("__v"), e["__c"].alias("__n")),
+            )
+            entry = F.struct(hop, hmap.alias("hmap"))
+        elif p.op in _MOMENT_OPS:
+            fields = [hop, F.col(f"{c}__cnt").alias("cnt"), F.col(f"{c}__sum").cast("double").alias("sm")]
+            fields += [
+                F.col(f"{c}__pow{pw}").cast("double").alias(f"p{pw}")
+                for pw in range(2, _pow_upto(p.op) + 1)
+            ]
+            entry = F.struct(*fields)
+        else:
+            entry = F.struct(
+                hop,
+                F.col(f"{c}__cnt").alias("cnt"),
+                F.col(f"{c}__sum").cast("double").alias("sm")
+                if f"{c}__sum" in stream_tiles.columns
+                else F.lit(None).cast("double").alias("sm"),
+                F.col(f"{c}__min").cast("double").alias("mn")
+                if f"{c}__min" in stream_tiles.columns
+                else F.lit(None).cast("double").alias("mn"),
+                F.col(f"{c}__max").cast("double").alias("mx")
+                if f"{c}__max" in stream_tiles.columns
+                else F.lit(None).cast("double").alias("mx"),
+            )
+        arr_aggs.append(F.sort_array(F.collect_list(entry)).alias(f"__st_{i}"))
+    per_key = st.groupBy(*gb.keys).agg(*arr_aggs)
+
+    merged = batch_irs.join(per_key, on=gb.keys, how="full")
+    for i, p in enumerate(parts):
+        stc = F.coalesce(F.col(f"__st_{i}"), F.array().cast(dict(per_key.dtypes)[f"__st_{i}"]))
+        if p.window.millis is None:
+            # unbounded: batch side is collapsed-only (typed-null tails) —
+            # the stream tiles ARE the tail array
+            merged = merged.withColumn(f"__tails_{i}", stc)
+        else:
+            bt = F.coalesce(F.col(f"__tails_{i}"), F.array().cast(dict(batch_irs.dtypes)[f"__tails_{i}"]))
+            # batch tails end before batchEnd <= every stream tile: concat stays hop-sorted
+            merged = merged.withColumn(f"__tails_{i}", F.concat(bt, stc))
+        merged = merged.drop(f"__st_{i}")
+
+    return fetch_features(
+        queries, merged, events_like.limit(0), gb, batch_end_ts_us, left_time_column
+    )

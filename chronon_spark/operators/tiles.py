@@ -152,6 +152,105 @@ def _tile_stats_needed(gb: GroupBy) -> dict[str, dict[str, int | None]]:
     return need
 
 
+def tile_agg_exprs(
+    need: dict[str, dict[str, int | None]], tie_cols: list[str]
+) -> tuple[list, list[str]]:
+    """Per-column tile aggregation expressions over a frame that carries
+    ``__ts_us`` + the input/tie columns. Shared by the batch tile builder and
+    the streaming tile builder (streaming/groupby_stream.stream_hop_tiles) so
+    their IR schemas stay merge-compatible. Histogram columns are returned
+    separately: batch builds them with a two-level groupBy, streaming with a
+    post-aggregation expression (chained streaming aggregations are not
+    supported)."""
+
+    def entry_struct(c: str):
+        fields = [F.col(_TS_US).alias("t")]
+        fields += [F.col(t).alias(f"b{i}") for i, t in enumerate(tie_cols)]
+        fields.append(F.col(c).alias("v"))
+        return F.when(F.col(c).isNotNull(), F.struct(*fields))
+
+    aggs: list = []
+    hist_cols: list[str] = []
+    for c in sorted(need):
+        stats = need[c]
+        if "cnt" in stats:
+            aggs.append(F.count(c).alias(f"{c}__cnt"))
+        if "sum" in stats:
+            aggs.append(F.sum(c).alias(f"{c}__sum"))
+        if "min" in stats:
+            aggs.append(F.min(c).alias(f"{c}__min"))
+        if "max" in stats:
+            aggs.append(F.max(c).alias(f"{c}__max"))
+        if "pow" in stats:
+            for pw in range(2, (stats["pow"] or 2) + 1):
+                aggs.append(F.sum(F.pow(F.col(c).cast("double"), F.lit(pw))).alias(f"{c}__pow{pw}"))
+        if "firstk" in stats:
+            aggs.append(
+                F.slice(F.sort_array(F.collect_list(entry_struct(c))), 1, stats["firstk"]).alias(f"{c}__firstk")
+            )
+        if "lastk" in stats:
+            aggs.append(
+                F.slice(
+                    F.sort_array(F.collect_list(entry_struct(c)), asc=False), 1, stats["lastk"]
+                ).alias(f"{c}__lastk")
+            )
+        if "topk" in stats:
+            aggs.append(F.slice(F.sort_array(F.collect_list(c), asc=False), 1, stats["topk"]).alias(f"{c}__topk"))
+        if "bottomk" in stats:
+            aggs.append(F.slice(F.sort_array(F.collect_list(c)), 1, stats["bottomk"]).alias(f"{c}__bottomk"))
+        if "utopk" in stats:
+            aggs.append(F.slice(F.sort_array(F.collect_set(c), asc=False), 1, stats["utopk"]).alias(f"{c}__utopk"))
+        if "set" in stats:
+            aggs.append(F.collect_set(c).alias(f"{c}__set"))
+        if "hist" in stats:
+            hist_cols.append(c)
+    return aggs, hist_cols
+
+
+def build_hop_tiles(
+    events: DataFrame,
+    gb: GroupBy,
+    keys: list[str] | None = None,
+    hop_ms: int | None = None,
+) -> DataFrame:
+    """Standalone batch hop-tile builder: one row per (keys, __hop) carrying
+    every per-column IR the GroupBy's parts need (the reference's
+    HopsAggregator output, HopsAggregator.scala:36-175). ``__hop`` is the hop
+    index (tile start = __hop * hop). Streaming twin:
+    streaming/groupby_stream.stream_hop_tiles (same stat columns)."""
+    keys = keys or gb.keys
+    if hop_ms is None:
+        hop_ms = min(tail_hop_millis(p.window.millis) for p in gb.parts())
+    hop_us = hop_ms * 1000
+    r = ensure_ts_us(events, gb.time_column)
+    for k in keys:
+        r = r.where(F.col(k).isNotNull())
+    need = _tile_stats_needed(gb)
+    tie_cols = [t for t in gb.tie_breakers if t in events.columns and t not in keys]
+    head_cols = sorted(need) + [t for t in tie_cols if t not in need]
+    hop_col = (F.col(_TS_US) / F.lit(hop_us)).cast("long")
+    aggs, hist_cols = tile_agg_exprs(need, tie_cols)
+    tiles = (
+        r.select(*keys, hop_col.alias("__hop"), _TS_US, *head_cols)
+        .groupBy(*keys, "__hop")
+        .agg(*aggs)
+    )
+    for c in hist_cols:
+        # two-level: value counts shrink map-side, then one small row per tile.
+        # The join keys match the tile agg's output partitioning, so only the
+        # (already tiny) value-count side pays an exchange.
+        vc = (
+            r.select(*keys, hop_col.alias("__hop"), F.col(c).cast("string").alias("__v"))
+            .where(F.col("__v").isNotNull())
+            .groupBy(*keys, "__hop", "__v")
+            .agg(F.count("*").alias("__c"))
+            .groupBy(*keys, "__hop")
+            .agg(F.collect_list(F.struct("__v", "__c")).alias(f"{c}__hist"))
+        )
+        tiles = tiles.join(vc, on=keys + ["__hop"], how="left")
+    return tiles
+
+
 def _range_sum(vals: np.ndarray, s: np.ndarray, e: np.ndarray) -> np.ndarray:
     p = _prefix(vals)
     return p[e] - p[s]
@@ -236,70 +335,10 @@ def tiled_sawtooth_asof_join(
     head_cols = in_cols + [t for t in tie_cols if t not in in_cols]
     hop_col = (F.col(_TS_US) / F.lit(hop_us)).cast("long")
 
-    def entry_struct(c: str):
-        """Non-null (ts, tie..., value) struct — sort_array orders it exactly
-        like the raw kernel's (ts, tie_breakers) event sort."""
-        fields = [F.col(_TS_US).alias("t")]
-        fields += [F.col(t).alias(f"b{i}") for i, t in enumerate(tie_cols)]
-        fields.append(F.col(c).alias("v"))
-        return F.when(F.col(c).isNotNull(), F.struct(*fields))
-
-    # 1) tile build: one JVM shuffle on (keys, hop)
-    aggs = []
-    hist_cols: list[str] = []
-    for c in in_cols:
-        stats = need[c]
-        if "cnt" in stats:
-            aggs.append(F.count(c).alias(f"{c}__cnt"))
-        if "sum" in stats:
-            aggs.append(F.sum(c).alias(f"{c}__sum"))
-        if "min" in stats:
-            aggs.append(F.min(c).alias(f"{c}__min"))
-        if "max" in stats:
-            aggs.append(F.max(c).alias(f"{c}__max"))
-        if "pow" in stats:
-            for pw in range(2, (stats["pow"] or 2) + 1):
-                aggs.append(F.sum(F.pow(F.col(c).cast("double"), F.lit(pw))).alias(f"{c}__pow{pw}"))
-        if "firstk" in stats:
-            aggs.append(
-                F.slice(F.sort_array(F.collect_list(entry_struct(c))), 1, stats["firstk"]).alias(f"{c}__firstk")
-            )
-        if "lastk" in stats:
-            aggs.append(
-                F.slice(
-                    F.sort_array(F.collect_list(entry_struct(c)), asc=False), 1, stats["lastk"]
-                ).alias(f"{c}__lastk")
-            )
-        if "topk" in stats:
-            aggs.append(F.slice(F.sort_array(F.collect_list(c), asc=False), 1, stats["topk"]).alias(f"{c}__topk"))
-        if "bottomk" in stats:
-            aggs.append(F.slice(F.sort_array(F.collect_list(c)), 1, stats["bottomk"]).alias(f"{c}__bottomk"))
-        if "utopk" in stats:
-            aggs.append(F.slice(F.sort_array(F.collect_set(c), asc=False), 1, stats["utopk"]).alias(f"{c}__utopk"))
-        if "set" in stats:
-            aggs.append(F.collect_set(c).alias(f"{c}__set"))
-        if "hist" in stats:
-            hist_cols.append(c)
+    # 1) tile build: one JVM shuffle on (keys, hop) — shared with the
+    # standalone/streaming builders
     tiles = (
-        r.select(*right_keys, hop_col.alias("__hop"), _TS_US, *head_cols)
-        .groupBy(*right_keys, "__hop")
-        .agg(*aggs)
-    )
-    for c in hist_cols:
-        # two-level: value counts shrink map-side, then one small row per tile.
-        # The join keys match the tile agg's output partitioning, so only the
-        # (already tiny) value-count side pays an exchange.
-        vc = (
-            r.select(*right_keys, hop_col.alias("__hop"), F.col(c).cast("string").alias("__v"))
-            .where(F.col("__v").isNotNull())
-            .groupBy(*right_keys, "__hop", "__v")
-            .agg(F.count("*").alias("__c"))
-            .groupBy(*right_keys, "__hop")
-            .agg(F.collect_list(F.struct("__v", "__c")).alias(f"{c}__hist"))
-        )
-        tiles = tiles.join(vc, on=right_keys + ["__hop"], how="left")
-    tiles = (
-        tiles
+        build_hop_tiles(right, gb, keys=right_keys, hop_ms=hop_ms)
         # tile timestamp = 1µs before hop end: the strict '<' kernel then
         # includes a tile iff the hop lies fully inside [wstart, q)
         .withColumn(_TS_US, (F.col("__hop") + 1) * F.lit(hop_us) - F.lit(1))

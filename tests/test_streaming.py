@@ -83,6 +83,67 @@ def test_stream_tiles_match_batch_tiles(spark, stream_dir):
     assert _rows(spark, "t_tiles") == {tuple(r) for r in batch.collect()}
 
 
+def test_stream_tiles_full_ops_match_batch_builder(spark, stream_dir):
+    """Streaming tiles for the collection-IR families (entry lists, k-extreme
+    lists, distinct sets, histogram maps, power sums) must equal the batch
+    tile builder's rows exactly — the update/merge contract that lets a
+    fetcher combine batch IRs with streaming tiles."""
+    from chronon_spark.operators.tiles import build_hop_tiles
+
+    gb = GroupBy(
+        keys=["conv_id"],
+        aggregations=[
+            Aggregation("text", Op.LAST_K, windows=("13d",), k=2),
+            Aggregation("text", Op.FIRST_K, windows=("13d",), k=2),
+            Aggregation("n_chars", Op.TOP_K, windows=("13d",), k=3),
+            Aggregation("role", Op.UNIQUE_COUNT, windows=("13d",)),
+            Aggregation("role", Op.HISTOGRAM, windows=("13d",)),
+            Aggregation("n_chars", Op.VARIANCE, windows=("13d",)),
+        ],
+        tie_breakers=["turn_idx"],
+        sawtooth=True,
+    )
+    out = stream_hop_tiles(_read_stream(spark, stream_dir), gb)
+    _drain(out, "t_tiles_full")
+    got = spark.table("t_tiles_full").toPandas()
+    hop_us = 86_400 * 1_000_000
+    batch = (
+        build_hop_tiles(_read_batch(spark, stream_dir), gb)
+        .withColumn("tile_start", F.timestamp_micros(F.col("__hop") * F.lit(hop_us)))
+        .drop("__hop")
+        .toPandas()
+    )
+    assert set(got.columns) == set(batch.columns)
+    key = ["conv_id", "tile_start"]
+
+    def canon(df):
+        df = df.sort_values(key).reset_index(drop=True)
+        for c in df.columns:
+            if c.endswith("__set"):
+                df[c] = df[c].map(lambda v: tuple(sorted(v)) if v is not None else None)
+            elif c.endswith("__hist"):
+                df[c] = df[c].map(
+                    lambda v: tuple(sorted((e["__v"], e["__c"]) for e in v)) if v is not None else None
+                )
+            elif c.endswith(("__firstk", "__lastk")):
+                df[c] = df[c].map(
+                    lambda v: tuple((e["t"], e["b0"], e["v"]) for e in v) if v is not None else None
+                )
+            elif c.endswith(("__topk", "__bottomk", "__utopk")):
+                df[c] = df[c].map(lambda v: tuple(v) if v is not None else None)
+        return df
+
+    g, b = canon(got), canon(batch)
+    assert len(g) == len(b)
+    for c in g.columns:
+        x, y = g[c], b[c]
+        if x.dtype.kind == "f":
+            ok = (x.isna() & y.isna()) | ((x - y).abs() < 1e-6)
+        else:
+            ok = x.isna() & y.isna() | (x == y)
+        assert ok.all(), f"col {c}: {int((~ok).sum())} diffs"
+
+
 def test_stream_sessionize_counts(spark, stream_dir):
     out = stream_sessionize(_read_stream(spark, stream_dir), ["conv_id"], gap="30m")
     _drain(out, "t_sessions")

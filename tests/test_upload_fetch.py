@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from chronon_spark.api import Aggregation, GroupBy, Op
 from chronon_spark.jobs.upload import build_batch_irs, fetch_features
@@ -163,3 +164,80 @@ def test_event_exactly_at_window_tail_boundary(spark, data):
     got = fetch_features(queries, irs, events, gb, BATCH_END_US).toPandas()
     want = asof_join(queries, events, gb).toPandas()
     assert_frames_allclose(got, want, sort_by=["query_id"])
+
+
+def test_tiled_fetch_matches_backfill_at_tile_boundaries(spark, data, tmp_path):
+    """TILED serving mode: batch IRs + streaming TILES (not raw rows) must
+    equal the offline backfill at tile-aligned query timestamps — the
+    reference's tiled GroupByServingInfo contract."""
+    from chronon_spark.jobs.upload import fetch_features_tiled
+    from chronon_spark.streaming import stream_hop_tiles
+
+    ev, q = data
+    events = spark.createDataFrame(ev)
+    gb = GroupBy(
+        keys=["conv_id"],
+        aggregations=[
+            Aggregation("turn_idx", Op.COUNT, windows=("13d",)),
+            Aggregation("n_chars", Op.SUM, windows=("7d",)),
+            Aggregation("n_chars", Op.MIN, windows=("7d",)),
+            Aggregation("text", Op.LAST_K, windows=("7d",), k=2),
+            Aggregation("n_chars", Op.TOP_K, windows=("7d",), k=3),
+            Aggregation("role", Op.UNIQUE_COUNT, windows=("13d",)),
+            Aggregation("tool", Op.HISTOGRAM, windows=("7d",)),
+            Aggregation("n_chars", Op.VARIANCE, windows=("13d",)),
+            Aggregation("text", Op.LAST_K, windows=(None,), k=2),
+        ],
+        tie_breakers=["turn_idx"],
+        sawtooth=True,
+    )
+    # tile-aligned queries (1h = smallest tail hop among 7d/13d windows)
+    qa = q.copy()
+    qa["ts"] = qa["ts"].dt.floor("1h")
+    qa = qa[qa["ts"] >= pd.Timestamp(BATCH_END_US, unit="us")].drop_duplicates(
+        subset=["conv_id", "ts"]
+    )
+    assert len(qa) > 30
+    queries = spark.createDataFrame(qa)
+
+    irs = build_batch_irs(events, gb, BATCH_END_US)
+    # drive the REAL streaming tile builder over the post-batch slice
+    post = ev[ev["ts"] >= pd.Timestamp(BATCH_END_US, unit="us")]
+    src = str(tmp_path / "post_events")
+    spark.createDataFrame(post).write.mode("overwrite").parquet(src)
+    sdf = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    tq = (
+        stream_hop_tiles(sdf, gb)
+        .writeStream.format("memory")
+        .queryName("tiled_fetch_tiles")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    tq.awaitTermination(300)
+    tiles = spark.table("tiled_fetch_tiles")
+
+    got = fetch_features_tiled(queries, irs, tiles, gb, BATCH_END_US, events_like=events).toPandas()
+    want = asof_join(queries, events, gb).toPandas()
+    assert_frames_allclose(got, want, sort_by=["query_id"])
+
+
+def test_tiled_fetch_rejects_misaligned_queries(spark, data):
+    from chronon_spark.jobs.upload import fetch_features_tiled
+    from chronon_spark.operators.tiles import build_hop_tiles
+
+    ev, q = data
+    events = spark.createDataFrame(ev)
+    gb = _gb()
+    irs = build_batch_irs(events, gb, BATCH_END_US)
+    tiles = (
+        build_hop_tiles(events, gb)
+        .withColumn("tile_start", F.timestamp_micros(F.col("__hop") * F.lit(3_600_000_000)))
+        .drop("__hop")
+    )
+    off = q.head(5).copy()
+    off["ts"] = off["ts"] + pd.Timedelta(microseconds=1)
+    with pytest.raises(ValueError, match="tile-aligned"):
+        fetch_features_tiled(
+            spark.createDataFrame(off), irs, tiles, gb, BATCH_END_US, events_like=events
+        )
