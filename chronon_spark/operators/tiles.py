@@ -51,9 +51,14 @@ Order ops require `tie_breakers` to make the event order total (the north
 rule's stable turn ordering); with ties left unbroken the raw path's
 input-order fallback is not reproducible from tiles (nor across shuffles).
 
-NOT tiled: APPROX_PERCENTILE (exact percentiles need the raw values — use
-the plain or sliced path; the reference's tiled form is a KLL sketch IR,
-i.e. inherently lossy) and bucketed parts (use the plain path).
+APPROX_PERCENTILE is tiled as a SKETCH (matching the reference's KLL IR,
+SimpleAggregators.scala:545 — inherently lossy): each tile stores up to
+``QSK_K`` systematic samples of its sorted values with a uniform weight
+(n/K), a one-level KLL-style compactor. Rank error of a merged estimate is
+bounded by (tail volume)/QSK_K + the head is exact — asserted by a
+rank-error-bound test. Exact percentiles need the raw values: use the plain
+or sliced path when exactness matters. Bucketed parts stay on the plain
+path.
 
 Moment-op caveat: raw power sums lose precision when |mean| >> stddev
 (classic cancellation); the raw path's globally-shifted prefix sums
@@ -100,7 +105,14 @@ _EXTREME_OPS = {Op.TOP_K, Op.BOTTOM_K, Op.UNIQUE_TOP_K}
 _SET_OPS = {Op.UNIQUE_COUNT, Op.APPROX_UNIQUE_COUNT}
 _HIST_OPS = {Op.HISTOGRAM, Op.APPROX_FREQUENT_K, Op.APPROX_HEAVY_HITTERS_K}
 
-TILED_OPS = _SCALAR_OPS | _MOMENT_OPS | _ORDER_OPS | _EXTREME_OPS | _SET_OPS | _HIST_OPS
+TILED_OPS = (
+    _SCALAR_OPS | _MOMENT_OPS | _ORDER_OPS | _EXTREME_OPS | _SET_OPS | _HIST_OPS | {Op.APPROX_PERCENTILE}
+)
+
+# per-tile quantile-sketch size: rank error of the tail estimate is bounded by
+# (tail event volume) / QSK_K; 512 keeps a 13d x 1d-hop window under ~0.2%%
+# rank error per 100k-event tail while a tile row stays ~4 KB
+QSK_K = 512
 
 _TS_US = "__ts_us"
 
@@ -149,6 +161,8 @@ def _tile_stats_needed(gb: GroupBy) -> dict[str, dict[str, int | None]]:
             d[fam] = max(d.get(fam) or 0, k)
         elif fam in ("set", "hist"):
             d[fam] = None
+        if p.op == Op.APPROX_PERCENTILE:
+            d["qsk"] = QSK_K
     return need
 
 
@@ -202,6 +216,22 @@ def tile_agg_exprs(
             aggs.append(F.slice(F.sort_array(F.collect_set(c), asc=False), 1, stats["utopk"]).alias(f"{c}__utopk"))
         if "set" in stats:
             aggs.append(F.collect_set(c).alias(f"{c}__set"))
+        if "qsk" in stats:
+            # quantile sketch: sorted values, systematically sampled to K
+            # with a uniform per-sample weight n/K (one-level KLL compactor)
+            K = int(stats["qsk"])
+            arr = F.sort_array(F.collect_list(F.col(c).cast("double")))
+            n = F.size(arr)
+            sampled = F.when(n <= K, arr).otherwise(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(K - 1)),
+                    lambda i: F.element_at(arr, ((i * n) / F.lit(K)).cast("int") + 1),
+                )
+            )
+            w = F.when(n <= K, F.lit(1.0)).otherwise(n.cast("double") / F.lit(K))
+            aggs.append(
+                F.when(n > 0, F.struct(sampled.alias("s"), w.alias("w"))).alias(f"{c}__qsk")
+            )
         if "hist" in stats:
             hist_cols.append(c)
     return aggs, hist_cols
@@ -303,10 +333,7 @@ def tiled_sawtooth_asof_join(
     parts = gb.parts()
     bad = [p.op for p in parts if p.op not in TILED_OPS]
     if bad:
-        raise ValueError(
-            f"tiled path supports {sorted(o.value for o in TILED_OPS)}; got {bad} "
-            "(approx_percentile needs raw values — use the plain or sliced path)"
-        )
+        raise ValueError(f"tiled path supports {sorted(o.value for o in TILED_OPS)}; got {bad}")
     if any(p.window.millis is None for p in parts):
         raise ValueError("tiled path requires bounded windows")
     if any(p.bucket for p in parts):
@@ -440,14 +467,34 @@ def tiled_sawtooth_asof_join(
             if stat_col in entry_cache:
                 return entry_cache[stat_col]
             empty: tuple
-            if kind == "hist":
-                empty = (np.empty(0, np.int64), np.empty(0, object), np.empty(0, np.int64))
+            if kind in ("hist", "qsk"):
+                empty = (np.empty(0, np.int64), np.empty(0, np.float64 if kind == "qsk" else object), np.empty(0, np.float64 if kind == "qsk" else np.int64))
             else:
                 empty = (np.empty(0, np.int64), np.empty(0, object))
             if not len(tiles_pdf):
                 entry_cache[stat_col] = empty
                 return empty
             lists = tiles_pdf[stat_col].to_numpy()
+            if kind == "qsk":
+                # struct{s: sorted samples, w: per-sample weight} per tile
+                lens = np.fromiter(
+                    (len(v["s"]) if isinstance(v, dict) else 0 for v in lists), np.int64, len(lists)
+                )
+                total = int(lens.sum())
+                if not total:
+                    entry_cache[stat_col] = empty
+                    return empty
+                comp = np.repeat(tcomp_all, lens)
+                vals = np.fromiter(
+                    (x for v in lists if isinstance(v, dict) for x in v["s"]), np.float64, total
+                )
+                wts = np.repeat(
+                    np.fromiter((v["w"] for v in lists if isinstance(v, dict)), np.float64),
+                    lens[lens > 0],
+                )
+                out = (comp, vals, wts)
+                entry_cache[stat_col] = out
+                return out
             lens = np.fromiter(
                 (len(v) if isinstance(v, (list, np.ndarray)) else 0 for v in lists), np.int64, len(lists)
             )
@@ -597,6 +644,13 @@ def tiled_sawtooth_asof_join(
                 es = np.searchsorted(ecomp, comp_w, side="left")
                 ee = np.maximum(np.searchsorted(ecomp, comp_h, side="left"), es)
                 out[fname] = _distinct2(evals, es, ee, hcs.vals, hs, he)
+            elif p.op == Op.APPROX_PERCENTILE:
+                ecomp, evals, ewts = entries(f"{c}__qsk", "qsk")
+                es = np.searchsorted(ecomp, comp_w, side="left")
+                ee = np.maximum(np.searchsorted(ecomp, comp_h, side="left"), es)
+                out[fname] = _qsk2(
+                    evals, ewts, es, ee, hcs.vals, hs, he, np.asarray(p.percentiles, np.float64)
+                )
             else:  # histogram family
                 ecomp, evals, ewts = entries(f"{c}__hist", "hist")
                 es = np.searchsorted(ecomp, comp_w, side="left")
@@ -726,3 +780,68 @@ def _hist2(
         run_cnt = (wprefix[bounds[1:]] - wprefix[bounds[:-1]]).astype(np.int64) if len(run_seg) else np.empty(0, np.int64)
         out[lo:hi] = hist_finalize(run_seg, run_val, run_cnt, hi - lo, k, (l1 + l2) <= 0)
     return out
+
+
+def _qsk2(
+    evals: np.ndarray,
+    ewts: np.ndarray,
+    es: np.ndarray,
+    ee: np.ndarray,
+    hvals: np.ndarray,
+    hs: np.ndarray,
+    he: np.ndarray,
+    qs: np.ndarray,
+) -> np.ndarray:
+    """Weighted-quantile estimate over tile sketch samples (weight n/K) +
+    exact head events (weight 1). Sample i covers ranks [c_{i-1}, c_i); the
+    estimate linearly interpolates at rank q*(W-1) — with all weights 1 this
+    reduces EXACTLY to the raw kernel's interpolation, so the sketch is only
+    approximate where tiles actually compacted."""
+    n = (ee - es) + (he - hs)
+    out = np.empty(len(n), object)
+    for lo, hi in _query_chunks(n):
+        m = hi - lo
+        f1, l1 = _flat_ranges(es[lo:hi], ee[lo:hi])
+        f2, l2 = _flat_ranges(hs[lo:hi], he[lo:hi])
+        seg = np.concatenate(
+            [np.repeat(np.arange(m, dtype=np.int64), l1), np.repeat(np.arange(m, dtype=np.int64), l2)]
+        )
+        hseg = (hvals[f2] if len(f2) else hvals[:0]).astype(np.float64)
+        vals = np.concatenate([evals[f1] if len(f1) else evals[:0], hseg])
+        wts = np.concatenate([ewts[f1] if len(f1) else ewts[:0], np.ones(len(f2))])
+        if len(vals):
+            order = np.lexsort((vals, seg))
+            seg, vals, wts = seg[order], vals[order], wts[order]
+        cum = np.cumsum(wts)
+        counts = np.bincount(seg, minlength=m) if len(seg) else np.zeros(m, np.int64)
+        idx_end = np.cumsum(counts)
+        idx_start = idx_end - counts
+        nonz = counts > 0
+        segw_start = np.zeros(m)
+        W = np.zeros(m)
+        if len(cum):
+            segw_start[nonz] = np.where(idx_start[nonz] > 0, cum[idx_start[nonz] - 1], 0.0)
+            W[nonz] = cum[idx_end[nonz] - 1] - segw_start[nonz]
+        cols = []
+        for q in qs:
+            t = q * np.maximum(W - 1, 0)
+
+            def rank_val(tt):
+                tgt = segw_start + np.minimum(tt, np.maximum(W - 1, 0))
+                idx = np.searchsorted(cum, tgt, side="right") if len(cum) else np.zeros(m, np.int64)
+                idx = np.clip(idx, idx_start, np.maximum(idx_end - 1, idx_start))
+                return vals[np.clip(idx, 0, max(len(vals) - 1, 0))] if len(vals) else np.zeros(m)
+
+            t0 = np.floor(t)
+            frac = t - t0
+            cols.append(rank_val(t0) * (1 - frac) + rank_val(t0 + 1) * frac)
+        stacked = np.stack(cols, axis=1) if cols else np.zeros((m, 0))
+        out[lo:hi] = _obj_from_rows(stacked, nonz)
+    return out
+
+
+def _obj_from_rows(stacked: np.ndarray, nonz: np.ndarray) -> np.ndarray:
+    res = np.empty(len(nonz), object)
+    for i in range(len(nonz)):
+        res[i] = [float(x) for x in stacked[i]] if nonz[i] else None
+    return res

@@ -63,15 +63,60 @@ def test_tiled_equals_plain_sawtooth(spark, tdf):
     _assert_same(plain, tiled)
 
 
-def test_tiled_rejects_percentile(tdf):
+def test_tiled_percentile_sketch_error_bound(spark):
+    """Tiled APPROX_PERCENTILE is a per-tile quantile sketch (systematic
+    samples, weight n/K — the reference's KLL IR role). Contract: the
+    estimate's rank error is bounded by tail_volume/QSK_K, and it is EXACT
+    when no tile exceeds QSK_K values. Uses hot keys so tiles genuinely
+    compact (>512 values per (conv, day))."""
+    import numpy as np
+
+    from chronon_spark.operators.tiles import QSK_K
+
+    pdf = synth_transcripts(n_rows=40000, n_convs=3)
+    pdf["tus"] = pdf["ts"].astype("int64")
+    tdf2 = spark.createDataFrame(pdf)
+    qs = (0.1, 0.5, 0.9)
     gb = GroupBy(
         keys=["conv_id"],
-        aggregations=[Aggregation("n_chars", Op.APPROX_PERCENTILE, windows=("1d",))],
+        aggregations=[
+            Aggregation("n_chars", Op.APPROX_PERCENTILE, windows=("13d",), percentiles=qs)
+        ],
+        tie_breakers=["turn_idx"],
         sawtooth=True,
     )
-    left = tdf.limit(1)
-    with pytest.raises(ValueError, match="tiled path supports"):
-        tiled_sawtooth_asof_join(left, tdf, gb)
+    left = tdf2.where((F.col("role") == "user") & (F.col("turn_idx") % 41 == 0)).select(
+        "conv_id", "turn_idx", "tus", "ts"
+    )
+    feat = gb.parts()[0].output_name
+    out = tiled_sawtooth_asof_join(left, tdf2, gb).toPandas()
+    assert len(out) > 100
+    # at least one tile must have compacted or the bound test is vacuous
+    day_us = 86_400_000_000
+    tile_counts = pdf.dropna(subset=["n_chars"]).groupby(
+        ["conv_id", pdf["tus"] // day_us]
+    ).size()
+    assert (tile_counts > QSK_K).any(), "fixture too small to exercise compaction"
+
+    ev = pdf.dropna(subset=["n_chars"])
+    checked = 0
+    for _, r in out.iterrows():
+        est = r[feat]
+        wstart = ((r["tus"] - 13 * day_us) // day_us) * day_us
+        w = ev[(ev.conv_id == r.conv_id) & (ev.tus >= wstart) & (ev.tus < r.tus)]
+        vals = np.sort(w["n_chars"].to_numpy(np.float64))
+        n = len(vals)
+        if n == 0:
+            assert est is None
+            continue
+        eps = n / QSK_K + 2  # rank-error bound + interpolation slack
+        for q, e in zip(qs, est):
+            rk = q * (n - 1)
+            lo_v = vals[max(0, int(np.floor(rk - eps)))]
+            hi_v = vals[min(n - 1, int(np.ceil(rk + eps)))]
+            assert lo_v - 1e-9 <= e <= hi_v + 1e-9, (r.conv_id, q, e, lo_v, hi_v, n)
+        checked += 1
+    assert checked > 100
 
 
 def test_tiled_order_ops_need_tie_breakers(tdf):
