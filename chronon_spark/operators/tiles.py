@@ -144,6 +144,8 @@ def _tile_stats_needed(gb: GroupBy) -> dict[str, dict[str, int | None]]:
     need: dict[str, dict[str, int | None]] = {}
     for p in gb.parts():
         d = need.setdefault(p.input_column, {})
+        if p.bucket:
+            continue  # bucketed parts read their own per-bucket tile IRs
         if p.op in (Op.COUNT, Op.AVERAGE, Op.SUM) or p.op in _MOMENT_OPS:
             d["cnt"] = None  # SUM needs cnt for empty-window NULL semantics
         if p.op in (Op.SUM, Op.AVERAGE) or p.op in _MOMENT_OPS:
@@ -164,6 +166,31 @@ def _tile_stats_needed(gb: GroupBy) -> dict[str, dict[str, int | None]]:
         if p.op == Op.APPROX_PERCENTILE:
             d["qsk"] = QSK_K
     return need
+
+
+def _tile_bucket_stats(gb: GroupBy) -> dict[tuple[str, str], set[str]]:
+    """Per-(input column, bucket column) tile stats for bucketed parts.
+    The tiled path collapses bucketed SCALAR ops (the reference's
+    BucketedColumnAggregator over abelian IRs); other bucketed ops stay on
+    the plain path."""
+    out: dict[tuple[str, str], set[str]] = {}
+    for p in gb.parts():
+        if not p.bucket:
+            continue
+        if p.op not in _SCALAR_OPS:
+            raise ValueError(
+                f"tiled bucketed parts support scalar ops {sorted(o.value for o in _SCALAR_OPS)}; "
+                f"got {p.op} by {p.bucket} — use the plain path"
+            )
+        st = out.setdefault((p.input_column, p.bucket), set())
+        st.add("cnt")
+        if p.op in (Op.SUM, Op.AVERAGE):
+            st.add("sm")
+        if p.op == Op.MIN:
+            st.add("mn")
+        if p.op == Op.MAX:
+            st.add("mx")
+    return out
 
 
 def tile_agg_exprs(
@@ -260,6 +287,8 @@ def build_hop_tiles(
     head_cols = sorted(need) + [t for t in tie_cols if t not in need]
     hop_col = (F.col(_TS_US) / F.lit(hop_us)).cast("long")
     aggs, hist_cols = tile_agg_exprs(need, tie_cols)
+    if not aggs:  # every part bucketed/hist: keep a row-count anchor per tile
+        aggs = [F.count(F.lit(1)).alias("__tile_rows")]
     tiles = (
         r.select(*keys, hop_col.alias("__hop"), _TS_US, *head_cols)
         .groupBy(*keys, "__hop")
@@ -278,6 +307,29 @@ def build_hop_tiles(
             .agg(F.collect_list(F.struct("__v", "__c")).alias(f"{c}__hist"))
         )
         tiles = tiles.join(vc, on=keys + ["__hop"], how="left")
+    for (c, b), st in _tile_bucket_stats(gb).items():
+        # bucketed scalar IRs: (keys, hop, bucket) partials collected into one
+        # list per tile — the same two-level shape as histogram tiles
+        agg2 = [F.count(c).alias("cnt")]
+        struct_fields = ["__b", "cnt"]
+        if "sm" in st:
+            agg2.append(F.sum(F.col(c).cast("double")).alias("sm"))
+            struct_fields.append("sm")
+        if "mn" in st:
+            agg2.append(F.min(c).alias("mn"))
+            struct_fields.append("mn")
+        if "mx" in st:
+            agg2.append(F.max(c).alias("mx"))
+            struct_fields.append("mx")
+        bt = (
+            r.where(F.col(c).isNotNull() & F.col(b).isNotNull())
+            .select(*keys, hop_col.alias("__hop"), F.col(b).cast("string").alias("__b"), c)
+            .groupBy(*keys, "__hop", "__b")
+            .agg(*agg2)
+            .groupBy(*keys, "__hop")
+            .agg(F.collect_list(F.struct(*struct_fields)).alias(f"{c}__bk__{b}"))
+        )
+        tiles = tiles.join(bt, on=keys + ["__hop"], how="left")
     return tiles
 
 
@@ -336,8 +388,6 @@ def tiled_sawtooth_asof_join(
         raise ValueError(f"tiled path supports {sorted(o.value for o in TILED_OPS)}; got {bad}")
     if any(p.window.millis is None for p in parts):
         raise ValueError("tiled path requires bounded windows")
-    if any(p.bucket for p in parts):
-        raise ValueError("tiled path does not support buckets yet")
     order_parts = [p for p in parts if p.op in _ORDER_OPS]
     if order_parts and not gb.tie_breakers:
         raise ValueError(
@@ -357,9 +407,12 @@ def tiled_sawtooth_asof_join(
     l = ensure_ts_us(left, left_time_column)
 
     need = _tile_stats_needed(gb)
+    _tile_bucket_stats(gb)  # validates bucketed ops up front
     in_cols = sorted(need)
+    bucket_cols = sorted({p.bucket for p in parts if p.bucket})
     tie_cols = [t for t in gb.tie_breakers if t in right.columns and t not in right_keys]
-    head_cols = in_cols + [t for t in tie_cols if t not in in_cols]
+    head_cols = in_cols + [b for b in bucket_cols if b not in in_cols]
+    head_cols += [t for t in tie_cols if t not in head_cols]
     hop_col = (F.col(_TS_US) / F.lit(hop_us)).cast("long")
 
     # 1) tile build: one JVM shuffle on (keys, hop) — shared with the
@@ -525,6 +578,56 @@ def tiled_sawtooth_asof_join(
             entry_cache[stat_col] = out
             return out
 
+        bucket_cache: dict = {}
+
+        def bucket_series(c: str, b: str):
+            """Flatten one per-bucket tile IR column + the bucket-masked head
+            events into per-bucket-code contiguous slices (stable sort on
+            (bucket_code, comp)); codes are shared between tiles and heads."""
+            ck = (c, b)
+            if ck in bucket_cache:
+                return bucket_cache[ck]
+            col_name = f"{c}__bk__{b}"
+            if len(tiles_pdf):
+                lists = tiles_pdf[col_name].to_numpy()
+                lens = np.fromiter(
+                    (len(v) if isinstance(v, (list, np.ndarray)) else 0 for v in lists), np.int64, len(lists)
+                )
+                total = int(lens.sum())
+                flat = [e for v in lists if isinstance(v, (list, np.ndarray)) for e in v]
+                tcomp_e = np.repeat(tcomp_all, lens)
+            else:
+                total, flat, tcomp_e = 0, [], np.empty(0, np.int64)
+            tb = np.fromiter((e["__b"] for e in flat), object, total)
+            if len(heads_pdf):
+                hmask = heads_pdf[c].notna().to_numpy() & heads_pdf[b].notna().to_numpy()
+                hcomp_b = hcomp_all[hmask]
+                hvals_b = _to_numpy(heads_pdf[c][hmask])
+                hb = heads_pdf[b][hmask].astype(str).to_numpy()
+            else:
+                hcomp_b = np.empty(0, np.int64)
+                hvals_b = np.empty(0, object)
+                hb = np.empty(0, object)
+            if total + len(hb):
+                codes, uniques = pd.factorize(np.concatenate([tb, hb]))
+            else:
+                codes, uniques = np.empty(0, np.int64), np.empty(0, object)
+            tcd, hcd = codes[:total], codes[total:]
+            tord = np.lexsort((tcomp_e, tcd)) if total else np.empty(0, np.int64)
+            tcomp_e, tcd = tcomp_e[tord], tcd[tord]
+            stats = {}
+            for nm in ("cnt", "sm", "mn", "mx"):
+                if flat and nm in flat[0]:
+                    stats[nm] = np.fromiter((e.get(nm) for e in flat), object, total)[tord]
+            hord = np.lexsort((hcomp_b, hcd)) if len(hb) else np.empty(0, np.int64)
+            hcomp_b, hvals_b, hcd = hcomp_b[hord], hvals_b[hord], hcd[hord]
+            nb = len(uniques)
+            tlo = np.searchsorted(tcd, np.arange(nb + 1))
+            hlo = np.searchsorted(hcd, np.arange(nb + 1))
+            res = (uniques, tcomp_e, stats, tlo, hcomp_b, hvals_b, hlo)
+            bucket_cache[ck] = res
+            return res
+
         nullkey = lcodes < 0
         head_start = (q_ts // hop_us) * hop_us
         kbase = lcodes.astype(np.int64) * block
@@ -538,6 +641,68 @@ def tiled_sawtooth_asof_join(
             wstart = ((q_ts - w_us) // p_hop_us) * p_hop_us
             comp_w = np.where(nullkey, np.int64(0), kbase + np.clip(wstart - base, 0, block - 1))
             c = p.input_column
+
+            if p.bucket is not None:
+                # Map[bucket -> scalar agg]: per-bucket tile partials merged
+                # with bucket-masked head events; iteration is per BUCKET
+                # (each pass vectorized over all queries), the same shape as
+                # kernels._grouped_kernel
+                uniques, tcomp_e, bstats, tlo, hcomp_b, hvals_b, hlo = bucket_series(c, p.bucket)
+                integral = isinstance(part_output_type(p, right_types[c]).valueType, T.LongType)
+                acc: list = [None] * len(q_ts)
+                for g in range(len(uniques)):
+                    ts_g = tcomp_e[tlo[g] : tlo[g + 1]]
+                    s1 = np.searchsorted(ts_g, comp_w, side="left")
+                    e1 = np.maximum(np.searchsorted(ts_g, comp_h, side="left"), s1)
+                    hts_g = hcomp_b[hlo[g] : hlo[g + 1]]
+                    hv_g = hvals_b[hlo[g] : hlo[g + 1]]
+                    s2 = np.searchsorted(hts_g, comp_h, side="left")
+                    e2 = np.maximum(np.searchsorted(hts_g, comp_q, side="left"), s2)
+                    cnt_g = _range_sum(
+                        np.asarray(bstats["cnt"][tlo[g] : tlo[g + 1]], np.float64), s1, e1
+                    ) + (e2 - s2)
+                    if p.op == Op.COUNT:
+                        vals_g = [None if v <= 0 else int(v) for v in cnt_g]
+                    elif p.op in (Op.SUM, Op.AVERAGE):
+                        sm_g = _range_sum(
+                            np.asarray(bstats["sm"][tlo[g] : tlo[g + 1]], np.float64), s1, e1
+                        ) + _range_sum(
+                            hv_g.astype(np.float64) if len(hv_g) else np.empty(0, np.float64), s2, e2
+                        )
+                        if p.op == Op.SUM:
+                            vals_g = [
+                                None if n0 <= 0 else (int(round(v)) if integral else float(v))
+                                for v, n0 in zip(sm_g, cnt_g)
+                            ]
+                        else:
+                            vals_g = [
+                                None if n0 <= 0 else float(v / n0) for v, n0 in zip(sm_g, cnt_g)
+                            ]
+                    else:
+                        take_min = p.op == Op.MIN
+                        nm = "mn" if take_min else "mx"
+                        part_t = _range_minmax(bstats[nm][tlo[g] : tlo[g + 1]], s1, e1, take_min)
+                        part_h = _range_minmax(hv_g, s2, e2, take_min)
+                        vals_g = []
+                        for a, b2 in zip(part_t, part_h):
+                            if a is None:
+                                vals_g.append(b2)
+                            elif b2 is None:
+                                vals_g.append(a)
+                            else:
+                                vals_g.append(min(a, b2) if take_min else max(a, b2))
+                    bkey = str(uniques[g])
+                    for i in range(len(vals_g)):
+                        if vals_g[i] is not None:
+                            d0 = acc[i]
+                            if d0 is None:
+                                d0 = acc[i] = {}
+                            d0[bkey] = vals_g[i]
+                res = np.empty(len(q_ts), object)
+                for i, d0 in enumerate(acc):
+                    res[i] = d0
+                out[fname] = res
+                continue
 
             hcs = head_series(c)
             hs = np.searchsorted(hcs.ts, comp_h, side="left")

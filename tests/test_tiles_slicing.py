@@ -265,3 +265,53 @@ def test_sliced_rejects_unbounded(tdf):
     gb = GroupBy(keys=["conv_id"], aggregations=[Aggregation("turn_idx", Op.COUNT, windows=(None,))])
     with pytest.raises(ValueError, match="bounded"):
         sliced_asof_join(tdf.limit(1), tdf, gb)
+
+
+def test_tiled_bucketed_scalar_equal_plain(spark, tdf):
+    """Bucketed scalar ops through the tiled path: per-(key, hop, bucket)
+    tile partials + bucket-masked head events must reproduce the plain
+    path's Map[bucket -> agg] exactly."""
+    import numpy as np
+
+    gb = GroupBy(
+        keys=["conv_id"],
+        aggregations=[
+            Aggregation("n_chars", Op.SUM, windows=("13d",), buckets=("role",)),
+            Aggregation("n_chars", Op.COUNT, windows=("3h",), buckets=("role",)),
+            Aggregation("n_chars", Op.AVERAGE, windows=("13d",), buckets=("role",)),
+            Aggregation("n_chars", Op.MIN, windows=("13d",), buckets=("tool",)),
+            Aggregation("n_chars", Op.MAX, windows=("3h",), buckets=("tool",)),
+        ],
+        tie_breakers=["turn_idx"],
+        sawtooth=True,
+    )
+    left = tdf.where(F.col("role") == "user").select("conv_id", "turn_idx", "ts")
+    feats = [p.output_name for p in gb.parts()]
+    plain = _collect(asof_join(left, tdf, gb), feats)
+    tiled = _collect(tiled_sawtooth_asof_join(left, tdf, gb), feats)
+    assert len(plain) == len(tiled)
+    for c in feats:
+        for i in range(len(plain)):
+            a, b = plain[c].iloc[i], tiled[c].iloc[i]
+            if a is None or b is None:
+                assert a is None and b is None, (c, i, a, b)
+                continue
+            assert sorted(a) == sorted(b), (c, i, a, b)
+            for k in a:
+                x, y = a[k], b[k]
+                assert (x is None) == (y is None)
+                if isinstance(x, float):
+                    assert abs(x - y) < 1e-9 * max(1.0, abs(x)), (c, i, k, x, y)
+                else:
+                    assert x == y, (c, i, k, x, y)
+
+
+def test_tiled_bucketed_nonscalar_rejected(tdf):
+    gb = GroupBy(
+        keys=["conv_id"],
+        aggregations=[Aggregation("text", Op.LAST_K, windows=("1d",), k=2, buckets=("role",))],
+        tie_breakers=["turn_idx"],
+        sawtooth=True,
+    )
+    with pytest.raises(ValueError, match="plain path"):
+        tiled_sawtooth_asof_join(tdf.limit(1), tdf, gb)
