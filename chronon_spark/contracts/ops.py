@@ -1229,8 +1229,73 @@ FROM q LEFT JOIN hist h ON h.conv_id = q.conv_id AND h.qi = q.turn_idx AND h.qtu
 """
 
 
+def _q_tiled_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed scalar ops through the TILED strategy: per-(key, hop, bucket)
+    partials merged with bucket-masked head events (the reference's
+    BucketedColumnAggregator over abelian IRs, row/BucketedColumnAggregator
+    .scala, collapsed per SawtoothOnlineAggregator)."""
+    from chronon_spark.operators.tiles import tiled_sawtooth_asof_join
+
+    t = _transcripts(spark, sf_dir)
+    gb = GroupBy(
+        keys=["conv_id"],
+        aggregations=[
+            Aggregation("score", Op.SUM, windows=("7d",), buckets=("role",)),
+            Aggregation("score", Op.COUNT, windows=("7d",), buckets=("role",)),
+            Aggregation("score", Op.MIN, windows=("13d",), buckets=("role",)),
+        ],
+        tie_breakers=["turn_idx"],
+        sawtooth=True,
+    )
+    out = tiled_sawtooth_asof_join(_user_left(t), t, gb)
+    sm = F.col("score_sum_7d_by_role")
+    ct = F.col("score_count_7d_by_role")
+    mn = F.col("score_min_13d_by_role")
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "tus",
+        F.round(F.try_element_at(sm, F.lit("user")), 3).alias("sum_user"),
+        F.round(F.try_element_at(sm, F.lit("tool")), 3).alias("sum_tool"),
+        F.try_element_at(ct, F.lit("assistant")).alias("cnt_assistant"),
+        F.try_element_at(mn, F.lit("user")).alias("min_user"),
+        F.try_element_at(mn, F.lit("assistant")).alias("min_assistant"),
+    )
+
+
+_SQL_TILED_BUCKETED = f"""
+WITH t AS ({_DUCK_T}),
+q AS (SELECT conv_id, turn_idx, tus FROM t WHERE role = 'user'),
+w7 AS (SELECT q.conv_id, q.turn_idx AS qi, q.tus AS qtus, e.role, e.score
+       FROM q JOIN t e ON e.conv_id = q.conv_id
+        AND e.tus >= ((q.tus - {7 * US_D}) // {US_H}) * {US_H} AND e.tus < q.tus
+        AND e.score IS NOT NULL AND e.role IS NOT NULL),
+w13 AS (SELECT q.conv_id, q.turn_idx AS qi, q.tus AS qtus, e.role, e.score
+        FROM q JOIN t e ON e.conv_id = q.conv_id
+         AND e.tus >= ((q.tus - {13 * US_D}) // {US_D}) * {US_D} AND e.tus < q.tus
+         AND e.score IS NOT NULL AND e.role IS NOT NULL),
+a7 AS (SELECT conv_id, qi, qtus,
+              ROUND(SUM(CASE WHEN role = 'user' THEN score END), 3) AS sum_user,
+              ROUND(SUM(CASE WHEN role = 'tool' THEN score END), 3) AS sum_tool,
+              COUNT(CASE WHEN role = 'assistant' THEN 1 END) AS cnt_assistant_raw
+       FROM w7 GROUP BY 1, 2, 3),
+a13 AS (SELECT conv_id, qi, qtus,
+               MIN(CASE WHEN role = 'user' THEN score END) AS min_user,
+               MIN(CASE WHEN role = 'assistant' THEN score END) AS min_assistant
+        FROM w13 GROUP BY 1, 2, 3)
+SELECT q.conv_id AS conv_id, q.turn_idx AS turn_idx, q.tus AS tus,
+       a7.sum_user AS sum_user, a7.sum_tool AS sum_tool,
+       NULLIF(a7.cnt_assistant_raw, 0) AS cnt_assistant,
+       a13.min_user AS min_user, a13.min_assistant AS min_assistant
+FROM q
+LEFT JOIN a7 ON a7.conv_id = q.conv_id AND a7.qi = q.turn_idx AND a7.qtus = q.tus
+LEFT JOIN a13 ON a13.conv_id = q.conv_id AND a13.qi = q.turn_idx AND a13.qtus = q.tus
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sawtooth_tiled_rich": _q_tiled_rich,
+    "sawtooth_tiled_bucketed": _q_tiled_bucketed,
     "log_flatten": _q_log_flatten,
     "stream_stats_tiles": _q_stream_stats,
     "label_join_forward": _q_label_join,
@@ -1257,6 +1322,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "sawtooth_tiled_rich": _SQL_TILED_RICH,
+    "sawtooth_tiled_bucketed": _SQL_TILED_BUCKETED,
     "log_flatten": _SQL_LOG_FLATTEN,
     "stream_stats_tiles": _SQL_STREAM_STATS,
     "label_join_forward": _SQL_LABEL_JOIN,
