@@ -41,6 +41,19 @@ from chronon_spark.types import part_output_type
 _TS_US = "__ts_us"
 
 
+def apply_derivations(out: DataFrame, derivations: dict[str, str] | None) -> DataFrame:
+    """Post-aggregation projection (reference GroupBy/Join derivations,
+    Extensions.scala:1261-1296): '*' passes every existing column through,
+    named entries are Spark SQL expressions over key + feature columns.
+    Shared by every physical strategy (plain / tiled / sliced / skew-split)
+    so derived schemas agree across paths."""
+    if not derivations:
+        return out
+    exprs = [F.col(c) for c in out.columns] if "*" in derivations else []
+    exprs += [F.expr(e).alias(n) for n, e in derivations.items() if n != "*"]
+    return out.select(*exprs)
+
+
 def ensure_ts_us(df: DataFrame, col: str, out: str = _TS_US) -> DataFrame:
     """Add int64 epoch-micros column derived from a timestamp/long column."""
     t = dict(df.dtypes)[col]
@@ -258,11 +271,7 @@ def asof_join(
             r.groupby(*[F.col(f"__r_{c}") for c in right_keys])
         )
         out = grouped.applyInPandas(fn, schema=out_schema)
-    if gb.derivations:
-        exprs = [F.col(c) for c in out.columns] if "*" in gb.derivations else []
-        exprs += [F.expr(e).alias(n) for n, e in gb.derivations.items() if n != "*"]
-        out = out.select(*exprs)
-    return out
+    return apply_derivations(out, gb.derivations)
 
 
 def compute_join(left: DataFrame, join: Join, prefilter: str | None = None) -> DataFrame:
@@ -304,8 +313,5 @@ def compute_join(left: DataFrame, join: Join, prefilter: str | None = None) -> D
         )
         if tc == "__snapshot_ts":
             out = out.drop(tc)
-    if join.derivations:
-        exprs = [F.col(c) for c in out.columns] if "*" in join.derivations else []
-        exprs += [F.expr(e).alias(n) for n, e in join.derivations.items() if n != "*"]
-        out = out.select(*exprs)
+    out = apply_derivations(out, join.derivations)
     return out

@@ -81,7 +81,11 @@ def sliced_asof_join(
         sawtooth=gb.sawtooth,
     )
     out = asof_join(l, r, gb2, left_time_column, key_mapping, prefix)
-    return out.drop(SLICE_COL)
+    from chronon_spark.operators.asof_join import apply_derivations
+
+    # gb2 carries no derivations (asof_join must not apply them before the
+    # slice column is dropped); apply them here so every strategy agrees
+    return apply_derivations(out.drop(SLICE_COL), gb.derivations)
 
 
 # Per-(key,slice) group-size target for the auto span: comfortably inside one

@@ -94,7 +94,7 @@ from chronon_spark.aggregators.kernels import (
     hist_finalize,
 )
 from chronon_spark.api import AggregationPart, GroupBy, Op
-from chronon_spark.operators.asof_join import ensure_ts_us
+from chronon_spark.operators.asof_join import apply_derivations, ensure_ts_us
 from chronon_spark.resolution import tail_hop_millis
 from chronon_spark.types import part_output_type
 
@@ -869,11 +869,11 @@ def tiled_sawtooth_asof_join(
             "__r___b", F.pmod(F.xxhash64(*[f"__r_{c}" for c in right_keys]), F.lit(coarse_buckets))
         )
         grouped = lb.groupby(F.col("__b")).cogroup(ub.groupby(F.col("__r___b")))
-        return grouped.applyInPandas(fn_bucketed, schema=out_schema)
+        return apply_derivations(grouped.applyInPandas(fn_bucketed, schema=out_schema), gb.derivations)
     grouped = l.groupby(*[F.col(c) for c in left_keys]).cogroup(
         union.groupby(*[F.col(f"__r_{c}") for c in right_keys])
     )
-    return grouped.applyInPandas(fn_perkey, schema=out_schema)
+    return apply_derivations(grouped.applyInPandas(fn_perkey, schema=out_schema), gb.derivations)
 
 
 def _distinct2(

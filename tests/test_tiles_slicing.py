@@ -315,3 +315,26 @@ def test_tiled_bucketed_nonscalar_rejected(tdf):
     )
     with pytest.raises(ValueError, match="plain path"):
         tiled_sawtooth_asof_join(tdf.limit(1), tdf, gb)
+
+
+def test_derivations_agree_across_strategies(spark, tdf):
+    """GroupBy-level derivations must produce the same schema and values on
+    every physical strategy (plain / tiled / sliced) — previously only the
+    plain path applied them."""
+    gb = GroupBy(
+        keys=["conv_id"],
+        aggregations=[
+            Aggregation("turn_idx", Op.COUNT, windows=("13d",)),
+            Aggregation("n_chars", Op.SUM, windows=("13d",)),
+        ],
+        tie_breakers=["turn_idx"],
+        sawtooth=True,
+        derivations={"*": "*", "chars_per_turn": "n_chars_sum_13d / turn_idx_count_13d"},
+    )
+    left = tdf.where(F.col("role") == "user").select("conv_id", "turn_idx", "ts")
+    feats = ["turn_idx_count_13d", "n_chars_sum_13d", "chars_per_turn"]
+    plain = _collect(asof_join(left, tdf, gb), feats)
+    tiled = _collect(tiled_sawtooth_asof_join(left, tdf, gb), feats)
+    sliced = _collect(sliced_asof_join(left, tdf, gb, slice_span="7d"), feats)
+    _assert_same(plain, tiled)
+    _assert_same(plain, sliced)
