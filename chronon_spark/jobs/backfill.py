@@ -95,6 +95,12 @@ def main(argv=None) -> int:
     ap.add_argument("--checkpoint", required=True, help="lineage-manifest dir (resume state)")
     ap.add_argument("--group-by", default=None, help="JSON GroupBy spec")
     ap.add_argument("--join", default=None, help="JSON multi-part Join spec (see parse_join)")
+    ap.add_argument(
+        "--strategy",
+        default="plain",
+        choices=["plain", "tiled", "sliced", "skew"],
+        help="physical as-of plan for --group-by runs (tiled needs sawtooth:true)",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
     if args.group_by and args.join:
@@ -126,6 +132,7 @@ def main(argv=None) -> int:
         checkpoint_dir=args.checkpoint,
         gb=gb,
         join_builder=join_builder,
+        strategy=args.strategy,
     )
     stats["wall_sec"] = round(time.time() - t0, 3)
     print(json.dumps(stats))

@@ -94,10 +94,21 @@ def run_partitioned_backfill(
     gb: GroupBy | None = None,
     left_time_column: str = "ts",
     join_builder=None,
+    strategy: str = "plain",
 ) -> dict:
     """Single-GroupBy (``gb``) or multi-part Join (``join_builder``: a
     callable DataFrame -> api.Join binding the pruned events slice as every
-    part's right side) — exactly one must be given."""
+    part's right side) — exactly one must be given.
+
+    ``strategy`` picks the physical as-of plan for the GroupBy form (all
+    equivalence-tested in tests/test_tiles_slicing.py):
+      plain  — coarse-bucket cogroup (default);
+      tiled  — hop-tile pre-aggregation (bounded per-key state; requires
+               sawtooth=True and bounded windows);
+      sliced — deterministic time-slice salting (bounded per-group state);
+      skew   — per-key-count hot-key detection, salted path for hot keys
+               only, plain path for the rest.
+    The Join form orchestrates per-part strategies itself (compute_join)."""
     if (gb is None) == (join_builder is None):
         raise ValueError("pass exactly one of gb / join_builder")
     os.makedirs(checkpoint_dir, exist_ok=True)
@@ -145,7 +156,22 @@ def run_partitioned_backfill(
         hi = F.date_add(F.to_timestamp(F.lit(ds)), 1).cast("timestamp")
         ev = ev.where(F.col(time_col) < hi)
         if gb is not None:
-            out = asof_join(q_part, ev, gb, left_time_column=left_time_column)
+            if strategy == "tiled":
+                from chronon_spark.operators.tiles import tiled_sawtooth_asof_join
+
+                out = tiled_sawtooth_asof_join(q_part, ev, gb, left_time_column=left_time_column)
+            elif strategy == "sliced":
+                from chronon_spark.operators.slicing import sliced_asof_join
+
+                out = sliced_asof_join(q_part, ev, gb, left_time_column=left_time_column)
+            elif strategy == "skew":
+                from chronon_spark.operators.slicing import skew_split_asof_join
+
+                out = skew_split_asof_join(q_part, ev, gb, left_time_column=left_time_column)
+            elif strategy == "plain":
+                out = asof_join(q_part, ev, gb, left_time_column=left_time_column)
+            else:
+                raise ValueError(f"unknown strategy {strategy!r} (plain/tiled/sliced/skew)")
         else:
             from chronon_spark.operators.asof_join import compute_join
 

@@ -85,3 +85,42 @@ def test_partition_stats_extractor(spark, paths):
         assert row["rows"] == want[ds]          # footer metadata == actual
         assert row["n_files"] >= 1 and row["bytes"] > 0
         assert row["semantic_hash"] is not None and row["wall_sec"] is not None
+
+
+def test_backfill_strategy_dispatch(spark, paths):
+    """--strategy routes the GroupBy backfill through the tiled / sliced /
+    skew physical plans; all must write the same partitions as plain."""
+    ev_p, q_p, root = paths
+    gb = GroupBy(
+        keys=["conv_id"],
+        aggregations=[
+            Aggregation("turn_idx", Op.COUNT, windows=("7d",)),
+            Aggregation("text", Op.LAST_K, windows=("2d",), k=2),
+        ],
+        tie_breakers=["turn_idx"],
+        sawtooth=True,  # tiled requires sawtooth
+    )
+    outs = {}
+    for strat in ("plain", "tiled", "sliced", "skew"):
+        run_partitioned_backfill(
+            spark, ev_p, q_p, str(root / f"o_{strat}"), str(root / f"c_{strat}"),
+            gb=gb, strategy=strat,
+        )
+        pdf = (
+            spark.read.parquet(str(root / f"o_{strat}"))
+            .toPandas()
+            .sort_values("query_id")
+            .reset_index(drop=True)
+        )
+        pdf["text_last_k2_2d"] = pdf["text_last_k2_2d"].map(
+            lambda v: tuple(v) if v is not None else None
+        )
+        outs[strat] = pdf
+    base = outs["plain"]
+    for strat in ("tiled", "sliced", "skew"):
+        other = outs[strat]
+        assert base.equals(other[base.columns]), f"{strat} != plain"
+    with pytest.raises(ValueError, match="unknown strategy"):
+        run_partitioned_backfill(
+            spark, ev_p, q_p, str(root / "o_bad"), str(root / "c_bad"), gb=gb, strategy="bogus"
+        )
