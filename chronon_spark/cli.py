@@ -80,6 +80,8 @@ def cmd_backfill(args) -> int:
         argv += ["--join", args.join_spec]
     elif getattr(args, "group_by", None):
         argv += ["--group-by", args.group_by]
+    if getattr(args, "strategy", None):
+        argv += ["--strategy", args.strategy]
     return backfill.main(argv)
 
 
@@ -219,6 +221,9 @@ def main(argv=None) -> int:
             p.add_argument("--join", dest="join_spec", required=True)
         else:
             p.add_argument("--group-by", required=False, default=None)
+            p.add_argument(
+                "--strategy", default="plain", choices=["plain", "tiled", "sliced", "skew"]
+            )
         _add_common(p)
         p.set_defaults(fn=cmd_backfill)
 

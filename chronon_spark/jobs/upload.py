@@ -34,8 +34,10 @@ Per-op IR shapes (mirroring the reference ColumnAggregator IRs):
 - UNIQUE_COUNT/APPROX_UNIQUE_COUNT -> distinct-value sets (exact; the CPC
   sketch at SimpleAggregators.scala:499 is the lossy 100 TB variant)
 - HISTOGRAM/FREQUENT/HEAVY_HITTERS -> value->count maps (two-level groupBy)
+- bucketed SCALAR parts              -> per-bucket partial lists (collapsed +
+  per-hop), finalized to Map[bucket -> agg] at fetch
 NOT uploadable: APPROX_PERCENTILE (the reference's IR is a KLL sketch, i.e.
-inherently lossy — exact fetch needs raw values) and bucketed parts.
+inherently lossy — exact fetch needs raw values) and bucketed non-scalar ops.
 
 Valid fetch range: ``batchEndTs <= queryTs < batchEndTs + tailBuffer`` (after
 that the reference re-uploads a fresh batch; we assert the same contract).
@@ -75,8 +77,11 @@ def _check(gb: GroupBy) -> list:
             f"batch-IR upload supports {sorted(o.value for o in UPLOAD_OPS)}; got {bad} "
             "(approx_percentile's exact form needs raw values)"
         )
-    if any(p.bucket for p in parts):
-        raise ValueError("batch-IR upload does not support buckets")
+    bad_bk = [p.op for p in parts if p.bucket and p.op not in _SCALAR_OPS]
+    if bad_bk:
+        raise ValueError(
+            f"bucketed batch-IR upload supports scalar ops {sorted(o.value for o in _SCALAR_OPS)}; got {bad_bk}"
+        )
     if not gb.sawtooth:
         raise ValueError("batch-IR upload requires sawtooth=True (hop-rounded window tails)")
     if any(p.op in _ORDER_OPS for p in parts) and not gb.tie_breakers:
@@ -120,6 +125,7 @@ def build_batch_irs(
     # combine — the 100 TB bulk of history reduces to one row per key here)
     aggs = []
     hist_parts: list[tuple[int, object]] = []
+    bucket_parts: list[tuple[int, object]] = []
     for i, p in enumerate(parts):
         c = F.col(p.input_column)
         if p.window.millis is None:
@@ -128,6 +134,9 @@ def build_batch_irs(
             tail = batch_end_ts_us - p.window.millis * 1000
             cond = F.col(_TS_US) >= F.lit(tail + buf_us)
         val = F.when(cond, c)
+        if p.bucket:
+            bucket_parts.append((i, cond))
+            continue  # per-bucket IRs built below (two-level agg)
         if p.op in (Op.COUNT, Op.SUM, Op.AVERAGE) or p.op in _MOMENT_OPS:
             aggs.append(F.count(val).alias(f"__c{i}_cnt"))
         if p.op in (Op.SUM, Op.AVERAGE) or p.op in _MOMENT_OPS:
@@ -161,7 +170,22 @@ def build_batch_irs(
             aggs.append(F.collect_set(val).alias(f"__c{i}_set"))
         if p.op in _HIST_OPS:
             hist_parts.append((i, cond))
+    if not aggs:  # every part bucketed: keep a row-count anchor
+        aggs = [F.count(F.lit(1)).alias("__ir_rows")]
     out = ev.groupBy(*gb.keys).agg(*aggs)
+    for i, cond in bucket_parts:
+        p = parts[i]
+        c, b = p.input_column, p.bucket
+        st_aggs, st_fields = _bucket_scalar_aggs(p, F.col(c))
+        bk = (
+            ev.where(cond & F.col(c).isNotNull() & F.col(b).isNotNull())
+            .select(*gb.keys, F.col(b).cast("string").alias("__b"), c)
+            .groupBy(*gb.keys, "__b")
+            .agg(*st_aggs)
+            .groupBy(*gb.keys)
+            .agg(F.collect_list(F.struct("__b", *st_fields)).alias(f"__c{i}_bk"))
+        )
+        out = out.join(bk, on=gb.keys, how="full")
     for i, cond in hist_parts:
         c = parts[i].input_column
         vc = (
@@ -188,6 +212,24 @@ def build_batch_irs(
         sl = ev.where((F.col(_TS_US) >= tail) & (F.col(_TS_US) < min(tail + buf_us, batch_end_ts_us)))
         sl = sl.withColumn("__hop", (F.col(_TS_US) / F.lit(hop_us)).cast("long") * F.lit(hop_us))
         c = F.col(p.input_column)
+        if p.bucket:
+            st_aggs, st_fields = _bucket_scalar_aggs(p, c)
+            hops = (
+                sl.where(c.isNotNull() & F.col(p.bucket).isNotNull())
+                .select(*gb.keys, "__hop", F.col(p.bucket).cast("string").alias("__b"), p.input_column)
+                .groupBy(*gb.keys, "__hop", "__b")
+                .agg(*st_aggs)
+                .groupBy(*gb.keys, "__hop")
+                .agg(F.collect_list(F.struct("__b", *st_fields)).alias("bent"))
+                .groupBy(*gb.keys)
+                .agg(
+                    F.sort_array(F.collect_list(F.struct(F.col("__hop").alias("hop"), "bent"))).alias(
+                        f"__tails_{i}"
+                    )
+                )
+            )
+            out = out.join(hops, on=gb.keys, how="full")
+            continue
         if p.op in _ORDER_OPS:
             asc = p.op in (Op.FIRST, Op.FIRST_K)
             hop_aggs = [
@@ -241,6 +283,22 @@ def build_batch_irs(
         )
         out = out.join(hops, on=gb.keys, how="full")
     return out
+
+
+def _bucket_scalar_aggs(p, c):
+    """Scalar partial exprs + struct field names for one bucketed part."""
+    st_aggs = [F.count(c).alias("cnt")]
+    st_fields = ["cnt"]
+    if p.op in (Op.SUM, Op.AVERAGE):
+        st_aggs.append(F.sum(c.cast("double")).alias("sm"))
+        st_fields.append("sm")
+    if p.op == Op.MIN:
+        st_aggs.append(F.min(c.cast("double")).alias("mn"))
+        st_fields.append("mn")
+    if p.op == Op.MAX:
+        st_aggs.append(F.max(c.cast("double")).alias("mx"))
+        st_fields.append("mx")
+    return st_aggs, st_fields
 
 
 def _check_alignment(parts, batch_end_ts_us: int) -> None:
@@ -298,7 +356,9 @@ def fetch_features(
     for k in gb.keys:
         st = st.where(F.col(k).isNotNull())
     tie_cols = [t for t in gb.tie_breakers if t in streaming.columns and t not in gb.keys]
-    in_cols = sorted({p.input_column for p in parts} | set(tie_cols))
+    in_cols = sorted(
+        {p.input_column for p in parts} | set(tie_cols) | {p.bucket for p in parts if p.bucket}
+    )
     st = st.select(*gb.keys, _TS_US, *in_cols).withColumn("__is_ir", F.lit(False))
 
     ir_cols = [c for c in batch_irs.columns if c.startswith("__c") or c.startswith("__tails_")]
@@ -382,7 +442,63 @@ def fetch_features(
 
             c_cnt = float(_c(f"__c{i}_cnt")) if _c(f"__c{i}_cnt") is not None else 0.0
 
-            if p.op in (Op.COUNT, Op.SUM, Op.AVERAGE) or p.op in _MOMENT_OPS:
+            if p.bucket is not None:
+                # Map[bucket -> scalar]: collapsed per-bucket partials + tail
+                # per-(hop, bucket) partials + bucket-masked stream rows,
+                # merged per query in the serving-path loop
+                bser = stream[[_TS_US, col, p.bucket]].dropna(subset=[col, p.bucket])
+                b_ts = bser[_TS_US].to_numpy("int64")
+                b_vals = bser[col].to_numpy("float64") if len(bser) else np.empty(0)
+                b_bk = bser[p.bucket].astype(str).tolist() if len(bser) else []
+                bss = np.searchsorted(b_ts, np.maximum(wstart, batch_end_ts_us), side="left")
+                bse = np.maximum(np.searchsorted(b_ts, q_ts, side="left"), bss)
+                hop_bents = tl["bent"].tolist() if len(tl) else []
+                c_bk = {
+                    e["__b"]: [e.get("cnt") or 0, e.get("sm"), e.get("mn"), e.get("mx")]
+                    for e in _lst(_c(f"__c{i}_bk"))
+                }
+                ot = part_output_type(p, right_types[col])
+                intg = isinstance(getattr(ot, "valueType", ot), T.LongType)
+
+                def _bmerge(dst, bname, cnt0, sm0, mn0, mx0):
+                    cur = dst.get(bname)
+                    if cur is None:
+                        dst[bname] = [cnt0, sm0, mn0, mx0]
+                        return
+                    cur[0] += cnt0
+                    if sm0 is not None:
+                        cur[1] = sm0 if cur[1] is None else cur[1] + sm0
+                    if mn0 is not None:
+                        cur[2] = mn0 if cur[2] is None else min(cur[2], mn0)
+                    if mx0 is not None:
+                        cur[3] = mx0 if cur[3] is None else max(cur[3], mx0)
+
+                vals_out = []
+                for j in range(len(q_ts)):
+                    agg = {bn: list(st) for bn, st in c_bk.items()}
+                    for h in range(int(ti[j]), int(te[j])):
+                        for e in _lst(hop_bents[h]):
+                            _bmerge(agg, e["__b"], e.get("cnt") or 0, e.get("sm"), e.get("mn"), e.get("mx"))
+                    for idx in range(int(bss[j]), int(bse[j])):
+                        v = float(b_vals[idx])
+                        _bmerge(agg, b_bk[idx], 1, v, v, v)
+                    m = {}
+                    for bn, (cnt0, sm0, mn0, mx0) in agg.items():
+                        if cnt0 <= 0:
+                            continue
+                        if p.op == Op.COUNT:
+                            m[bn] = int(cnt0)
+                        elif p.op == Op.SUM:
+                            m[bn] = int(round(sm0)) if intg else float(sm0)
+                        elif p.op == Op.AVERAGE:
+                            m[bn] = float(sm0 / cnt0)
+                        elif p.op == Op.MIN:
+                            m[bn] = int(round(mn0)) if intg else float(mn0)
+                        else:
+                            m[bn] = int(round(mx0)) if intg else float(mx0)
+                    vals_out.append(m or None)
+                out[fname] = vals_out
+            elif p.op in (Op.COUNT, Op.SUM, Op.AVERAGE) or p.op in _MOMENT_OPS:
                 s_vals = np.asarray(s_raw, dtype="float64") if s_raw else np.empty(0)
                 n = c_cnt + _tail_sum("cnt") + (se - ss)
                 if p.op == Op.COUNT:
@@ -604,6 +720,11 @@ def fetch_features_tiled(
     arr_aggs = []
     for i, p in enumerate(parts):
         c = p.input_column
+        if p.bucket:
+            raise ValueError(
+                "tiled fetch does not support bucketed parts "
+                "(stream_hop_tiles carries no per-bucket IRs) — use fetch_features"
+            )
         if p.op in _ORDER_OPS:
             fam = "firstk" if p.op in (Op.FIRST, Op.FIRST_K) else "lastk"
             entry = F.struct(hop, F.col(f"{c}__{fam}").alias("ent"))

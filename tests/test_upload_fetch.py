@@ -241,3 +241,40 @@ def test_tiled_fetch_rejects_misaligned_queries(spark, data):
         fetch_features_tiled(
             spark.createDataFrame(off), irs, tiles, gb, BATCH_END_US, events_like=events
         )
+
+
+def test_fetch_bucketed_scalar_matches_backfill(spark, data):
+    """Bucketed scalar parts ride the IR path too: collapsed per-bucket
+    partials + per-(hop, bucket) tails + bucket-masked stream rows must equal
+    the offline backfill's Map[bucket -> agg] at every (key, ts)."""
+    ev, q = data
+    events = spark.createDataFrame(ev)
+    queries = spark.createDataFrame(q)
+    gb = GroupBy(
+        keys=["conv_id"],
+        aggregations=[
+            Aggregation("n_chars", Op.SUM, windows=("7d",), buckets=("role",)),
+            Aggregation("n_chars", Op.COUNT, windows=("13d",), buckets=("role",)),
+            Aggregation("n_chars", Op.MIN, windows=("7d",), buckets=("tool",)),
+            Aggregation("n_chars", Op.AVERAGE, windows=("13d",), buckets=("role",)),
+            Aggregation("n_chars", Op.MAX, windows=(None,), buckets=("role",)),
+        ],
+        tie_breakers=["turn_idx"],
+        sawtooth=True,
+    )
+    irs = build_batch_irs(events, gb, BATCH_END_US)
+    got = fetch_features(queries, irs, events, gb, BATCH_END_US).toPandas()
+    want = asof_join(queries, events, gb).toPandas()
+    assert_frames_allclose(got, want, sort_by=["query_id"])
+
+
+def test_bucketed_nonscalar_upload_rejected(spark, data):
+    ev, _ = data
+    gb = GroupBy(
+        keys=["conv_id"],
+        aggregations=[Aggregation("text", Op.LAST_K, windows=("7d",), k=2, buckets=("role",))],
+        tie_breakers=["turn_idx"],
+        sawtooth=True,
+    )
+    with pytest.raises(ValueError, match="scalar ops"):
+        build_batch_irs(spark.createDataFrame(ev), gb, BATCH_END_US)
