@@ -36,8 +36,11 @@ Per-op IR shapes (mirroring the reference ColumnAggregator IRs):
 - HISTOGRAM/FREQUENT/HEAVY_HITTERS -> value->count maps (two-level groupBy)
 - bucketed SCALAR parts              -> per-bucket partial lists (collapsed +
   per-hop), finalized to Map[bucket -> agg] at fetch
-NOT uploadable: APPROX_PERCENTILE (the reference's IR is a KLL sketch, i.e.
-inherently lossy — exact fetch needs raw values) and bucketed non-scalar ops.
+- APPROX_PERCENTILE                  -> quantile-sketch partials (systematic
+  samples + uniform weight, shared with operators/tiles.qsk_agg_expr — the
+  reference's KLL IR role; exact while nothing compacts, rank error bounded
+  by volume/512 otherwise)
+NOT uploadable: bucketed non-scalar ops.
 
 Valid fetch range: ``batchEndTs <= queryTs < batchEndTs + tailBuffer`` (after
 that the reference re-uploads a fresh batch; we assert the same contract).
@@ -63,7 +66,9 @@ _EXTREME_OPS = {Op.TOP_K, Op.BOTTOM_K, Op.UNIQUE_TOP_K}
 _SET_OPS = {Op.UNIQUE_COUNT, Op.APPROX_UNIQUE_COUNT}
 _HIST_OPS = {Op.HISTOGRAM, Op.APPROX_FREQUENT_K, Op.APPROX_HEAVY_HITTERS_K}
 
-UPLOAD_OPS = _SCALAR_OPS | _MOMENT_OPS | _ORDER_OPS | _EXTREME_OPS | _SET_OPS | _HIST_OPS
+UPLOAD_OPS = (
+    _SCALAR_OPS | _MOMENT_OPS | _ORDER_OPS | _EXTREME_OPS | _SET_OPS | _HIST_OPS | {Op.APPROX_PERCENTILE}
+)
 TAIL_BUFFER_MS = 2 * 86_400_000  # reference default: Window(2, DAYS)
 
 _TS_US = "__ts_us"
@@ -73,10 +78,7 @@ def _check(gb: GroupBy) -> list:
     parts = gb.parts()
     bad = [p.op for p in parts if p.op not in UPLOAD_OPS]
     if bad:
-        raise ValueError(
-            f"batch-IR upload supports {sorted(o.value for o in UPLOAD_OPS)}; got {bad} "
-            "(approx_percentile's exact form needs raw values)"
-        )
+        raise ValueError(f"batch-IR upload supports {sorted(o.value for o in UPLOAD_OPS)}; got {bad}")
     bad_bk = [p.op for p in parts if p.bucket and p.op not in _SCALAR_OPS]
     if bad_bk:
         raise ValueError(
@@ -168,6 +170,10 @@ def build_batch_irs(
             aggs.append(F.slice(F.sort_array(F.collect_set(val), asc=False), 1, p.k).alias(f"__c{i}_ext"))
         if p.op in _SET_OPS:
             aggs.append(F.collect_set(val).alias(f"__c{i}_set"))
+        if p.op == Op.APPROX_PERCENTILE:
+            from chronon_spark.operators.tiles import qsk_agg_expr
+
+            aggs.append(qsk_agg_expr(val, 512).alias(f"__c{i}_qsk"))
         if p.op in _HIST_OPS:
             hist_parts.append((i, cond))
     if not aggs:  # every part bucketed: keep a row-count anchor
@@ -261,6 +267,10 @@ def build_batch_irs(
             )
             out = out.join(hops, on=gb.keys, how="full")
             continue
+        elif p.op == Op.APPROX_PERCENTILE:
+            from chronon_spark.operators.tiles import qsk_agg_expr
+
+            hop_aggs = [qsk_agg_expr(c, 512).alias("qsk")]
         elif p.op in _MOMENT_OPS:
             hop_aggs = [F.count(c).alias("cnt"), F.sum(c.cast("double")).alias("sm")]
             hop_aggs += [
@@ -644,6 +654,47 @@ def fetch_features(
                         u = u | set(seg)
                     vals_out.append(len(u) if u else None)
                 out[fname] = vals_out
+            elif p.op == Op.APPROX_PERCENTILE:
+                hop_qsk = tl["qsk"].tolist() if len(tl) else []
+                c_qsk = _c(f"__c{i}_qsk")
+                qs = np.asarray(p.percentiles, np.float64)
+                vals_out = []
+                for j in range(len(q_ts)):
+                    vs, ws = [], []
+                    if c_qsk is not None:
+                        vs += list(c_qsk["s"])
+                        ws += [float(c_qsk["w"])] * len(c_qsk["s"])
+                    for h in range(int(ti[j]), int(te[j])):
+                        e = hop_qsk[h]
+                        if isinstance(e, dict):
+                            vs += list(e["s"])
+                            ws += [float(e["w"])] * len(e["s"])
+                    seg = s_raw[ss[j] : se[j]]
+                    vs += [float(x) for x in seg]
+                    ws += [1.0] * len(seg)
+                    if not vs:
+                        vals_out.append(None)
+                        continue
+                    v = np.asarray(vs, np.float64)
+                    w = np.asarray(ws, np.float64)
+                    o = np.argsort(v, kind="stable")
+                    v, w = v[o], w[o]
+                    cum = np.cumsum(w)
+                    W = cum[-1]
+
+                    def at_rank(t):
+                        # block i covers ranks [cum_{i-1}, cum_i)
+                        idx = int(np.searchsorted(cum, min(t, max(W - 1, 0)), side="right"))
+                        return v[min(idx, len(v) - 1)]
+
+                    est = []
+                    for q in qs:
+                        t = q * max(W - 1, 0)
+                        t0 = np.floor(t)
+                        frac = t - t0
+                        est.append(float(at_rank(t0) * (1 - frac) + at_rank(t0 + 1) * frac))
+                    vals_out.append(est)
+                out[fname] = vals_out
             else:  # histogram family
                 hop_maps = tl["hmap"].tolist() if len(tl) else []
                 c_hist = Counter({e["__v"]: e["__n"] for e in _lst(_c(f"__c{i}_hist"))})
@@ -739,6 +790,8 @@ def fetch_features_tiled(
                 lambda e: F.struct(e["__v"].alias("__v"), e["__c"].alias("__n")),
             )
             entry = F.struct(hop, hmap.alias("hmap"))
+        elif p.op == Op.APPROX_PERCENTILE:
+            entry = F.struct(hop, F.col(f"{c}__qsk").alias("qsk"))
         elif p.op in _MOMENT_OPS:
             fields = [hop, F.col(f"{c}__cnt").alias("cnt"), F.col(f"{c}__sum").cast("double").alias("sm")]
             fields += [

@@ -193,6 +193,23 @@ def _tile_bucket_stats(gb: GroupBy) -> dict[tuple[str, str], set[str]]:
     return out
 
 
+def qsk_agg_expr(col, K: int):
+    """Quantile-sketch partial: sorted values, systematically sampled to K
+    with a uniform per-sample weight n/K (one-level KLL compactor). Shared by
+    the tile builder and the batch-IR upload; NULL when no values. The input
+    column expression may carry a conditional (upload's collapsed slice)."""
+    arr = F.sort_array(F.collect_list(col.cast("double")))
+    n = F.size(arr)
+    sampled = F.when(n <= K, arr).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(K - 1)),
+            lambda i: F.element_at(arr, ((i * n) / F.lit(K)).cast("int") + 1),
+        )
+    )
+    w = F.when(n <= K, F.lit(1.0)).otherwise(n.cast("double") / F.lit(K))
+    return F.when(n > 0, F.struct(sampled.alias("s"), w.alias("w")))
+
+
 def tile_agg_exprs(
     need: dict[str, dict[str, int | None]], tie_cols: list[str]
 ) -> tuple[list, list[str]]:
@@ -244,21 +261,7 @@ def tile_agg_exprs(
         if "set" in stats:
             aggs.append(F.collect_set(c).alias(f"{c}__set"))
         if "qsk" in stats:
-            # quantile sketch: sorted values, systematically sampled to K
-            # with a uniform per-sample weight n/K (one-level KLL compactor)
-            K = int(stats["qsk"])
-            arr = F.sort_array(F.collect_list(F.col(c).cast("double")))
-            n = F.size(arr)
-            sampled = F.when(n <= K, arr).otherwise(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(K - 1)),
-                    lambda i: F.element_at(arr, ((i * n) / F.lit(K)).cast("int") + 1),
-                )
-            )
-            w = F.when(n <= K, F.lit(1.0)).otherwise(n.cast("double") / F.lit(K))
-            aggs.append(
-                F.when(n > 0, F.struct(sampled.alias("s"), w.alias("w"))).alias(f"{c}__qsk")
-            )
+            aggs.append(qsk_agg_expr(F.col(c), int(stats["qsk"])).alias(f"{c}__qsk"))
         if "hist" in stats:
             hist_cols.append(c)
     return aggs, hist_cols

@@ -70,6 +70,8 @@ def _gb_rich():
             Aggregation("n_chars", Op.SKEW, windows=("13d",)),
             Aggregation("n_chars", Op.KURTOSIS, windows=("13d",)),
             Aggregation("text", Op.LAST_K, windows=(None,), k=2),  # unbounded: collapsed-only
+            # quantile sketch IR — exact here (no slice reaches 512 values)
+            Aggregation("n_chars", Op.APPROX_PERCENTILE, windows=("13d",), percentiles=(0.25, 0.5, 0.75)),
         ],
         tie_breakers=["turn_idx"],
         sawtooth=True,
@@ -187,6 +189,7 @@ def test_tiled_fetch_matches_backfill_at_tile_boundaries(spark, data, tmp_path):
             Aggregation("tool", Op.HISTOGRAM, windows=("7d",)),
             Aggregation("n_chars", Op.VARIANCE, windows=("13d",)),
             Aggregation("text", Op.LAST_K, windows=(None,), k=2),
+            Aggregation("n_chars", Op.APPROX_PERCENTILE, windows=("7d",), percentiles=(0.5,)),
         ],
         tie_breakers=["turn_idx"],
         sawtooth=True,
