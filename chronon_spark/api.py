@@ -216,6 +216,9 @@ class JoinPart:
     right_df: object = None  # pyspark DataFrame
     key_mapping: dict[str, str] | None = None  # left col -> right key
     prefix: str | None = None
+    # physical as-of plan for this part: plain | tiled | sliced | skew
+    # (all equivalence-tested; tiled needs sawtooth + bounded windows)
+    strategy: str = "plain"
 
     def out_name(self, part: AggregationPart) -> str:
         return f"{self.prefix}_{part.output_name}" if self.prefix else part.output_name

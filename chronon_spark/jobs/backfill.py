@@ -62,7 +62,13 @@ def parse_join(spec: str):
             if p.get("accuracy", "temporal").lower() == "snapshot":
                 gb.accuracy = Accuracy.SNAPSHOT
             parts.append(
-                JoinPart(gb, events, key_mapping=p.get("key_mapping"), prefix=p.get("prefix"))
+                JoinPart(
+                    gb,
+                    events,
+                    key_mapping=p.get("key_mapping"),
+                    prefix=p.get("prefix"),
+                    strategy=p.get("strategy", "plain"),
+                )
             )
         return Join(
             left_time_column=d.get("left_time_column", "ts"),

@@ -302,15 +302,40 @@ def compute_join(left: DataFrame, join: Join, prefilter: str | None = None) -> D
                 snap, F.timestamp_micros(F.expr(f"(__snap_us div {_US_D}) * {_US_D}"))
             ).drop("__snap_us")
             tc = snap
-        out = asof_join(
-            out,
-            right,
-            jp.group_by,
-            left_time_column=tc,
-            key_mapping=jp.key_mapping,
-            prefix=jp.prefix,
-            prefilter=prefilter,
-        )
+        strategy = getattr(jp, "strategy", "plain") or "plain"
+        if strategy == "tiled":
+            from chronon_spark.operators.tiles import tiled_sawtooth_asof_join
+
+            out = tiled_sawtooth_asof_join(
+                out, right, jp.group_by, left_time_column=tc,
+                key_mapping=jp.key_mapping, prefix=jp.prefix,
+            )
+        elif strategy == "sliced":
+            from chronon_spark.operators.slicing import sliced_asof_join
+
+            out = sliced_asof_join(
+                out, right, jp.group_by, left_time_column=tc,
+                key_mapping=jp.key_mapping, prefix=jp.prefix,
+            )
+        elif strategy == "skew":
+            from chronon_spark.operators.slicing import skew_split_asof_join
+
+            out = skew_split_asof_join(
+                out, right, jp.group_by, left_time_column=tc,
+                key_mapping=jp.key_mapping, prefix=jp.prefix,
+            )
+        elif strategy == "plain":
+            out = asof_join(
+                out,
+                right,
+                jp.group_by,
+                left_time_column=tc,
+                key_mapping=jp.key_mapping,
+                prefix=jp.prefix,
+                prefilter=prefilter,
+            )
+        else:
+            raise ValueError(f"unknown part strategy {strategy!r} (plain/tiled/sliced/skew)")
         if tc == "__snapshot_ts":
             out = out.drop(tc)
     out = apply_derivations(out, join.derivations)

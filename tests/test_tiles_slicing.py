@@ -338,3 +338,47 @@ def test_derivations_agree_across_strategies(spark, tdf):
     sliced = _collect(sliced_asof_join(left, tdf, gb, slice_span="7d"), feats)
     _assert_same(plain, tiled)
     _assert_same(plain, sliced)
+
+
+def test_join_part_strategy_dispatch(spark, tdf):
+    """JoinPart.strategy picks the physical plan per part inside a multi-part
+    join; mixed-strategy joins must equal the all-plain join."""
+    from chronon_spark.api import Join, JoinPart
+    from chronon_spark.operators.asof_join import compute_join
+
+    gb_saw = GroupBy(
+        keys=["conv_id"],
+        aggregations=[Aggregation("turn_idx", Op.COUNT, windows=("13d",))],
+        tie_breakers=["turn_idx"],
+        sawtooth=True,
+    )
+    gb2 = GroupBy(
+        keys=["conv_id"],
+        aggregations=[Aggregation("n_chars", Op.SUM, windows=("2d",))],
+        tie_breakers=["turn_idx"],
+    )
+    left = tdf.where(F.col("role") == "user").select("conv_id", "turn_idx", "ts")
+
+    def run(s1, s2):
+        j = Join(
+            left_time_column="ts",
+            join_parts=[
+                JoinPart(gb_saw, tdf, strategy=s1),
+                JoinPart(gb2, tdf, prefix="p2", strategy=s2),
+            ],
+            derivations={"*": "*", "dbl": "turn_idx_count_13d * 2"},
+        )
+        return (
+            compute_join(left, j)
+            .toPandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+
+    base = run("plain", "plain")
+    mixed = run("tiled", "skew")
+    assert base.equals(mixed[base.columns])
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unknown part strategy"):
+        run("bogus", "plain")
