@@ -210,6 +210,26 @@ def qsk_agg_expr(col, K: int):
     return F.when(n > 0, F.struct(sampled.alias("s"), w.alias("w")))
 
 
+def validate_tiled_spec(gb: GroupBy) -> list:
+    """Pre-flight the tiled-strategy contract (also called by the backfill
+    entrypoint BEFORE any partition computes): supported ops, bounded
+    windows, tie-breakers for order ops, scalar-only buckets."""
+    parts = gb.parts()
+    bad = [p.op for p in parts if p.op not in TILED_OPS]
+    if bad:
+        raise ValueError(f"tiled path supports {sorted(o.value for o in TILED_OPS)}; got {bad}")
+    if any(p.window.millis is None for p in parts):
+        raise ValueError("tiled path requires bounded windows")
+    order_parts = [p for p in parts if p.op in _ORDER_OPS]
+    if order_parts and not gb.tie_breakers:
+        raise ValueError(
+            "tiled first/last(_k) needs tie_breakers for a total event order "
+            "(per-tile truncation is order-dependent)"
+        )
+    _tile_bucket_stats(gb)  # raises on non-scalar bucketed ops
+    return parts
+
+
 def tile_agg_exprs(
     need: dict[str, dict[str, int | None]], tie_cols: list[str]
 ) -> tuple[list, list[str]]:
@@ -385,18 +405,7 @@ def tiled_sawtooth_asof_join(
     aggregated hop tiles instead of raw events. ``coarse_buckets`` as in
     asof_join: cogroup on hash(keys) %% N so one Arrow batch carries many
     keys and searchsorted in composite-index space resolves them at once."""
-    parts = gb.parts()
-    bad = [p.op for p in parts if p.op not in TILED_OPS]
-    if bad:
-        raise ValueError(f"tiled path supports {sorted(o.value for o in TILED_OPS)}; got {bad}")
-    if any(p.window.millis is None for p in parts):
-        raise ValueError("tiled path requires bounded windows")
-    order_parts = [p for p in parts if p.op in _ORDER_OPS]
-    if order_parts and not gb.tie_breakers:
-        raise ValueError(
-            "tiled first/last(_k) needs tie_breakers for a total event order "
-            "(per-tile truncation is order-dependent)"
-        )
+    parts = validate_tiled_spec(gb)
     hop_ms = min(tail_hop_millis(p.window.millis) for p in parts)
     hop_us = hop_ms * 1000
 

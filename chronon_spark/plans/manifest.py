@@ -140,6 +140,11 @@ def run_partitioned_backfill(
             ],
             "derivations": meta_join.derivations,
         }
+    if gb is not None and strategy == "tiled":
+        # fail the strategy contract BEFORE the first partition, like analyze()
+        from chronon_spark.operators.tiles import validate_tiled_spec
+
+        validate_tiled_spec(gb)
     todo = unfilled_partitions(all_parts, checkpoint_dir, gb_hash)
     skipped = len(all_parts) - len(todo)
     sink = ManagedTable(spark, out_path, partition_col="ds")
