@@ -772,10 +772,26 @@ def fetch_features_tiled(
     for i, p in enumerate(parts):
         c = p.input_column
         if p.bucket:
-            raise ValueError(
-                "tiled fetch does not support bucketed parts "
-                "(stream_hop_tiles carries no per-bucket IRs) — use fetch_features"
-            )
+            # stream tile bucket IRs carry the union of stats across parts
+            # sharing (col, bucket); project to THIS part's tail struct with
+            # the same casts the batch tail builder applies
+            def make_conv(p):
+                # factory keeps the Spark HOF lambda single-argument
+                def conv(e):
+                    fs = [e["__b"].alias("__b"), e["cnt"].cast("long").alias("cnt")]
+                    if p.op in (Op.SUM, Op.AVERAGE):
+                        fs.append(e["sm"].cast("double").alias("sm"))
+                    if p.op == Op.MIN:
+                        fs.append(e["mn"].cast("double").alias("mn"))
+                    if p.op == Op.MAX:
+                        fs.append(e["mx"].cast("double").alias("mx"))
+                    return F.struct(*fs)
+
+                return conv
+
+            entry = F.struct(hop, F.transform(F.col(f"{c}__bk__{p.bucket}"), make_conv(p)).alias("bent"))
+            arr_aggs.append(F.sort_array(F.collect_list(entry)).alias(f"__st_{i}"))
+            continue
         if p.op in _ORDER_OPS:
             fam = "firstk" if p.op in (Op.FIRST, Op.FIRST_K) else "lastk"
             entry = F.struct(hop, F.col(f"{c}__{fam}").alias("ent"))

@@ -99,6 +99,8 @@ def test_stream_tiles_full_ops_match_batch_builder(spark, stream_dir):
             Aggregation("role", Op.UNIQUE_COUNT, windows=("13d",)),
             Aggregation("role", Op.HISTOGRAM, windows=("13d",)),
             Aggregation("n_chars", Op.VARIANCE, windows=("13d",)),
+            Aggregation("n_chars", Op.SUM, windows=("13d",), buckets=("role",)),
+            Aggregation("n_chars", Op.MIN, windows=("13d",), buckets=("role",)),
         ],
         tie_breakers=["turn_idx"],
         sawtooth=True,
@@ -131,6 +133,14 @@ def test_stream_tiles_full_ops_match_batch_builder(spark, stream_dir):
                 )
             elif c.endswith(("__topk", "__bottomk", "__utopk")):
                 df[c] = df[c].map(lambda v: tuple(v) if v is not None else None)
+            elif "__bk__" in c:
+                df[c] = df[c].map(
+                    lambda v: tuple(
+                        sorted(tuple(sorted(e.items())) for e in v)
+                    )
+                    if v is not None
+                    else None
+                )
         return df
 
     g, b = canon(got), canon(batch)

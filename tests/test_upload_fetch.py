@@ -190,6 +190,7 @@ def test_tiled_fetch_matches_backfill_at_tile_boundaries(spark, data, tmp_path):
             Aggregation("n_chars", Op.VARIANCE, windows=("13d",)),
             Aggregation("text", Op.LAST_K, windows=(None,), k=2),
             Aggregation("n_chars", Op.APPROX_PERCENTILE, windows=("7d",), percentiles=(0.5,)),
+            Aggregation("n_chars", Op.SUM, windows=("7d",), buckets=("role",)),
         ],
         tie_breakers=["turn_idx"],
         sawtooth=True,
