@@ -122,6 +122,17 @@ def _scaling_evidence() -> dict:
             out["scaling_best_raw_pair"] = best
     except (OSError, ValueError):
         pass
+    # absolute throughput records (BASELINE.md corroborating run #5)
+    pr = Path(__file__).resolve().parent / "tools" / "scaling_r3d_records.json"
+    try:
+        r = json.loads(pr.read_text())
+        out["throughput_records"] = {
+            "turns_per_sec_local4": max(x["turns_per_sec_local4"] for x in r["pairs"]),
+            "turns_per_sec_local16": max(x["turns_per_sec_local16"] for x in r["pairs"]),
+            "input_rows": r.get("input_rows"),
+        }
+    except (OSError, ValueError, KeyError):
+        pass
     return out
 
 
