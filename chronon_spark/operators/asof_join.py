@@ -308,21 +308,21 @@ def compute_join(left: DataFrame, join: Join, prefilter: str | None = None) -> D
 
             out = tiled_sawtooth_asof_join(
                 out, right, jp.group_by, left_time_column=tc,
-                key_mapping=jp.key_mapping, prefix=jp.prefix,
+                key_mapping=jp.key_mapping, prefix=jp.prefix, prefilter=prefilter,
             )
         elif strategy == "sliced":
             from chronon_spark.operators.slicing import sliced_asof_join
 
             out = sliced_asof_join(
                 out, right, jp.group_by, left_time_column=tc,
-                key_mapping=jp.key_mapping, prefix=jp.prefix,
+                key_mapping=jp.key_mapping, prefix=jp.prefix, prefilter=prefilter,
             )
         elif strategy == "skew":
             from chronon_spark.operators.slicing import skew_split_asof_join
 
             out = skew_split_asof_join(
                 out, right, jp.group_by, left_time_column=tc,
-                key_mapping=jp.key_mapping, prefix=jp.prefix,
+                key_mapping=jp.key_mapping, prefix=jp.prefix, prefilter=prefilter,
             )
         elif strategy == "plain":
             out = asof_join(

@@ -35,6 +35,7 @@ def sliced_asof_join(
     left_time_column: str = "ts",
     key_mapping: dict[str, str] | None = None,
     prefix: str | None = None,
+    prefilter: str | None = None,
 ) -> DataFrame:
     """Identical semantics to `asof_join`, with per-group state bounded by
     span + max_window. Requires every window to be bounded (an unbounded
@@ -57,6 +58,14 @@ def sliced_asof_join(
     l = ensure_ts_us(left, left_time_column, "__lts")
     l = l.withColumn(SLICE_COL, (F.col("__lts") / F.lit(span_us)).cast("long")).drop("__lts")
 
+    if prefilter:
+        from chronon_spark.operators.asof_join import prefilter_right_keys
+
+        # push the left key set into the right scan BEFORE the slice explode
+        # (a filtered event never pays the reach-fold replication)
+        right = prefilter_right_keys(
+            left, right, key_mapping or {k: k for k in gb.keys}, mode=prefilter
+        )
     r = ensure_ts_us(right, gb.time_column, "__rts")
     # an event at slice s is visible to queries in slices [s, s + reach]
     r = r.withColumn(
@@ -104,6 +113,7 @@ def skew_split_asof_join(
     key_mapping: dict[str, str] | None = None,
     prefix: str | None = None,
     coarse_buckets: int | str | None = "auto",
+    prefilter: str | None = None,
 ) -> DataFrame:
     """Skew-aware as-of join: hot keys take the salted (time-sliced) path,
     everything else the plain coarse-bucket cogroup; results are unioned.
@@ -132,6 +142,12 @@ def skew_split_asof_join(
     key_mapping = key_mapping or {k: k for k in gb.keys}
     left_keys = list(key_mapping.keys())
     right_keys = [key_mapping[k] for k in left_keys]
+    if prefilter:
+        from chronon_spark.operators.asof_join import prefilter_right_keys
+
+        # filter BEFORE the per-key count probe: the probe then scans (and
+        # the broadcast split carries) only keys the left can reach
+        right = prefilter_right_keys(left, right, key_mapping, mode=prefilter)
     mw = gb.max_window_millis
     if mw is None:
         return asof_join(

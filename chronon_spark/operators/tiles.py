@@ -400,11 +400,14 @@ def tiled_sawtooth_asof_join(
     key_mapping: dict[str, str] | None = None,
     prefix: str | None = None,
     coarse_buckets: int | str | None = "auto",
+    prefilter: str | None = None,
 ) -> DataFrame:
     """Sawtooth-mode PITC as-of join where the window tail reads pre-
     aggregated hop tiles instead of raw events. ``coarse_buckets`` as in
     asof_join: cogroup on hash(keys) %% N so one Arrow batch carries many
-    keys and searchsorted in composite-index space resolves them at once."""
+    keys and searchsorted in composite-index space resolves them at once.
+    ``prefilter`` pushes the left key set into the right scan before the
+    tile build (asof_join.prefilter_right_keys — IN-list or semi-join)."""
     parts = validate_tiled_spec(gb)
     hop_ms = min(tail_hop_millis(p.window.millis) for p in parts)
     hop_us = hop_ms * 1000
@@ -413,6 +416,10 @@ def tiled_sawtooth_asof_join(
     left_keys = list(key_mapping.keys())
     right_keys = [key_mapping[k] for k in left_keys]
 
+    if prefilter:
+        from chronon_spark.operators.asof_join import prefilter_right_keys
+
+        right = prefilter_right_keys(left, right, key_mapping, mode=prefilter)
     r = ensure_ts_us(right, gb.time_column)
     for k in right_keys:
         r = r.where(F.col(k).isNotNull())

@@ -15,6 +15,7 @@ import contextlib
 import io
 
 import pytest
+from pyspark.sql import functions as F
 
 from chronon_spark.api import Aggregation, GroupBy, Op
 from chronon_spark.operators.asof_join import asof_join, prefilter_right_keys
@@ -88,3 +89,41 @@ def test_in_mode_overflow_raises(spark, parquet_events):
     keys = spark.createDataFrame(ev[["conv_id"]].drop_duplicates())
     with pytest.raises(ValueError, match="distinct keys"):
         prefilter_right_keys(keys, right, {"conv_id": "conv_id"}, mode="in", small_limit=3)
+
+
+def test_prefilter_on_scale_strategies(spark):
+    """prefilter (semi-join / IN-list pushdown) is semantics-neutral on the
+    tiled, sliced, and skew strategies too."""
+    from chronon_spark.operators.slicing import skew_split_asof_join, sliced_asof_join
+    from chronon_spark.operators.tiles import tiled_sawtooth_asof_join
+    from chronon_spark.sources.synth import synth_transcripts
+
+    pdf = synth_transcripts(n_rows=4000, n_convs=25)
+    t = spark.createDataFrame(pdf)
+    gb = GroupBy(
+        keys=["conv_id"],
+        aggregations=[
+            Aggregation("turn_idx", Op.COUNT, windows=("13d",)),
+            Aggregation("n_chars", Op.SUM, windows=("2d",)),
+        ],
+        tie_breakers=["turn_idx"],
+        sawtooth=True,
+    )
+    # a left touching only a few keys — exactly when pushdown matters
+    left = t.where(F.col("conv_id").isin("conv_1", "conv_2", "conv_3")).select(
+        "conv_id", "turn_idx", "ts"
+    )
+    feats = [p.output_name for p in gb.parts()]
+
+    def collect(df):
+        return (
+            df.select("conv_id", "turn_idx", *feats)
+            .toPandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+
+    for fn in (tiled_sawtooth_asof_join, sliced_asof_join, skew_split_asof_join):
+        base = collect(fn(left, t, gb))
+        filt = collect(fn(left, t, gb, prefilter="in"))
+        assert base.equals(filt), fn.__name__
