@@ -29,6 +29,7 @@ BENCH_QUERIES = [
     "sawtooth_13d_tiled",
     "sawtooth_tiled_rich",
     "sawtooth_tiled_bucketed",
+    "serving_fetch",
     "sawtooth_13d_sliced",
     "sawtooth_13d_skew_split",
     "snapshot_daily",

@@ -1293,7 +1293,70 @@ LEFT JOIN a13 ON a13.conv_id = q.conv_id AND a13.qi = q.turn_idx AND a13.qtus = 
 """
 
 
+# fixed serving boundary for the fetch-parity contract: 2024-01-25T00:00Z
+# (midnight => batchEnd - window stays hop-aligned for 7d/13d windows)
+_BATCH_END_US = 1_706_140_800_000_000
+
+
+def _q_serving_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVING data path under the hard oracle gate: GroupByUpload batch
+    IRs (collapsed + tail hops) merged with post-batch streaming rows at
+    fetch time (SawtoothOnlineAggregator.lambdaAggregateIr) must equal the
+    point-in-time backfill the oracle computes directly — the reference's
+    ConsistencyJob contract as a driver-checked query instead of a pytest."""
+    from chronon_spark.jobs.upload import build_batch_irs, fetch_features
+
+    t = _transcripts(spark, sf_dir)
+    gb = GroupBy(
+        keys=["conv_id"],
+        aggregations=[
+            Aggregation("turn_idx", Op.COUNT, windows=("13d",)),
+            Aggregation("score", Op.SUM, windows=("7d",)),
+            Aggregation("text", Op.LAST_K, windows=("7d",), k=2),
+        ],
+        tie_breakers=["turn_idx"],
+        sawtooth=True,
+    )
+    left = t.where(
+        (F.col("role") == "user")
+        & (F.col("tus") >= _BATCH_END_US)
+        & (F.col("tus") < _BATCH_END_US + 2 * US_D)
+    ).select("conv_id", "turn_idx", "tus", "ts")
+    irs = build_batch_irs(t, gb, _BATCH_END_US)
+    out = fetch_features(left, irs, t, gb, _BATCH_END_US)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "tus",
+        F.col("turn_idx_count_13d").alias("n13"),
+        F.round(F.col("score_sum_7d"), 3).alias("sum7"),
+        F.array_join(F.col("text_last_k2_7d"), "|").alias("last2"),
+    )
+
+
+_SQL_SERVING_FETCH = f"""
+WITH t AS ({_DUCK_T}),
+q AS (SELECT conv_id, turn_idx, tus FROM t
+      WHERE role = 'user' AND tus >= {_BATCH_END_US} AND tus < {_BATCH_END_US + 2 * US_D})
+SELECT q.conv_id AS conv_id, q.turn_idx AS turn_idx, q.tus AS tus,
+       (SELECT NULLIF(COUNT(*), 0) FROM t e WHERE e.conv_id = q.conv_id
+         AND e.tus >= ((q.tus - {13 * US_D}) // {US_D}) * {US_D} AND e.tus < q.tus) AS n13,
+       (SELECT ROUND(SUM(e.score), 3) FROM t e WHERE e.conv_id = q.conv_id
+         AND e.tus >= ((q.tus - {7 * US_D}) // {US_H}) * {US_H} AND e.tus < q.tus
+         AND e.score IS NOT NULL) AS sum7,
+       (SELECT CASE WHEN COUNT(*) = 0 THEN NULL
+                    ELSE array_to_string(list(text ORDER BY tus DESC, turn_idx DESC), '|') END
+          FROM (SELECT e.text, e.tus, e.turn_idx FROM t e
+                 WHERE e.conv_id = q.conv_id
+                  AND e.tus >= ((q.tus - {7 * US_D}) // {US_H}) * {US_H} AND e.tus < q.tus
+                  AND e.text IS NOT NULL
+                 ORDER BY e.tus DESC, e.turn_idx DESC LIMIT 2)) AS last2
+FROM q
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "serving_fetch": _q_serving_fetch,
     "sawtooth_tiled_rich": _q_tiled_rich,
     "sawtooth_tiled_bucketed": _q_tiled_bucketed,
     "log_flatten": _q_log_flatten,
@@ -1321,6 +1384,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "serving_fetch": _SQL_SERVING_FETCH,
     "sawtooth_tiled_rich": _SQL_TILED_RICH,
     "sawtooth_tiled_bucketed": _SQL_TILED_BUCKETED,
     "log_flatten": _SQL_LOG_FLATTEN,
