@@ -30,6 +30,7 @@ BENCH_QUERIES = [
     "sawtooth_tiled_rich",
     "sawtooth_tiled_bucketed",
     "serving_fetch",
+    "serving_fetch_tiled",
     "sawtooth_13d_sliced",
     "sawtooth_13d_skew_split",
     "snapshot_daily",

@@ -1355,8 +1355,75 @@ FROM q
 """
 
 
+def _q_serving_fetch_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TILED serving mode under the hard gate: batch IRs + post-batch hop
+    TILES (built by the batch twin of stream_hop_tiles — stream==batch tile
+    parity is separately pytest-gated) merged at tile-aligned query
+    timestamps; must equal the oracle's direct point-in-time computation."""
+    from chronon_spark.jobs.upload import build_batch_irs, fetch_features_tiled
+    from chronon_spark.operators.tiles import build_hop_tiles
+
+    t = _transcripts(spark, sf_dir)
+    gb = GroupBy(
+        keys=["conv_id"],
+        aggregations=[
+            Aggregation("turn_idx", Op.COUNT, windows=("13d",)),
+            Aggregation("score", Op.SUM, windows=("7d",)),
+            Aggregation("text", Op.LAST_K, windows=("7d",), k=2),
+        ],
+        tie_breakers=["turn_idx"],
+        sawtooth=True,
+    )
+    left = (
+        t.where(
+            (F.col("role") == "user")
+            & (F.col("tus") >= _BATCH_END_US)
+            & (F.col("tus") < _BATCH_END_US + 2 * US_D)
+        )
+        .select(((F.col("tus") / F.lit(US_H)).cast("long") * F.lit(US_H)).alias("tus"), "conv_id")
+        .distinct()
+        .withColumn("ts", F.timestamp_micros(F.col("tus")))
+    )
+    irs = build_batch_irs(t, gb, _BATCH_END_US)
+    tiles = (
+        build_hop_tiles(t.where(F.col("tus") >= _BATCH_END_US), gb)
+        .withColumn("tile_start", F.timestamp_micros(F.col("__hop") * F.lit(US_H)))
+        .drop("__hop")
+    )
+    out = fetch_features_tiled(left, irs, tiles, gb, _BATCH_END_US, events_like=t)
+    return out.select(
+        "conv_id",
+        "tus",
+        F.col("turn_idx_count_13d").alias("n13"),
+        F.round(F.col("score_sum_7d"), 3).alias("sum7"),
+        F.array_join(F.col("text_last_k2_7d"), "|").alias("last2"),
+    )
+
+
+_SQL_SERVING_FETCH_TILED = f"""
+WITH t AS ({_DUCK_T}),
+q AS (SELECT DISTINCT conv_id, (tus // {US_H}) * {US_H} AS tus FROM t
+      WHERE role = 'user' AND tus >= {_BATCH_END_US} AND tus < {_BATCH_END_US + 2 * US_D})
+SELECT q.conv_id AS conv_id, q.tus AS tus,
+       (SELECT NULLIF(COUNT(*), 0) FROM t e WHERE e.conv_id = q.conv_id
+         AND e.tus >= ((q.tus - {13 * US_D}) // {US_D}) * {US_D} AND e.tus < q.tus) AS n13,
+       (SELECT ROUND(SUM(e.score), 3) FROM t e WHERE e.conv_id = q.conv_id
+         AND e.tus >= ((q.tus - {7 * US_D}) // {US_H}) * {US_H} AND e.tus < q.tus
+         AND e.score IS NOT NULL) AS sum7,
+       (SELECT CASE WHEN COUNT(*) = 0 THEN NULL
+                    ELSE array_to_string(list(text ORDER BY tus DESC, turn_idx DESC), '|') END
+          FROM (SELECT e.text, e.tus, e.turn_idx FROM t e
+                 WHERE e.conv_id = q.conv_id
+                  AND e.tus >= ((q.tus - {7 * US_D}) // {US_H}) * {US_H} AND e.tus < q.tus
+                  AND e.text IS NOT NULL
+                 ORDER BY e.tus DESC, e.turn_idx DESC LIMIT 2)) AS last2
+FROM q
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "serving_fetch": _q_serving_fetch,
+    "serving_fetch_tiled": _q_serving_fetch_tiled,
     "sawtooth_tiled_rich": _q_tiled_rich,
     "sawtooth_tiled_bucketed": _q_tiled_bucketed,
     "log_flatten": _q_log_flatten,
@@ -1385,6 +1452,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "serving_fetch": _SQL_SERVING_FETCH,
+    "serving_fetch_tiled": _SQL_SERVING_FETCH_TILED,
     "sawtooth_tiled_rich": _SQL_TILED_RICH,
     "sawtooth_tiled_bucketed": _SQL_TILED_BUCKETED,
     "log_flatten": _SQL_LOG_FLATTEN,
