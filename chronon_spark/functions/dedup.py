@@ -29,6 +29,28 @@ from chronon_spark.functions.text import (
     word_shingles,
 )
 
+def persist_reused(df: DataFrame, what: str) -> DataFrame:
+    """Persist a frame that multiple join branches re-derive (the winnow
+    join-back's fingerprint arrays, the minhash band self-join's signatures):
+    MEMORY_AND_DISK + an eager count() so the expensive map work materializes
+    exactly ONCE, then every branch scans the cache. The count doubles as the
+    size log the operator emits (bounded metadata — one scalar).
+
+    Gated by ``spark.chronon.persistReusedFrames`` (default on). The lazy
+    double-compute alternative runs duplicate branches in parallel and can win
+    on an idle host with spare cores — measured both ways at sf0.1; on a
+    CPU-saturated cluster (the 100 TB regime) one-scan always wins."""
+    spark = df.sparkSession
+    if str(spark.conf.get("spark.chronon.persistReusedFrames", "true")).lower() != "true":
+        return df
+    from pyspark import StorageLevel
+
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    n = out.count()
+    print(f'{{"persisted": "{what}", "rows": {n}}}')
+    return out
+
+
 def ensure_parallelism(df: DataFrame) -> DataFrame:
     """Repartition up to the session's default parallelism when the input
     arrives in fewer partitions — a small corpus parquet reads as 1-2 splits
@@ -161,14 +183,14 @@ def minhash_lsh_dedup(
     # the band self-join moves ONLY (doc_id, band keys) — the shingle arrays
     # join back onto the (candidate pairs ≪ N²) afterwards, so at 10⁹ docs
     # the big shuffle payload is bands × 32-char digests per doc, not text.
-    # NOTE on the double-compute: both self-join sides re-derive this plan
-    # (shingles + signature kernel twice). An eager localCheckpoint here was
-    # MEASURED 2× slower end-to-end at sf0.1 (5.7 s → 11.8 s, same-window
-    # A/B) — the lazy single-job plan runs the duplicate branches in
-    # parallel, while a checkpoint serializes the pipeline into blocking
-    # jobs. On a CPU-saturated production cluster, persist() this frame to
-    # trade the 2× map CPU for storage.
-    base = sig.select("doc_id", F.array(*band_cols).alias("bk"))
+    # Both self-join sides read this frame, so it goes through persist_reused:
+    # signature kernel runs once, branches scan the cache. (For the record:
+    # an eager localCheckpoint was MEASURED 2× slower at sf0.1, 5.7 s→11.8 s —
+    # it serializes the pipeline into blocking jobs; memory persist + count
+    # keeps one materialization job and cheap cache scans.)
+    base = persist_reused(
+        sig.select("doc_id", F.array(*band_cols).alias("bk")), "minhash_band_keys"
+    )
     banded = base.select("doc_id", "bk", F.posexplode("bk").alias("band_idx", "band_key"))
     a = banded.select(
         F.col("band_idx"), F.col("band_key"), F.col("doc_id").alias("id_a"), F.col("bk").alias("bk_a")
@@ -324,6 +346,9 @@ def winnow_overlap_pairs(
     fp = base.select(
         "doc_id", winnow_fingerprints("__text", k=k, w=w).alias("fps")
     ).where(F.size("fps") > 0)
+    # the postings build AND both re-score branches read fp: winnowing (the
+    # expensive expression) materializes once instead of 3x
+    fp = persist_reused(fp, "winnow_fingerprints")
     sizes = fp.select("doc_id", F.size("fps").alias("n_fp"))
     ex = fp.select("doc_id", F.explode("fps").alias("f"))
     postings = (
@@ -345,13 +370,12 @@ def winnow_overlap_pairs(
     )
     if max_df is not None:
         # exact re-score over full fingerprint sets via join-back to the
-        # PRECOMPUTED per-doc fingerprint arrays. Never re-winnow per pair:
+        # PERSISTED per-doc fingerprint arrays. Never re-winnow per pair:
         # candidate pairs can vastly outnumber docs (sf0.1: 185k pairs from
         # 5k docs), and winnowing is the expensive expression — a per-pair
         # recompute measured 200 s where this join-back runs the whole query
-        # in ~14 s. Each join branch re-derives fp lazily (corpus-sized map
-        # work ×2) — same deliberate trade as the minhash band join above;
-        # persist fp to trade map CPU for storage on a saturated cluster.
+        # in ~14 s. fp is cached above (persist_reused), so each branch is a
+        # cache scan, not a corpus-sized winnowing recompute.
         fa = fp.select(F.col("doc_id").alias("id_a"), F.col("fps").alias("__fa"))
         fb = fp.select(F.col("doc_id").alias("id_b"), F.col("fps").alias("__fb"))
         rescored = co.select("id_a", "id_b").join(fa, "id_a").join(fb, "id_b")

@@ -360,7 +360,11 @@ def fetch_features(
     the candidate lists are k-bounded."""
     parts = _check(gb)
     _check_alignment(parts, batch_end_ts_us)
-    del tail_buffer_ms  # upper hop bound is enforced at build time
+    # valid range is [batchEnd, batchEnd + tailBuffer): beyond the buffer the
+    # collapsed IR still contains events OLDER than the query's window start,
+    # so results would be silently wrong — reject, mirroring the reference's
+    # GroupByServingInfo valid-range contract
+    valid_end_us = batch_end_ts_us + tail_buffer_ms * 1000
 
     st = ensure_ts_us(streaming, gb.time_column).where(F.col(_TS_US) >= batch_end_ts_us)
     for k in gb.keys:
@@ -401,6 +405,12 @@ def fetch_features(
         q_ts = lpdf[_TS_US].to_numpy("int64")
         if (q_ts < batch_end_ts_us).any():
             raise ValueError("fetch ts < batchEndTs (reference raises the same)")
+        if (q_ts >= valid_end_us).any():
+            raise ValueError(
+                "fetch ts >= batchEndTs + tailBuffer: batch IR valid range "
+                "exceeded — rebuild IRs with a later batchEnd or a larger "
+                "tail_buffer_ms"
+            )
         is_ir = rpdf["__is_ir"].to_numpy(bool)
         ir_rows = rpdf[is_ir]
         # stream ordered by (ts, tie_breakers): the raw kernels' event order,
@@ -732,6 +742,7 @@ def fetch_features_tiled(
     batch_end_ts_us: int,
     events_like: DataFrame,
     left_time_column: str = "ts",
+    tail_buffer_ms: int = TAIL_BUFFER_MS,
 ) -> DataFrame:
     """TILED serving fetch: merge batch IRs with STREAMING TILES
     (streaming/groupby_stream.stream_hop_tiles output) instead of raw
@@ -818,7 +829,11 @@ def fetch_features_tiled(
         else:
             entry = F.struct(
                 hop,
-                F.col(f"{c}__cnt").alias("cnt"),
+                # cnt is only built for COUNT/SUM/AVERAGE/moment parts
+                # (_tile_stats_needed) — a MIN/MAX-only column has no __cnt
+                F.col(f"{c}__cnt").cast("long").alias("cnt")
+                if f"{c}__cnt" in stream_tiles.columns
+                else F.lit(None).cast("long").alias("cnt"),
                 F.col(f"{c}__sum").cast("double").alias("sm")
                 if f"{c}__sum" in stream_tiles.columns
                 else F.lit(None).cast("double").alias("sm"),
@@ -846,5 +861,5 @@ def fetch_features_tiled(
         merged = merged.drop(f"__st_{i}")
 
     return fetch_features(
-        queries, merged, events_like.limit(0), gb, batch_end_ts_us, left_time_column
+        queries, merged, events_like.limit(0), gb, batch_end_ts_us, left_time_column, tail_buffer_ms
     )

@@ -214,6 +214,11 @@ def validate_tiled_spec(gb: GroupBy) -> list:
     """Pre-flight the tiled-strategy contract (also called by the backfill
     entrypoint BEFORE any partition computes): supported ops, bounded
     windows, tie-breakers for order ops, scalar-only buckets."""
+    if not gb.sawtooth:
+        # the tiled kernel always hop-rounds window starts (sawtooth
+        # semantics) — a non-sawtooth GroupBy would silently diverge from the
+        # plain/sliced/skew strategies instead of erroring
+        raise ValueError("tiled strategy requires sawtooth=True (window tails are hop-rounded)")
     parts = gb.parts()
     bad = [p.op for p in parts if p.op not in TILED_OPS]
     if bad:

@@ -382,3 +382,18 @@ def test_join_part_strategy_dispatch(spark, tdf):
 
     with _pt.raises(ValueError, match="unknown part strategy"):
         run("bogus", "plain")
+
+
+def test_tiled_requires_sawtooth(spark, tdf):
+    """The tiled kernel always hop-rounds window starts (sawtooth semantics):
+    a non-sawtooth GroupBy must fail the preflight loudly instead of silently
+    diverging from the plain/sliced/skew strategies (r02 ADVICE)."""
+    left = tdf.limit(5).select("conv_id", "ts")
+    gb = GroupBy(
+        keys=["conv_id"],
+        aggregations=[Aggregation("turn_idx", Op.COUNT, windows=("13d",))],
+        tie_breakers=["turn_idx"],
+        sawtooth=False,
+    )
+    with pytest.raises(ValueError, match="sawtooth"):
+        tiled_sawtooth_asof_join(left, tdf, gb)

@@ -282,3 +282,64 @@ def test_bucketed_nonscalar_upload_rejected(spark, data):
     )
     with pytest.raises(ValueError, match="scalar ops"):
         build_batch_irs(spark.createDataFrame(ev), gb, BATCH_END_US)
+
+
+def test_fetch_beyond_tail_buffer_raises(spark, data):
+    """Queries at/after batchEnd + tailBuffer read a collapsed IR whose oldest
+    events precede the query's window start — the fetch must reject them
+    (reference GroupByServingInfo valid-range contract) instead of silently
+    returning stale sums."""
+    ev, _ = data
+    gb = _gb()
+    events = spark.createDataFrame(ev)
+    irs = build_batch_irs(events, gb, BATCH_END_US)
+    buf_us = 2 * 86_400_000 * 1000  # default TAIL_BUFFER_MS
+    late = spark.createDataFrame(
+        pd.DataFrame({"conv_id": ["conv_1"], "query_id": ["q0"],
+                      "ts": [pd.Timestamp(BATCH_END_US + buf_us, unit="us")]})
+    )
+    with pytest.raises(Exception, match="tailBuffer"):
+        fetch_features(late, irs, events, gb, BATCH_END_US).collect()
+    # a larger explicit buffer (with IRs built to match) accepts the same ts
+    irs_wide = build_batch_irs(events, gb, BATCH_END_US, tail_buffer_ms=4 * 86_400_000)
+    fetch_features(
+        late, irs_wide, events, gb, BATCH_END_US, tail_buffer_ms=4 * 86_400_000
+    ).collect()
+
+
+def test_tiled_fetch_min_max_only_column(spark, data):
+    """A column carrying ONLY MIN/MAX parts produces stream tiles WITHOUT a
+    __cnt stat (_tile_stats_needed) — the tiled fetch's tail-struct builder
+    must not reference the missing column (r02 ADVICE: unresolved-column
+    AnalysisException on a spec _check accepts)."""
+    from chronon_spark.jobs.upload import fetch_features_tiled
+    from chronon_spark.operators.tiles import build_hop_tiles
+
+    ev, q = data
+    events = spark.createDataFrame(ev)
+    gb = GroupBy(
+        keys=["conv_id"],
+        aggregations=[
+            Aggregation("n_chars", Op.MIN, windows=("7d",)),
+            Aggregation("n_chars", Op.MAX, windows=("13d",)),
+        ],
+        tie_breakers=["turn_idx"],
+        sawtooth=True,
+    )
+    qa = q.copy()
+    qa["ts"] = qa["ts"].dt.floor("1h")
+    qa = qa[qa["ts"] >= pd.Timestamp(BATCH_END_US, unit="us")].drop_duplicates(
+        subset=["conv_id", "ts"]
+    )
+    queries = spark.createDataFrame(qa)
+    irs = build_batch_irs(events, gb, BATCH_END_US)
+    post = ev[ev["ts"] >= pd.Timestamp(BATCH_END_US, unit="us")]
+    tiles = (
+        build_hop_tiles(spark.createDataFrame(post), gb)
+        .withColumn("tile_start", F.timestamp_micros(F.col("__hop") * F.lit(3_600_000_000)))
+        .drop("__hop")
+    )
+    assert "n_chars__cnt" not in tiles.columns  # the regression's precondition
+    got = fetch_features_tiled(queries, irs, tiles, gb, BATCH_END_US, events_like=events).toPandas()
+    want = asof_join(queries, events, gb).toPandas()
+    assert_frames_allclose(got, want, sort_by=["query_id"])
