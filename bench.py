@@ -70,6 +70,8 @@ BENCH_QUERIES = [
     "pii_scrub",
     "log_flatten",
     "stream_stats_tiles",
+    # added round 3 (kept after the r01/r02-comparable 49 so ratios hold)
+    "vector_map_inputs",
 ]
 
 
@@ -172,22 +174,26 @@ def main() -> int:
         timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
     asof_sec = timings.get("asof_join_features", 1e-9)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "cpus": int(cpus),
-                "events_rows": n_events,
-                "turns_per_sec_asof": round(n_events / asof_sec, 1),
-                **ambient_probe(),
-                **_scaling_evidence(),
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": int(cpus),
+        "events_rows": n_events,
+        "turns_per_sec_asof": round(n_events / asof_sec, 1),
+        **ambient_probe(),
+        **_scaling_evidence(),
+    }
+    line = json.dumps(payload)
+    print(line)
+    # stdout tails can get clipped by capture harnesses (r02 lost the JSON
+    # head that way) — the file copy is the durable artifact
+    try:
+        (Path(__file__).resolve().parent / "BENCH.json").write_text(line + "\n")
+    except OSError:
+        pass
     spark.stop()
     return 0
 

@@ -192,10 +192,12 @@ def cmd_table_maintain(args) -> int:
     list snapshots / compact small files / expire old snapshots /
     time-travel read — the Iceberg maintenance verbs of the reference's
     TableUtils surface, on this engine's parquet+manifest catalog."""
-    from chronon_spark.plans.table_lifecycle import ManagedTable
+    from chronon_spark.plans.table_lifecycle import managed_table
 
     spark = _spark(args)
-    t = ManagedTable(spark, args.table)
+    # path -> ManagedTable (JSON snapshot log); bare name -> CatalogTable
+    # (Iceberg-native maintenance when that runtime is configured)
+    t = managed_table(spark, args.table)
     if args.action == "snapshots":
         print(json.dumps(t.snapshots(), default=str))
     elif args.action == "compact":

@@ -45,9 +45,13 @@ def persist_reused(df: DataFrame, what: str) -> DataFrame:
         return df
     from pyspark import StorageLevel
 
+    import sys
+
     out = df.persist(StorageLevel.MEMORY_AND_DISK)
     n = out.count()
-    print(f'{{"persisted": "{what}", "rows": {n}}}')
+    # stderr: stdout is reserved for the one-line JSON contract of
+    # bench.py / backfill.py drivers
+    print(f'{{"persisted": "{what}", "rows": {n}}}', file=sys.stderr)
     return out
 
 

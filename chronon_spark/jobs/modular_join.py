@@ -32,12 +32,17 @@ byte-identically to the chained path (equivalence-tested).
 
 from __future__ import annotations
 
+import glob
+import hashlib
+import json
 import os
 
 from pyspark.sql import DataFrame, functions as F
 
-from chronon_spark.api import Join, JoinPart
+from chronon_spark.api import Aggregation, GroupBy, Join, JoinPart
 from chronon_spark.plans.manifest import group_by_semantic_hash
+
+COLHASH_FILE = "_colhashes.json"
 
 
 def _part_dir(workdir: str, idx: int, jp: JoinPart) -> str:
@@ -48,6 +53,89 @@ def _part_dir(workdir: str, idx: int, jp: JoinPart) -> str:
 
 def _done(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def _column_hashes(join: Join, jp: JoinPart) -> dict[str, str]:
+    """Semantic hash PER OUTPUT COLUMN (reference MergeJob column hashes,
+    batch/MergeJob.scala:305-411): everything that affects one feature
+    column's values — its AggregationPart, the GroupBy keys / time column /
+    boundary flags, the part's key mapping and the join's left time column.
+    A spec edit that touches one aggregation leaves every other column's
+    hash intact, which is what makes column-level reuse sound."""
+    base = {
+        "keys": jp.group_by.keys,
+        "time_column": jp.group_by.time_column,
+        "tie_breakers": jp.group_by.tie_breakers,
+        "accuracy": jp.group_by.accuracy.value,
+        "include_equal": jp.group_by.include_equal,
+        "sawtooth": jp.group_by.sawtooth,
+        "key_mapping": jp.key_mapping,
+        "left_time_column": join.left_time_column,
+    }
+    out = {}
+    for p in jp.group_by.parts():
+        spec = {
+            **base,
+            "input": p.input_column,
+            "op": p.op.value,
+            "window": p.window.spec,
+            "bucket": p.bucket,
+            "k": p.k,
+            "percentiles": list(p.percentiles),
+        }
+        out[jp.out_name(p)] = hashlib.md5(
+            json.dumps(spec, sort_keys=True).encode()
+        ).hexdigest()
+    return out
+
+
+def _reusable_prior(workdir: str, idx: int, jp: JoinPart, want: dict[str, str]):
+    """Newest finished part dir for this part SLOT (same index/prefix, any
+    semantic hash) carrying a column-hash manifest; returns (path, cols to
+    reuse) or (None, {})."""
+    tag = f"{jp.prefix}_" if jp.prefix else ""
+    cands = [
+        d
+        for d in glob.glob(os.path.join(workdir, f"part_{idx}_{tag}*"))
+        if _done(d) and os.path.exists(os.path.join(d, COLHASH_FILE))
+    ]
+    for d in sorted(cands, key=os.path.getmtime, reverse=True):
+        with open(os.path.join(d, COLHASH_FILE)) as f:
+            have = json.load(f)
+        reuse = {c for c, h in want.items() if have.get(c) == h}
+        if reuse:
+            return d, reuse
+    return None, set()
+
+
+def _reduced_group_by(gb: GroupBy, jp: JoinPart, missing: set[str]) -> GroupBy:
+    """A copy of gb computing ONLY the aggregation parts whose output
+    columns are in `missing` (each part reconstructed as a single-window,
+    single-bucket Aggregation)."""
+    aggs = []
+    for p in gb.parts():
+        name = jp.out_name(p)
+        if name not in missing:
+            continue
+        aggs.append(
+            Aggregation(
+                p.input_column,
+                p.op,
+                windows=(p.window,),
+                buckets=(p.bucket,) if p.bucket else (),
+                k=p.k,
+                percentiles=p.percentiles,
+            )
+        )
+    return GroupBy(
+        keys=gb.keys,
+        aggregations=aggs,
+        time_column=gb.time_column,
+        tie_breakers=gb.tie_breakers,
+        accuracy=gb.accuracy,
+        include_equal=gb.include_equal,
+        sawtooth=gb.sawtooth,
+    )
 
 
 def _left_key_cols(join: Join, jp: JoinPart) -> list[str]:
@@ -91,9 +179,45 @@ def compute_join_modular(
             continue
         slim_cols = list(dict.fromkeys(join.row_ids + _left_key_cols(join, jp) + [join.left_time_column]))
         slim = left_m.select(*slim_cols)
-        out = compute_join(slim, Join(join.left_time_column, [jp]))
-        feat = [c for c in out.columns if c not in set(slim_cols)]
-        out.select(*join.row_ids, *feat).write.mode("overwrite").parquet(pd_)
+        col_hashes = _column_hashes(join, jp)
+        # column-level reuse (reference MergeJob.analyzeJoinPartsForReuse):
+        # a spec edit that changed SOME of this part's columns recomputes
+        # only those — unchanged columns copy from the newest prior output
+        # whose per-column semantic hashes match. GroupBy derivations remap
+        # outputs, so reuse applies only to underived parts; the prior dir
+        # shares this workdir's materialized left, so row coverage matches.
+        prior, reuse_cols = (None, set())
+        if not overwrite and not jp.group_by.derivations:
+            prior, reuse_cols = _reusable_prior(workdir, i, jp, col_hashes)
+        missing = set(col_hashes) - reuse_cols
+        if prior and not missing:
+            out = spark.read.parquet(prior).select(*join.row_ids, *sorted(reuse_cols))
+        elif prior:
+            reduced = JoinPart(
+                _reduced_group_by(jp.group_by, jp, missing),
+                jp.right_df,
+                key_mapping=jp.key_mapping,
+                prefix=jp.prefix,
+                strategy=jp.strategy,
+            )
+            fresh = compute_join(slim, Join(join.left_time_column, [reduced]))
+            fresh = fresh.select(*join.row_ids, *[c for c in fresh.columns if c in missing])
+            reused = spark.read.parquet(prior).select(*join.row_ids, *sorted(reuse_cols))
+            out = fresh.join(reused, join.row_ids, "left")
+        else:
+            full = compute_join(slim, Join(join.left_time_column, [jp]))
+            feat = [c for c in full.columns if c not in set(slim_cols)]
+            out = full.select(*join.row_ids, *feat)
+        feat_cols = [c for c in out.columns if c not in join.row_ids]
+        # keep declared order when the column set matches the spec exactly
+        if set(feat_cols) == set(col_hashes):
+            feat_cols = list(col_hashes)
+        out.select(*join.row_ids, *feat_cols).write.mode("overwrite").parquet(pd_)
+        if set(feat_cols) == set(col_hashes):
+            # manifest enables future column-level reuse; derived parts remap
+            # outputs so their manifests would lie — only exact matches write
+            with open(os.path.join(pd_, COLHASH_FILE), "w") as f:
+                json.dump(col_hashes, f, indent=1)
 
     # ---- merge-job: stitch part tables onto the full left
     merged = left_m

@@ -20,7 +20,7 @@ from pyspark.sql import SparkSession, functions as F
 
 from chronon_spark.api import GroupBy
 from chronon_spark.operators.asof_join import asof_join
-from chronon_spark.plans.table_lifecycle import ManagedTable
+from chronon_spark.plans.table_lifecycle import ManagedTable, managed_table
 
 ENGINE_VERSION = "0.1.0"
 
@@ -147,7 +147,10 @@ def run_partitioned_backfill(
         validate_tiled_spec(gb)
     todo = unfilled_partitions(all_parts, checkpoint_dir, gb_hash)
     skipped = len(all_parts) - len(todo)
-    sink = ManagedTable(spark, out_path, partition_col="ds")
+    # sink backend by ref shape: a path gets the parquet+JSON ManagedTable,
+    # a bare name gets the catalog-table twin (spark.read.table / insertInto
+    # dynamic overwrite / Iceberg writeTo when that runtime is configured)
+    sink = managed_table(spark, out_path, partition_col="ds")
     total_out = 0
     for ds in todo:
         t0 = time.time()
@@ -184,8 +187,12 @@ def run_partitioned_backfill(
         # lifecycle-managed sink: dynamic partition overwrite + auto-expand +
         # archive when the spec hash changes (table_lifecycle.ManagedTable)
         sink.insert_partitions(out, auto_expand=True, semantic_hash=gb_hash)
-        part_path = os.path.join(out_path, f"ds={ds}")
-        n_out = spark.read.parquet(part_path).count()
+        if isinstance(sink, ManagedTable):
+            part_path = os.path.join(out_path, f"ds={ds}")
+            n_out = spark.read.parquet(part_path).count()
+        else:
+            part_path = f"{out_path}/ds={ds}"  # logical partition ref
+            n_out = sink.read().where(F.col("ds") == ds).count()
         total_out += n_out
         manifest = {
             "ds": ds,

@@ -1,0 +1,161 @@
+"""Compiled-conf loader: the reference's Thrift-serialized GroupBy/Join JSON
+(canary fixtures at api/src/test/resources/canary/compiled/) must parse into
+api objects and backfill end-to-end — drop-in conf-repo compatibility."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+import pytest
+
+from chronon_spark.api import Accuracy, Op
+from chronon_spark.confs import (
+    LoadedJoin,
+    backfill_join_conf,
+    load_conf,
+    parse_aggregation,
+    window_spec,
+)
+
+CANARY = "/root/reference/api/src/test/resources/canary/compiled"
+needs_reference = pytest.mark.skipif(
+    not os.path.isdir(CANARY), reason="reference canary confs not present"
+)
+
+
+def test_window_and_argmap_mapping():
+    assert window_spec({"length": 3, "timeUnit": 1}) == "3d"
+    assert window_spec({"length": 2, "timeUnit": 0}) == "2h"
+    assert window_spec({"length": 30, "timeUnit": 2}) == "30m"
+    assert window_spec(None) is None
+    a = parse_aggregation(
+        {"inputColumn": "x", "operation": 12, "argMap": {"percentiles": "[0.25, 0.75]"}}
+    )
+    assert a.op is Op.APPROX_PERCENTILE and a.percentiles == (0.25, 0.75)
+    b = parse_aggregation({"inputColumn": "x", "operation": 13, "argMap": {"k": "10"}})
+    assert b.op is Op.LAST_K and b.k == 10 and b.windows[0].spec is None
+
+
+@needs_reference
+def test_parse_canary_group_by():
+    lg = load_conf(f"{CANARY}/group_bys/gcp/purchases.v1_dev")
+    gb = lg.group_by
+    assert lg.name == "gcp.purchases.v1_dev"
+    assert gb.keys == ["user_id"]
+    assert {a.op for a in gb.aggregations} == {Op.SUM, Op.COUNT, Op.AVERAGE, Op.LAST_K}
+    windowed = [a for a in gb.aggregations if a.op is Op.SUM][0]
+    assert [w.spec for w in windowed.windows] == ["3d", "14d", "30d"]
+    assert lg.sources[0].table == "data.purchases"
+    assert lg.sources[0].query.selects == {
+        "user_id": "user_id",
+        "purchase_price": "purchase_price",
+    }
+
+
+@needs_reference
+def test_parse_canary_join():
+    lj = load_conf(f"{CANARY}/joins/gcp/training_set.v1_test")
+    assert isinstance(lj, LoadedJoin)
+    assert lj.left.table == "data.checkouts"
+    (lg, prefix, km), = lj.parts
+    assert lg.name == "gcp.purchases.v1_test"
+    assert lg.group_by.keys == ["user_id"]
+
+
+def _tables(spark):
+    t0 = dt.datetime(2024, 1, 10)
+    purchases = spark.createDataFrame(
+        [
+            (u, float(p), t0 + dt.timedelta(hours=h))
+            for u, p, h in [
+                ("u1", 10.0, -120), ("u1", 20.0, -30), ("u1", 40.0, -4),
+                ("u2", 5.0, -100), ("u2", 7.0, -1),
+            ]
+        ],
+        "user_id string, purchase_price double, ts timestamp",
+    )
+    checkouts = spark.createDataFrame(
+        [("u1", t0), ("u2", t0), ("u3", t0)],
+        "user_id string, ts timestamp",
+    )
+    return {"data.purchases": purchases, "data.checkouts": checkouts}
+
+
+@needs_reference
+def test_backfill_canary_join_end_to_end(spark):
+    out = backfill_join_conf(
+        spark, f"{CANARY}/joins/gcp/training_set.v1_test", _tables(spark)
+    ).toPandas()
+    got = out.set_index("user_id")
+    # u1: purchases at -120h/-30h/-4h before the t0 checkout
+    assert got.loc["u1", "purchase_price_sum_3d"] == 60.0  # -30h and -4h
+    assert got.loc["u1", "purchase_price_sum_14d"] == 70.0
+    assert got.loc["u1", "purchase_price_count_30d"] == 3
+    assert got.loc["u1", "purchase_price_average_3d"] == 30.0
+    assert got.loc["u2", "purchase_price_sum_3d"] == 7.0  # -100h outside 3d
+    # u3 never purchased: empty-window NULL, but the left row survives
+    assert "u3" in got.index and got.loc["u3", ["purchase_price_sum_3d"]].isna().all()
+    # LAST_K(10) unbounded: most-recent-first
+    assert list(got.loc["u1", "purchase_price_last_k10"]) == [40.0, 20.0, 10.0]
+
+
+def test_inline_conf_accuracy_keymapping_derivations(spark, tmp_path):
+    """Self-authored conf exercising the fields the canary fixtures omit:
+    SNAPSHOT accuracy, keyMapping, join derivations, wheres."""
+    conf = {
+        "metaData": {"name": "test.join.v1"},
+        "left": {
+            "events": {
+                "table": "data.checkouts",
+                "query": {"selects": {"uid": "user_id", "ts": "ts"}, "timeColumn": "ts"},
+            }
+        },
+        "joinParts": [
+            {
+                "groupBy": {
+                    "metaData": {"name": "test.purchases"},
+                    "sources": [
+                        {
+                            "events": {
+                                "table": "data.purchases",
+                                "query": {
+                                    "selects": {
+                                        "user_id": "user_id",
+                                        "purchase_price": "purchase_price",
+                                    },
+                                    "wheres": ["purchase_price > 6"],
+                                    "timeColumn": "ts",
+                                },
+                            }
+                        }
+                    ],
+                    "keyColumns": ["user_id"],
+                    "aggregations": [
+                        {
+                            "inputColumn": "purchase_price",
+                            "operation": 7,
+                            "argMap": {},
+                            "windows": [{"length": 14, "timeUnit": 1}],
+                        }
+                    ],
+                },
+                "prefix": "p",
+                "keyMapping": {"uid": "user_id"},
+            }
+        ],
+        "derivations": [
+            {"name": "*", "expression": "*"},
+            {"name": "dbl", "expression": "p_purchase_price_sum_14d * 2"},
+        ],
+    }
+    path = str(tmp_path / "conf.json")
+    with open(path, "w") as f:
+        json.dump(conf, f)
+    out = backfill_join_conf(spark, path, _tables(spark)).toPandas().set_index("uid")
+    # keyMapping mapped uid -> user_id; all three u1 purchases clear the where
+    assert out.loc["u1", "p_purchase_price_sum_14d"] == 70.0
+    # wheres filtered u2's 5.0 purchase (and -100h is outside nothing at 14d)
+    assert out.loc["u2", "p_purchase_price_sum_14d"] == 7.0
+    assert out.loc["u1", "dbl"] == out.loc["u1", "p_purchase_price_sum_14d"] * 2

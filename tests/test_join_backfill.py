@@ -124,3 +124,38 @@ def test_backfill_strategy_dispatch(spark, paths):
         run_partitioned_backfill(
             spark, ev_p, q_p, str(root / "o_bad"), str(root / "c_bad"), gb=gb, strategy="bogus"
         )
+
+
+def test_backfill_to_catalog_table_sink(spark, paths):
+    """A bare-name --out target routes the sink through CatalogTable: the
+    backfill lands in a session-catalog table read back via
+    spark.read.table, with the same resume semantics and identical rows to
+    the path-backed sink."""
+    import uuid
+
+    ev_p, q_p, root = paths
+    tbl = f"default.bf_{uuid.uuid4().hex[:10]}"
+    try:
+        stats = run_partitioned_backfill(
+            spark, ev_p, q_p, tbl, str(root / "ckpt_tbl"), join_builder=_builder
+        )
+        assert stats["partitions_computed"] == 2
+        got = spark.read.table(tbl).toPandas()
+        want = spark.read.parquet(str(root / "out")).toPandas()  # path-sink twin
+        assert len(got) == len(want) == stats["rows_out"]
+        cols = sorted(set(got.columns) & set(want.columns))
+        got["ds"], want["ds"] = got["ds"].astype(str), want["ds"].astype(str)
+        g = got[cols].sort_values("query_id").reset_index(drop=True)
+        w = want[cols].sort_values("query_id").reset_index(drop=True)
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(g, w, check_like=True)
+        again = run_partitioned_backfill(
+            spark, ev_p, q_p, tbl, str(root / "ckpt_tbl"), join_builder=_builder
+        )
+        assert again["partitions_computed"] == 0
+    finally:
+        bare = tbl.split(".", 1)[1]
+        for t in spark.catalog.listTables():
+            if t.name.startswith(bare):
+                spark.sql(f"DROP TABLE IF EXISTS `{t.name}`")

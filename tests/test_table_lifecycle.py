@@ -1,23 +1,63 @@
 """Sink lifecycle (reference catalog/TableUtils.scala:259-358,543-552,620-660):
 create-if-absent, dynamic partition overwrite, auto-expand, type-change
-refusal, archive-on-semantic-change."""
+refusal, archive-on-semantic-change — run against BOTH backends:
+
+- ``path``: ManagedTable (bare parquet dir + JSON sidecar catalog)
+- ``catalog``: CatalogTable (session-catalog warehouse table via
+  spark.read.table / insertInto-dynamic / ALTER TABLE DDL — the same call
+  surface an Iceberg deployment uses through writeTo().overwritePartitions())
+
+Snapshot/time-travel/compaction tests stay ManagedTable-only: Iceberg does
+those natively and the V1 session catalog cannot.
+"""
 
 from __future__ import annotations
 
 import os
+import uuid
 
 import pytest
 from pyspark.sql import functions as F
 
-from chronon_spark.plans.table_lifecycle import ManagedTable, SchemaEvolutionError
+from chronon_spark.plans.table_lifecycle import (
+    CatalogTable,
+    ManagedTable,
+    SchemaEvolutionError,
+    managed_table,
+)
 
 
 def _df(spark, rows, schema="k string, v bigint, ds string"):
     return spark.createDataFrame(rows, schema)
 
 
-def test_create_and_dynamic_overwrite(spark, tmp_path):
-    t = ManagedTable(spark, str(tmp_path / "t"))
+@pytest.fixture(params=["path", "catalog"])
+def make_table(request, spark, tmp_path):
+    """Factory yielding a fresh table handle on the parametrized backend;
+    catalog tables (and their archives) are dropped at teardown."""
+    prefix = f"lc_{uuid.uuid4().hex[:10]}"
+
+    def mk():
+        if request.param == "path":
+            return ManagedTable(spark, str(tmp_path / "t"))
+        return CatalogTable(spark, prefix)
+
+    def opener(ref):
+        if request.param == "path":
+            return ManagedTable(spark, ref)
+        return CatalogTable(spark, ref)
+
+    mk.open = opener
+    mk.backend = request.param
+    yield mk
+    if request.param == "catalog":
+        for t in spark.catalog.listTables():
+            if t.name.startswith(prefix):
+                spark.sql(f"DROP TABLE IF EXISTS `{t.name}`")
+
+
+def test_create_and_dynamic_overwrite(spark, make_table):
+    t = make_table()
     r1 = t.insert_partitions(_df(spark, [("a", 1, "2024-01-01"), ("b", 2, "2024-01-02")]))
     assert r1["created"] and t.partitions() == ["2024-01-01", "2024-01-02"]
     # overwrite ONLY 01-02; 01-01 untouched
@@ -26,8 +66,8 @@ def test_create_and_dynamic_overwrite(spark, tmp_path):
     assert got == {("a", 1), ("b", 99)}
 
 
-def test_auto_expand_adds_column_old_partitions_null(spark, tmp_path):
-    t = ManagedTable(spark, str(tmp_path / "t"))
+def test_auto_expand_adds_column_old_partitions_null(spark, make_table):
+    t = make_table()
     t.insert_partitions(_df(spark, [("a", 1, "2024-01-01")]))
     t.insert_partitions(
         _df(spark, [("c", 3, 7.5, "2024-01-02")], "k string, v bigint, extra double, ds string"),
@@ -38,8 +78,8 @@ def test_auto_expand_adds_column_old_partitions_null(spark, tmp_path):
     assert rows["2024-01-01"] is None and rows["2024-01-02"] == 7.5
 
 
-def test_auto_expand_deprecated_column_written_null(spark, tmp_path):
-    t = ManagedTable(spark, str(tmp_path / "t"))
+def test_auto_expand_deprecated_column_written_null(spark, make_table):
+    t = make_table()
     t.insert_partitions(_df(spark, [("a", 1, "2024-01-01")]))
     t.insert_partitions(
         _df(spark, [("z", "2024-01-03")], "k string, ds string"), auto_expand=True
@@ -48,8 +88,8 @@ def test_auto_expand_deprecated_column_written_null(spark, tmp_path):
     assert row["v"] is None
 
 
-def test_schema_change_without_auto_expand_rejected(spark, tmp_path):
-    t = ManagedTable(spark, str(tmp_path / "t"))
+def test_schema_change_without_auto_expand_rejected(spark, make_table):
+    t = make_table()
     t.insert_partitions(_df(spark, [("a", 1, "2024-01-01")]))
     with pytest.raises(SchemaEvolutionError, match="auto_expand is off"):
         t.insert_partitions(
@@ -57,8 +97,8 @@ def test_schema_change_without_auto_expand_rejected(spark, tmp_path):
         )
 
 
-def test_type_change_always_rejected(spark, tmp_path):
-    t = ManagedTable(spark, str(tmp_path / "t"))
+def test_type_change_always_rejected(spark, make_table):
+    t = make_table()
     t.insert_partitions(_df(spark, [("a", 1, "2024-01-01")]))
     with pytest.raises(SchemaEvolutionError, match="v: bigint --> string"):
         t.insert_partitions(
@@ -67,16 +107,29 @@ def test_type_change_always_rejected(spark, tmp_path):
         )
 
 
-def test_archive_on_semantic_change(spark, tmp_path):
-    path = str(tmp_path / "t")
-    t = ManagedTable(spark, path)
+def test_archive_on_semantic_change(spark, make_table):
+    t = make_table()
     t.insert_partitions(_df(spark, [("a", 1, "2024-01-01")]), semantic_hash="h1")
     rep = t.insert_partitions(_df(spark, [("b", 2, "2024-01-01")]), semantic_hash="h2")
-    assert rep["archived"] and os.path.isdir(rep["archived"]) and rep["created"]
+    assert rep["archived"] and rep["created"]
+    if make_table.backend == "path":
+        assert os.path.isdir(rep["archived"])
+    else:
+        assert spark.catalog.tableExists(rep["archived"])
     # fresh table holds only the new spec's output; the archive keeps the old
     assert {r["k"] for r in t.read().collect()} == {"b"}
-    old = ManagedTable(spark, rep["archived"])
+    old = make_table.open(rep["archived"])
     assert {r["k"] for r in old.read().collect()} == {"a"}
+
+
+def test_managed_table_factory(spark, tmp_path):
+    assert isinstance(managed_table(spark, str(tmp_path / "x")), ManagedTable)
+    # bare single word = relative path (backwards compatible with --out out)
+    assert isinstance(managed_table(spark, "out"), ManagedTable)
+    # dotted identifier or explicit format = catalog table
+    assert isinstance(managed_table(spark, "db.some_table"), CatalogTable)
+    assert isinstance(managed_table(spark, "t2", format="iceberg"), CatalogTable)
+    assert managed_table(spark, "t2", format="iceberg").format == "iceberg"
 
 
 # ------------------------------------------------------- snapshots / time travel
