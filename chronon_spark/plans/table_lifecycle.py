@@ -449,7 +449,9 @@ class CatalogTable:
         return {r[0]: r[1] for r in rows}
 
     def semantic_hash(self) -> str | None:
-        return self.properties().get(_HASH_PROP)
+        # empty string = never set (a hashless create must not look like a
+        # real hash, or the next hashed write would archive spuriously)
+        return self.properties().get(_HASH_PROP) or None
 
     # ---------------------------------------------------------------- ops
 

@@ -196,3 +196,24 @@ def test_compaction(spark, tmp_path):
     assert {r["v"] for r in t.read(version=1).collect()} == set(range(40))
     # idempotent: second compact is a no-op commit-wise
     assert t.compact(target_file_bytes=10**9)["partitions_compacted"] == []
+
+
+def test_catalog_hashless_create_then_hashed_write_no_archive(spark):
+    """A table created WITHOUT a semantic hash must not archive on the first
+    hashed write (the stored empty-string property is 'never set', not a
+    changed hash)."""
+    import uuid
+
+    name = f"lc_nohash_{uuid.uuid4().hex[:8]}"
+    try:
+        t = CatalogTable(spark, name)
+        t.insert_partitions(_df(spark, [("a", 1, "2024-01-01")]))
+        rep = t.insert_partitions(_df(spark, [("b", 2, "2024-01-01")]), semantic_hash="h1")
+        assert rep["archived"] is None
+        # hash is only recorded at create time (matching ManagedTable)
+        assert t.semantic_hash() is None
+        assert {r["k"] for r in t.read().collect()} == {"b"}
+    finally:
+        for tb in spark.catalog.listTables():
+            if tb.name.startswith(name):
+                spark.sql(f"DROP TABLE IF EXISTS `{tb.name}`")
