@@ -204,92 +204,148 @@ def build_batch_irs(
         )
         out = out.join(vc, on=gb.keys, how="full")
 
-    # tail hops: per part, the (tail, tail+buffer) slice at hop granularity
+    # tail hops: ONE slice scan + ONE two-level aggregation PER HOP SIZE —
+    # a per-part pipeline would re-scan the tail slice P times (at 100 TB
+    # each scan is multi-TB of IO and its own shuffle); per-part tail ranges
+    # [tail_i, tail_i + buffer) are enforced with conditional aggregates
+    # inside the shared groupBy instead. hist/bucket parts keep their
+    # dedicated (key, hop, value) pipelines (they need an extra level).
+    hop_groups: dict[int, list[int]] = {}
     for i, p in enumerate(parts):
         if p.window.millis is None:
             out = out.withColumn(f"__tails_{i}", F.lit(None).cast(_tail_type()))
             continue
         hop_us = tail_hop_millis(p.window.millis) * 1000
         tail = batch_end_ts_us - p.window.millis * 1000
+        c = F.col(p.input_column)
         # >= tail: an event exactly at batchEnd - window must land in the tail
         # hops (collapsed starts at tail + buf), or fetch undercounts vs the
         # sawtooth backfill whose hop-rounded window start is inclusive;
         # hops below a query's rounded wstart are filtered at fetch time
-        sl = ev.where((F.col(_TS_US) >= tail) & (F.col(_TS_US) < min(tail + buf_us, batch_end_ts_us)))
-        sl = sl.withColumn("__hop", (F.col(_TS_US) / F.lit(hop_us)).cast("long") * F.lit(hop_us))
-        c = F.col(p.input_column)
-        if p.bucket:
-            st_aggs, st_fields = _bucket_scalar_aggs(p, c)
-            hops = (
-                sl.where(c.isNotNull() & F.col(p.bucket).isNotNull())
-                .select(*gb.keys, "__hop", F.col(p.bucket).cast("string").alias("__b"), p.input_column)
-                .groupBy(*gb.keys, "__hop", "__b")
-                .agg(*st_aggs)
-                .groupBy(*gb.keys, "__hop")
-                .agg(F.collect_list(F.struct("__b", *st_fields)).alias("bent"))
-                .groupBy(*gb.keys)
-                .agg(
-                    F.sort_array(F.collect_list(F.struct(F.col("__hop").alias("hop"), "bent"))).alias(
-                        f"__tails_{i}"
+        if p.bucket or p.op in _HIST_OPS:
+            sl = ev.where(
+                (F.col(_TS_US) >= tail) & (F.col(_TS_US) < min(tail + buf_us, batch_end_ts_us))
+            ).withColumn("__hop", (F.col(_TS_US) / F.lit(hop_us)).cast("long") * F.lit(hop_us))
+            if p.bucket:
+                st_aggs, st_fields = _bucket_scalar_aggs(p, c)
+                hops = (
+                    sl.where(c.isNotNull() & F.col(p.bucket).isNotNull())
+                    .select(*gb.keys, "__hop", F.col(p.bucket).cast("string").alias("__b"), p.input_column)
+                    .groupBy(*gb.keys, "__hop", "__b")
+                    .agg(*st_aggs)
+                    .groupBy(*gb.keys, "__hop")
+                    .agg(F.collect_list(F.struct("__b", *st_fields)).alias("bent"))
+                    .groupBy(*gb.keys)
+                    .agg(
+                        F.sort_array(F.collect_list(F.struct(F.col("__hop").alias("hop"), "bent"))).alias(
+                            f"__tails_{i}"
+                        )
                     )
                 )
-            )
-            out = out.join(hops, on=gb.keys, how="full")
-            continue
-        if p.op in _ORDER_OPS:
-            asc = p.op in (Op.FIRST, Op.FIRST_K)
-            hop_aggs = [
-                F.slice(
-                    F.sort_array(F.collect_list(entry_struct(p.input_column, F.lit(True))), asc=asc),
-                    1,
-                    _entry_k(p),
-                ).alias("ent")
-            ]
-        elif p.op in _EXTREME_OPS:
-            coll = F.collect_set(c) if p.op == Op.UNIQUE_TOP_K else F.collect_list(c)
-            hop_aggs = [F.slice(F.sort_array(coll, asc=p.op == Op.BOTTOM_K), 1, p.k).alias("ext")]
-        elif p.op in _SET_OPS:
-            hop_aggs = [F.collect_set(c).alias("st")]
-        elif p.op in _HIST_OPS:
-            hops = (
-                sl.where(c.isNotNull())
-                .select(*gb.keys, "__hop", c.cast("string").alias("__v"))
-                .groupBy(*gb.keys, "__hop", "__v")
-                .agg(F.count("*").alias("__n"))
-                .groupBy(*gb.keys, "__hop")
-                .agg(F.collect_list(F.struct("__v", "__n")).alias("hmap"))
-                .groupBy(*gb.keys)
-                .agg(
-                    F.sort_array(F.collect_list(F.struct(F.col("__hop").alias("hop"), "hmap"))).alias(
-                        f"__tails_{i}"
+            else:
+                hops = (
+                    sl.where(c.isNotNull())
+                    .select(*gb.keys, "__hop", c.cast("string").alias("__v"))
+                    .groupBy(*gb.keys, "__hop", "__v")
+                    .agg(F.count("*").alias("__n"))
+                    .groupBy(*gb.keys, "__hop")
+                    .agg(F.collect_list(F.struct("__v", "__n")).alias("hmap"))
+                    .groupBy(*gb.keys)
+                    .agg(
+                        F.sort_array(F.collect_list(F.struct(F.col("__hop").alias("hop"), "hmap"))).alias(
+                            f"__tails_{i}"
+                        )
                     )
                 )
-            )
             out = out.join(hops, on=gb.keys, how="full")
             continue
-        elif p.op == Op.APPROX_PERCENTILE:
-            from chronon_spark.operators.tiles import qsk_agg_expr
+        hop_groups.setdefault(hop_us, []).append(i)
 
-            hop_aggs = [qsk_agg_expr(c, 512).alias("qsk")]
-        elif p.op in _MOMENT_OPS:
-            hop_aggs = [F.count(c).alias("cnt"), F.sum(c.cast("double")).alias("sm")]
-            hop_aggs += [
-                F.sum(F.pow(c.cast("double"), F.lit(pw))).alias(f"p{pw}")
-                for pw in range(2, _pow_upto(p.op) + 1)
-            ]
-        else:
-            hop_aggs = [
-                F.count(c).alias("cnt"),
-                F.sum(c.cast("double")).alias("sm"),
-                F.min(c.cast("double")).alias("mn"),
-                F.max(c.cast("double")).alias("mx"),
-            ]
-        per_hop = sl.groupBy(*gb.keys, "__hop").agg(*hop_aggs)
-        stat_names = [n for n in per_hop.columns if n not in gb.keys and n != "__hop"]
+    for hop_us, idxs in hop_groups.items():
+        tails = {i: batch_end_ts_us - parts[i].window.millis * 1000 for i in idxs}
+        lo = min(tails.values())
+        hi = min(max(tails.values()) + buf_us, batch_end_ts_us)
+        sl = ev.where((F.col(_TS_US) >= lo) & (F.col(_TS_US) < hi)).withColumn(
+            "__hop", (F.col(_TS_US) / F.lit(hop_us)).cast("long") * F.lit(hop_us)
+        )
+        lvl1: list = []  # per-part partial aggregates over (keys, hop)
+        lvl2: list = []  # per-part (presence cond, hop-entry struct) builders
+        for i in idxs:
+            p = parts[i]
+            c = F.col(p.input_column)
+            cond = (F.col(_TS_US) >= tails[i]) & (
+                F.col(_TS_US) < min(tails[i] + buf_us, batch_end_ts_us)
+            )
+            val = F.when(cond, c)
+            pre = f"__t{i}_"
+            if p.op in _ORDER_OPS:
+                asc = p.op in (Op.FIRST, Op.FIRST_K)
+                lvl1.append(
+                    F.slice(
+                        F.sort_array(F.collect_list(entry_struct(p.input_column, cond)), asc=asc),
+                        1,
+                        _entry_k(p),
+                    ).alias(f"{pre}ent")
+                )
+                stat_names = [f"{pre}ent"]
+                present = F.size(F.col(f"{pre}ent")) > 0
+            elif p.op in _EXTREME_OPS:
+                coll = F.collect_set(val) if p.op == Op.UNIQUE_TOP_K else F.collect_list(val)
+                lvl1.append(
+                    F.slice(F.sort_array(coll, asc=p.op == Op.BOTTOM_K), 1, p.k).alias(f"{pre}ext")
+                )
+                stat_names = [f"{pre}ext"]
+                present = F.size(F.col(f"{pre}ext")) > 0
+            elif p.op in _SET_OPS:
+                lvl1.append(F.collect_set(val).alias(f"{pre}st"))
+                stat_names = [f"{pre}st"]
+                present = F.size(F.col(f"{pre}st")) > 0
+            elif p.op == Op.APPROX_PERCENTILE:
+                from chronon_spark.operators.tiles import qsk_agg_expr
+
+                lvl1.append(qsk_agg_expr(val, 512).alias(f"{pre}qsk"))
+                stat_names = [f"{pre}qsk"]
+                present = F.col(f"{pre}qsk").isNotNull()
+            elif p.op in _MOMENT_OPS:
+                lvl1.append(F.count(val).alias(f"{pre}cnt"))
+                lvl1.append(F.sum(val.cast("double")).alias(f"{pre}sm"))
+                lvl1 += [
+                    F.sum(F.pow(val.cast("double"), F.lit(pw))).alias(f"{pre}p{pw}")
+                    for pw in range(2, _pow_upto(p.op) + 1)
+                ]
+                stat_names = [f"{pre}cnt", f"{pre}sm"] + [
+                    f"{pre}p{pw}" for pw in range(2, _pow_upto(p.op) + 1)
+                ]
+                present = F.col(f"{pre}cnt") > 0
+            else:
+                lvl1 += [
+                    F.count(val).alias(f"{pre}cnt"),
+                    F.sum(val.cast("double")).alias(f"{pre}sm"),
+                    F.min(val.cast("double")).alias(f"{pre}mn"),
+                    F.max(val.cast("double")).alias(f"{pre}mx"),
+                ]
+                stat_names = [f"{pre}cnt", f"{pre}sm", f"{pre}mn", f"{pre}mx"]
+                present = F.col(f"{pre}cnt") > 0
+            lvl2.append((i, present, stat_names))
+        per_hop = sl.groupBy(*gb.keys, "__hop").agg(*lvl1)
+        # collect_list drops nulls: a (key, hop) row where THIS part saw no
+        # in-range values contributes no tail entry (same as the old per-part
+        # pipeline, whose slice filter kept the row out entirely)
         hops = per_hop.groupBy(*gb.keys).agg(
-            F.sort_array(
-                F.collect_list(F.struct(F.col("__hop").alias("hop"), *stat_names))
-            ).alias(f"__tails_{i}")
+            *[
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            present,
+                            F.struct(
+                                F.col("__hop").alias("hop"),
+                                *[F.col(n).alias(n[len(f"__t{i}_") :]) for n in stat_names],
+                            ),
+                        )
+                    )
+                ).alias(f"__tails_{i}")
+                for i, present, stat_names in lvl2
+            ]
         )
         out = out.join(hops, on=gb.keys, how="full")
     return out
@@ -376,12 +432,20 @@ def fetch_features(
     st = st.select(*gb.keys, _TS_US, *in_cols).withColumn("__is_ir", F.lit(False))
 
     ir_cols = [c for c in batch_irs.columns if c.startswith("__c") or c.startswith("__tails_")]
-    ir = batch_irs.withColumn(_TS_US, F.lit(-1).cast("long")).withColumn("__is_ir", F.lit(True))
-    for c in in_cols:
-        ir = ir.withColumn(c, F.lit(None).cast(dict(st.dtypes)[c]))
-    st_u = st
-    for c in ir_cols:
-        st_u = st_u.withColumn(c, F.lit(None).cast(dict(ir.dtypes)[c]))
+    # dtypes once per frame, null columns in one projection: .dtypes analyzes
+    # the (deep, multi-join) IR plan on the driver, and a withColumn chain
+    # re-analyzes it per column — O(cols) analyzer passes of a plan whose
+    # analysis is itself O(plan size)
+    st_types = dict(st.dtypes)
+    ir_types = dict(batch_irs.dtypes)
+    ir = batch_irs.withColumns(
+        {
+            _TS_US: F.lit(-1).cast("long"),
+            "__is_ir": F.lit(True),
+            **{c: F.lit(None).cast(st_types[c]) for c in in_cols},
+        }
+    )
+    st_u = st.withColumns({c: F.lit(None).cast(ir_types[c]) for c in ir_cols})
     order = gb.keys + [_TS_US, "__is_ir"] + in_cols + ir_cols
     union = ir.select(*order).unionByName(st_u.select(*order))
     union = union.select(*[F.col(c).alias(f"__r_{c}") for c in union.columns])
@@ -398,40 +462,30 @@ def fetch_features(
     part_list = list(parts)
     integral = [isinstance(part_output_type(p, right_types[p.input_column]), T.LongType) for p in parts]
 
-    def fn(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
-        if not len(lpdf):
-            return pd.DataFrame(columns=left_cols + feat_names)
-        rpdf = rpdf.rename(columns=lambda c: c[4:] if c.startswith("__r_") else c)
-        q_ts = lpdf[_TS_US].to_numpy("int64")
-        if (q_ts < batch_end_ts_us).any():
-            raise ValueError("fetch ts < batchEndTs (reference raises the same)")
-        if (q_ts >= valid_end_us).any():
-            raise ValueError(
-                "fetch ts >= batchEndTs + tailBuffer: batch IR valid range "
-                "exceeded — rebuild IRs with a later batchEnd or a larger "
-                "tail_buffer_ms"
-            )
-        is_ir = rpdf["__is_ir"].to_numpy(bool)
-        ir_rows = rpdf[is_ir]
-        # stream ordered by (ts, tie_breakers): the raw kernels' event order,
-        # so first/last(_k) heads match the offline backfill exactly
-        stream = rpdf[~is_ir].sort_values([_TS_US] + tie_cols, kind="stable")
-        ir_row = ir_rows.iloc[0] if len(ir_rows) else None
+    def one_key(q_ts: np.ndarray, ir_rec: dict | None, sidx: np.ndarray, SG: dict) -> dict:
+        """Merge ONE key's batch IR + tail hops + stream rows for its queries.
+
+        All pandas work (sort, null masks, column extraction) happened once
+        per Arrow batch in ``fn``; this kernel only slices the batch-global
+        numpy arrays in ``SG`` with this key's stream positions ``sidx`` —
+        per-key pandas ops were the serving fetch's dominant cost (profiled:
+        dropna/sort_values/__getitem__ × keys ≫ the merge math itself)."""
 
         def _c(name):
-            v = ir_row.get(name) if ir_row is not None else None
+            v = ir_rec.get(name) if ir_rec is not None else None
             return v if v is not None and not (np.isscalar(v) and pd.isna(v)) else None
 
         def _lst(v):
             return list(v) if isinstance(v, (list, np.ndarray)) else []
 
-        out = lpdf[left_cols].copy()
+        ts_k = SG["ts"][sidx]
+        out: dict = {}
         for i, (p, fname) in enumerate(zip(part_list, feat_names)):
             col = p.input_column
             # streaming slice per query: [max(batchEnd, window_start), q)
-            s_ser = stream[[_TS_US, col]].dropna(subset=[col])
-            s_ts = s_ser[_TS_US].to_numpy("int64")
-            s_raw = s_ser[col].tolist()
+            m = SG["ok"][col][sidx]
+            s_ts = ts_k[m]
+            s_raw = SG["raw"][col][sidx][m].tolist()
             if p.window.millis is None:
                 wstart = np.full(len(q_ts), -(2**62), "int64")
             else:
@@ -441,22 +495,29 @@ def fetch_features(
             se = np.maximum(np.searchsorted(s_ts, q_ts, side="left"), ss)
 
             # tail hops relevant per query: hop >= wstart (upper bound already
-            # enforced at build: hop < tail + buffer)
+            # enforced at build: hop < tail + buffer). Tail entries stay a
+            # plain list of dicts — a pd.DataFrame per (key, part) costs more
+            # than the whole merge at serving-path key counts
             tails_raw = _c(f"__tails_{i}")
-            tl = (
-                pd.DataFrame(list(tails_raw))
-                if isinstance(tails_raw, (list, np.ndarray)) and len(tails_raw)
-                else pd.DataFrame()
+            tl_list = (
+                list(tails_raw) if isinstance(tails_raw, (list, np.ndarray)) and len(tails_raw) else []
             )
-            t_hop = tl["hop"].to_numpy("int64") if len(tl) else np.empty(0, "int64")
+            t_hop = np.fromiter((e["hop"] for e in tl_list), "int64", len(tl_list))
             ti = np.searchsorted(t_hop, wstart, side="left")  # tails sorted by hop
             # upper bound: tails/tiles whose hop starts at/after the query ts
             # are excluded — a no-op for batch tails (all < batchEnd <= q) but
             # required once streaming tiles are merged in (fetch_features_tiled)
             te = np.maximum(np.searchsorted(t_hop, q_ts, side="left"), ti)
 
+            def _tcol(colname):
+                return [e.get(colname) for e in tl_list]
+
             def _tail_sum(colname):
-                vals = tl[colname].to_numpy("float64") if len(tl) else np.empty(0)
+                vals = np.fromiter(
+                    (np.nan if e.get(colname) is None else float(e[colname]) for e in tl_list),
+                    "float64",
+                    len(tl_list),
+                )
                 cs = np.concatenate([[0.0], np.nancumsum(vals)])
                 return cs[te] - cs[ti]
 
@@ -466,13 +527,14 @@ def fetch_features(
                 # Map[bucket -> scalar]: collapsed per-bucket partials + tail
                 # per-(hop, bucket) partials + bucket-masked stream rows,
                 # merged per query in the serving-path loop
-                bser = stream[[_TS_US, col, p.bucket]].dropna(subset=[col, p.bucket])
-                b_ts = bser[_TS_US].to_numpy("int64")
-                b_vals = bser[col].to_numpy("float64") if len(bser) else np.empty(0)
-                b_bk = bser[p.bucket].astype(str).tolist() if len(bser) else []
+                mb = m & SG["ok"][p.bucket][sidx]
+                b_ts = ts_k[mb]
+                bv = SG["raw"][col][sidx][mb]
+                b_vals = bv.astype("float64") if len(bv) else np.empty(0)
+                b_bk = [str(x) for x in SG["raw"][p.bucket][sidx][mb]]
                 bss = np.searchsorted(b_ts, np.maximum(wstart, batch_end_ts_us), side="left")
                 bse = np.maximum(np.searchsorted(b_ts, q_ts, side="left"), bss)
-                hop_bents = tl["bent"].tolist() if len(tl) else []
+                hop_bents = _tcol("bent")
                 c_bk = {
                     e["__b"]: [e.get("cnt") or 0, e.get("sm"), e.get("mn"), e.get("mx")]
                     for e in _lst(_c(f"__c{i}_bk"))
@@ -561,7 +623,11 @@ def fetch_features(
                 take_min = p.op == Op.MIN
                 stat, cstat = ("mn", f"__c{i}_mn") if take_min else ("mx", f"__c{i}_mx")
                 c_v = _c(cstat)
-                t_vals = tl[stat].to_numpy("float64") if len(tl) else np.empty(0)
+                t_vals = np.fromiter(
+                    (np.nan if e.get(stat) is None else float(e[stat]) for e in tl_list),
+                    "float64",
+                    len(tl_list),
+                )
                 # NaN (all-null hop) mapped to the identity so it never wins
                 if len(t_vals):
                     ident = np.inf if take_min else -np.inf
@@ -588,7 +654,7 @@ def fetch_features(
             elif p.op in _ORDER_OPS:
                 k = _entry_k(p)
                 asc = p.op in (Op.FIRST, Op.FIRST_K)
-                hop_ents = tl["ent"].tolist() if len(tl) else []
+                hop_ents = _tcol("ent")
                 c_ent = [e["v"] for e in _lst(_c(f"__c{i}_ent"))]
                 # merged tails straddle the collapsed region: batch tail hops
                 # precede it (< batchEnd), stream tiles follow it (>= batchEnd,
@@ -634,7 +700,7 @@ def fetch_features(
                         vals_out.append(acc or None)
                 out[fname] = vals_out
             elif p.op in _EXTREME_OPS:
-                hop_ext = tl["ext"].tolist() if len(tl) else []
+                hop_ext = _tcol("ext")
                 c_ext = _lst(_c(f"__c{i}_ext"))
                 vals_out = []
                 for j in range(len(q_ts)):
@@ -652,7 +718,7 @@ def fetch_features(
                         vals_out.append(sorted(set(cand), reverse=True)[: p.k])
                 out[fname] = vals_out
             elif p.op in _SET_OPS:
-                hop_sets = [set(_lst(v)) for v in tl["st"].tolist()] if len(tl) else []
+                hop_sets = [set(_lst(v)) for v in _tcol("st")]
                 c_set = set(_lst(_c(f"__c{i}_set")))
                 vals_out = []
                 for j in range(len(q_ts)):
@@ -665,7 +731,7 @@ def fetch_features(
                     vals_out.append(len(u) if u else None)
                 out[fname] = vals_out
             elif p.op == Op.APPROX_PERCENTILE:
-                hop_qsk = tl["qsk"].tolist() if len(tl) else []
+                hop_qsk = _tcol("qsk")
                 c_qsk = _c(f"__c{i}_qsk")
                 qs = np.asarray(p.percentiles, np.float64)
                 vals_out = []
@@ -706,7 +772,7 @@ def fetch_features(
                     vals_out.append(est)
                 out[fname] = vals_out
             else:  # histogram family
-                hop_maps = tl["hmap"].tolist() if len(tl) else []
+                hop_maps = _tcol("hmap")
                 c_hist = Counter({e["__v"]: e["__n"] for e in _lst(_c(f"__c{i}_hist"))})
                 k = p.k if (p.k or p.op != Op.HISTOGRAM) else None
                 vals_out = []
@@ -728,9 +794,75 @@ def fetch_features(
                 out[fname] = vals_out
         return out
 
-    grouped = l.groupby(*[F.col(c) for c in gb.keys]).cogroup(
-        union.groupby(*[F.col(f"__r_{c}") for c in gb.keys])
-    )
+    def fn(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(lpdf):
+            return pd.DataFrame(columns=left_cols + feat_names)
+        rpdf = rpdf.rename(columns=lambda c: c[4:] if c.startswith("__r_") else c)
+        q_ts = lpdf[_TS_US].to_numpy("int64")
+        if (q_ts < batch_end_ts_us).any():
+            raise ValueError("fetch ts < batchEndTs (reference raises the same)")
+        if (q_ts >= valid_end_us).any():
+            raise ValueError(
+                "fetch ts >= batchEndTs + tailBuffer: batch IR valid range "
+                "exceeded — rebuild IRs with a later batchEnd or a larger "
+                "tail_buffer_ms"
+            )
+
+        def norm(k):
+            return k if isinstance(k, tuple) else (k,)
+
+        is_ir = rpdf["__is_ir"].to_numpy(bool)
+        ir_pdf = rpdf[is_ir]
+        # stream ordered by (ts, tie_breakers): the raw kernels' event order,
+        # so first/last(_k) heads match the offline backfill exactly. ONE sort
+        # and ONE to_numpy/notna pass per column for the whole Arrow batch.
+        stream = rpdf[~is_ir].sort_values([_TS_US] + tie_cols, kind="stable")
+        need = sorted({p.input_column for p in part_list} | {p.bucket for p in part_list if p.bucket})
+        SG = {
+            "ts": stream[_TS_US].to_numpy("int64"),
+            "raw": {c: stream[c].to_numpy() for c in need},
+            "ok": {c: stream[c].notna().to_numpy() for c in need},
+        }
+        # positional indices per key, frame order preserved => ts-ascending
+        s_groups = (
+            {norm(k): v for k, v in stream.groupby(gb.keys, sort=False).indices.items()}
+            if len(stream)
+            else {}
+        )
+        ir_recs: dict = {}
+        if len(ir_pdf):
+            kcols = [ir_pdf[k].tolist() for k in gb.keys]
+            for j, rec in enumerate(ir_pdf.to_dict("records")):
+                ir_recs[tuple(kc[j] for kc in kcols)] = rec
+        empty_idx = np.empty(0, "int64")
+        feat_cols = {f: np.empty(len(lpdf), dtype=object) for f in feat_names}
+        # dropna=False: left rows with null keys must still emit (null features)
+        l_groups = lpdf.groupby(gb.keys, sort=False, dropna=False).indices
+        for k, lidx in l_groups.items():
+            kk = norm(k)
+            res = one_key(q_ts[lidx], ir_recs.get(kk), s_groups.get(kk, empty_idx), SG)
+            for f, vals in res.items():
+                tgt = feat_cols[f]
+                # element-wise: a bulk fancy-index assign would coerce
+                # equal-length list cells into a 2-D array and fail
+                for jj, v in zip(lidx, vals):
+                    tgt[jj] = v
+        out_df = lpdf[left_cols].copy()
+        for f in feat_names:
+            out_df[f] = feat_cols[f]
+        return out_df
+
+    # coarse-bucket cogroup: one Arrow batch carries MANY keys (serving key
+    # counts make per-key cogroup groups overhead-bound — the same lesson as
+    # asof_join's coarse_buckets), per-key merge runs in-process above
+    try:
+        sp = int(l.sparkSession.conf.get("spark.sql.shuffle.partitions", "64"))
+    except ValueError:  # "auto" under AQE-managed envs
+        sp = l.sparkSession.sparkContext.defaultParallelism or 64
+    n_buckets = max(sp * 4, 64)
+    lb = l.withColumn("__fb", F.pmod(F.xxhash64(*gb.keys), F.lit(n_buckets)))
+    rb = union.withColumn("__r___fb", F.pmod(F.xxhash64(*[f"__r_{c}" for c in gb.keys]), F.lit(n_buckets)))
+    grouped = lb.groupby(F.col("__fb")).cogroup(rb.groupby(F.col("__r___fb")))
     return grouped.applyInPandas(fn, schema=out_schema)
 
 
@@ -848,17 +980,22 @@ def fetch_features_tiled(
     per_key = st.groupBy(*gb.keys).agg(*arr_aggs)
 
     merged = batch_irs.join(per_key, on=gb.keys, how="full")
+    # dtypes once per frame + one projection (see fetch_features: a
+    # withColumn/drop chain re-analyzes the joined plan per part)
+    pk_types = dict(per_key.dtypes)
+    bt_types = dict(batch_irs.dtypes)
+    tail_exprs = {}
     for i, p in enumerate(parts):
-        stc = F.coalesce(F.col(f"__st_{i}"), F.array().cast(dict(per_key.dtypes)[f"__st_{i}"]))
+        stc = F.coalesce(F.col(f"__st_{i}"), F.array().cast(pk_types[f"__st_{i}"]))
         if p.window.millis is None:
             # unbounded: batch side is collapsed-only (typed-null tails) —
             # the stream tiles ARE the tail array
-            merged = merged.withColumn(f"__tails_{i}", stc)
+            tail_exprs[f"__tails_{i}"] = stc
         else:
-            bt = F.coalesce(F.col(f"__tails_{i}"), F.array().cast(dict(batch_irs.dtypes)[f"__tails_{i}"]))
+            bt = F.coalesce(F.col(f"__tails_{i}"), F.array().cast(bt_types[f"__tails_{i}"]))
             # batch tails end before batchEnd <= every stream tile: concat stays hop-sorted
-            merged = merged.withColumn(f"__tails_{i}", F.concat(bt, stc))
-        merged = merged.drop(f"__st_{i}")
+            tail_exprs[f"__tails_{i}"] = F.concat(bt, stc)
+    merged = merged.withColumns(tail_exprs).drop(*[f"__st_{i}" for i in range(len(parts))])
 
     return fetch_features(
         queries, merged, events_like.limit(0), gb, batch_end_ts_us, left_time_column, tail_buffer_ms
