@@ -197,6 +197,48 @@ class MultiKeyEventColumns:
         self._cols[name] = cs
         return cs
 
+    def pair(self, name: str, bucket: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(comp, bucket_strs, vals) where BOTH value and bucket are non-null,
+        in composite-ts order — the bucketed ``_grouped_kernel`` input. The
+        per-bucket kernels are range-local like everything else, so grouping
+        by bucket across ALL keys at once is safe: each query's [s, e) range
+        stays inside its key's composite segment."""
+        if not len(self._raw):
+            z = np.empty(0, np.int64)
+            return z, np.empty(0, object), np.empty(0, object)
+        col = self._raw[name].to_numpy()[self._order]
+        bk = self._raw[bucket].to_numpy()[self._order]
+        mask = pd.notna(col) & pd.notna(bk)
+        vals = _to_numpy(pd.Series(col[mask]))
+        bks = np.fromiter((str(x) for x in bk[mask]), object, count=int(mask.sum()))
+        return self.comp[mask], bks, vals
+
+    def map_entries(self, name: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(comp_repeated, map_keys, vals) of every non-null map entry, in
+        composite-ts order — the per-map-key ``_grouped_kernel`` input
+        (mirrors the flatten in ``compute_parts``'s map branch)."""
+        from itertools import chain
+
+        if not len(self._raw):
+            z = np.empty(0, np.int64)
+            return z, np.empty(0, object), np.empty(0, object)
+        col = self._raw[name].to_numpy()[self._order]
+        mask = pd.notna(col)
+        sub = col[mask]
+        lens = np.fromiter((len(d) for d in sub), np.int64, count=len(sub))
+        comp_rep = np.repeat(self.comp[mask], lens)
+        flat = list(chain.from_iterable(d.items() for d in sub))
+        if flat:
+            ks, vs = zip(*flat)
+            keep = np.fromiter((v is not None for v in vs), bool, count=len(vs))
+            mkeys = np.fromiter((str(k) for k in ks), object, count=len(ks))[keep]
+            comp_rep = comp_rep[keep]
+            mvals = _to_numpy(pd.Series([v for v, ok in zip(vs, keep) if ok]))
+        else:
+            mkeys = np.empty(0, object)
+            mvals = _to_numpy(pd.Series([], dtype=object))
+        return comp_rep, mkeys, mvals
+
 
 class _MapInput(Exception):
     """Raised when a column is map-typed — the multikey fast path defers to
@@ -212,8 +254,10 @@ def compute_parts_multikey(
     sawtooth: bool = False,
 ) -> dict[str, np.ndarray]:
     """compute_parts over MANY keys at once: queries carry their key code;
-    window ranges are resolved in composite space. Buckets/map inputs are not
-    handled here (callers fall back to the per-key path)."""
+    window ranges are resolved in composite space. Bucketed and map-typed
+    parts run through ``_grouped_kernel`` on composite coordinates — the
+    group slicing is per (bucket|map key) across ALL entity keys, and each
+    query's range stays inside its key's segment."""
     side = "right" if include_equal else "left"
     kc = q_key_codes.astype(np.int64)
     rel_q = q_ts - mec.base
@@ -224,8 +268,6 @@ def compute_parts_multikey(
         comp_q = np.where(nullkey, np.int64(-1), comp_q)
     out: dict[str, np.ndarray] = {}
     for part in parts:
-        if part.bucket is not None:
-            raise ValueError("bucketed parts take the per-key path")
         w_us = None if part.window.millis is None else part.window.millis * 1000
         if w_us is None:
             rel_start = np.zeros(len(q_ts), np.int64)
@@ -236,7 +278,16 @@ def compute_parts_multikey(
                 abs_start = (abs_start // hop_us) * hop_us
             rel_start = np.maximum(abs_start - mec.base, 0)
         comp_start = np.where(nullkey, np.int64(0), kc * mec.block + rel_start)
-        cs = mec.column(part.input_column)
+        if part.bucket is not None:
+            comp_e, bks, bvals = mec.pair(part.input_column, part.bucket)
+            out[part.output_name] = _grouped_kernel(part, comp_e, bks, bvals, comp_start, comp_q, side)
+            continue
+        try:
+            cs = mec.column(part.input_column)
+        except _MapInput:
+            comp_rep, mkeys, mvals = mec.map_entries(part.input_column)
+            out[part.output_name] = _grouped_kernel(part, comp_rep, mkeys, mvals, comp_start, comp_q, side)
+            continue
         s, e = cs.bounds(comp_start, comp_q, side)
         out[part.output_name] = _kernel(part, cs, s, e)
     return out

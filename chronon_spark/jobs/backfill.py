@@ -24,16 +24,26 @@ def parse_gb(spec: str):
     from chronon_spark.api import Aggregation, GroupBy, Op
 
     d = json.loads(spec)
-    aggs = [
-        Aggregation(
-            a["col"],
-            Op(a["op"]),
-            windows=tuple(a.get("windows", [None])),
-            buckets=tuple(a.get("buckets", [])),
-            k=a.get("k"),
+    known = {"col", "op", "windows", "buckets", "bucket", "k"}
+    aggs = []
+    for a in d["aggs"]:
+        # fail loudly on typos — a silently dropped key (e.g. "bucket" when
+        # the field was buckets-only) changes results without any signal
+        unknown = set(a) - known
+        if unknown:
+            raise ValueError(f"unknown agg spec keys {sorted(unknown)}; known: {sorted(known)}")
+        buckets = list(a.get("buckets", []))
+        if a.get("bucket"):  # singular sugar
+            buckets.append(a["bucket"])
+        aggs.append(
+            Aggregation(
+                a["col"],
+                Op(a["op"]),
+                windows=tuple(a.get("windows", [None])),
+                buckets=tuple(buckets),
+                k=a.get("k"),
+            )
         )
-        for a in d["aggs"]
-    ]
     return GroupBy(
         keys=d["keys"],
         aggregations=aggs,

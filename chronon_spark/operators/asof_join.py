@@ -204,8 +204,6 @@ def asof_join(
         rpdf = rpdf.rename(columns=lambda c: c[4:] if c.startswith("__r_") else c)
         return one_key(lpdf, rpdf)
 
-    has_buckets = any(p.bucket for p in part_list)
-
     def fn_multikey(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         """Whole-bucket vectorized path: one composite-index searchsorted
         resolves every query's window across ALL keys in the Arrow batch —
@@ -236,16 +234,16 @@ def asof_join(
         return out
 
     def fn_bucketed(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
-        """One Arrow batch holds MANY keys: vectorized across keys when
-        possible, else per-key kernels in-process."""
+        """One Arrow batch holds MANY keys: the composite-index kernel covers
+        scalar, bucketed, AND map-typed parts; only composite overflow
+        (pathological ts span × key count) falls back to per-key kernels."""
         if not len(lpdf):
             return pd.DataFrame(columns=left_cols + feat_names)
         rpdf = rpdf.rename(columns=lambda c: c[4:] if c.startswith("__r_") else c)
-        if not has_buckets:
-            try:
-                return fn_multikey(lpdf, rpdf)
-            except _MapInput:
-                pass  # map-typed input: per-map-key grouping stays per key
+        try:
+            return fn_multikey(lpdf, rpdf)
+        except _MapInput:
+            pass
 
         def norm(k):
             return k if isinstance(k, tuple) else (k,)
