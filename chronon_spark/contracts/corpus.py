@@ -143,6 +143,34 @@ FROM documents GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------- segment dedup
+
+
+def _q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (CCNet/RefinedWeb line-level) dedup on fixed 8-token
+    segments: per-doc duplicated-segment fraction via a segment-hash inverted
+    index — shuffle carries 32-byte md5 keys, never doc x doc."""
+    return dedup.segment_dedup(_load_docs(spark, sf_dir), "doc_id", "text", n=8, min_docs=2)
+
+
+_SQL_SEGMENT_DEDUP = f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+seg AS (SELECT doc_id,
+               unnest(list_transform(range(len(toks) // 8),
+                      i -> md5(array_to_string(toks[i*8+1 : i*8+8], ' ')))) AS h
+        FROM d),
+dup AS (SELECT h FROM seg GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+per_doc AS (SELECT doc_id, count(*) AS n_segments FROM seg GROUP BY doc_id),
+dups AS (SELECT s.doc_id, count(*) AS n_dup FROM seg s JOIN dup USING (h) GROUP BY s.doc_id)
+SELECT d.doc_id AS doc_id,
+       COALESCE(p.n_segments, 0) AS n_segments,
+       COALESCE(x.n_dup, 0) AS n_dup,
+       CASE WHEN COALESCE(p.n_segments, 0) > 0
+            THEN COALESCE(x.n_dup, 0)::DOUBLE / p.n_segments END AS dup_frac
+FROM d LEFT JOIN per_doc p USING (doc_id) LEFT JOIN dups x USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------- minhash LSH
 
 _NUM_HASHES, _BANDS, _SHINGLE_N, _J_THRESHOLD = 16, 4, 3, 0.5
@@ -376,6 +404,34 @@ WITH scored AS (
 r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
       FROM scored)
 SELECT query_id, rank, neighbor_id, cos FROM r WHERE rank <= 5
+"""
+
+
+def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (cluster-scoped semantic dedup with representative keep):
+    sign-random-projection cells, within-cell cosine >= 0.35 drops the higher
+    id; one row per vector with (cell, dropped, dup_of)."""
+    return similarity.semdedup(_load_emb(spark, sf_dir), threshold=0.35)
+
+
+def _semdedup_sql() -> str:
+    bits = []
+    for p in range(4):
+        comp = plane_components(similarity.SEMDEDUP_TABLE, p, 64)
+        lits = ", ".join(repr(v) for v in comp)
+        bits.append(
+            "(CASE WHEN list_sum(list_transform(range(1, 65),"
+            f" i -> embedding[i]::DOUBLE * ([{lits}])[i])) > 0 THEN {1 << p} ELSE 0 END)"
+        )
+    cell = " + ".join(bits)
+    return f"""
+WITH cells AS (SELECT vec_id, embedding, {cell} AS cell FROM embeddings),
+hits AS (SELECT b.vec_id AS idb, min(a.vec_id) AS dup_of
+         FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         WHERE ROUND({_cos_sql("a.embedding", "b.embedding")}, 6) >= 0.35
+         GROUP BY b.vec_id)
+SELECT c.vec_id AS vec_id, c.cell AS cell, h.dup_of IS NOT NULL AS dropped, h.dup_of AS dup_of
+FROM cells c LEFT JOIN hits h ON c.vec_id = h.idb
 """
 
 
@@ -967,12 +1023,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_quality": _q_repetition,
     "lang_quality": _q_lang_quality,
     "dedup_exact": _q_dedup_exact,
+    "segment_dedup": _q_segment_dedup,
     "dedup_minhash_lsh": _q_dedup_minhash,
     "dedup_incremental": _q_dedup_incremental,
     "dedup_ngram_jaccard": _q_ngram_jaccard,
     "dedup_clusters": _q_dedup_clusters,
     "dedup_simhash": _q_simhash_pairs,
     "embedding_topk": _q_embedding_topk,
+    "semdedup": _q_semdedup,
     "embedding_near_dups": _q_embedding_near_dups,
     "ann_lsh_topk": _q_ann_topk,
     "ann_ivf_topk": _q_ivf_topk,
@@ -996,12 +1054,14 @@ ORACLES: dict[str, str] = {
     "repetition_quality": _SQL_REPETITION,
     "lang_quality": _SQL_LANG_QUALITY,
     "dedup_exact": _SQL_DEDUP_EXACT,
+    "segment_dedup": _SQL_SEGMENT_DEDUP,
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_incremental": _incremental_sql(),
     "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
     "dedup_clusters": _SQL_DEDUP_CLUSTERS,
     "dedup_simhash": _simhash_sql(),
     "embedding_topk": _SQL_EMBEDDING_TOPK,
+    "semdedup": _semdedup_sql(),
     "embedding_near_dups": _SQL_EMBEDDING_NEAR_DUPS,
     "ann_lsh_topk": _ann_sql(),
     "ann_ivf_topk": _ivf_sql(),

@@ -80,6 +80,66 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- segments
+
+
+def segment_hashes(text_col: Column | str, n: int = 8) -> Column:
+    """md5 of each NON-OVERLAPPING ``n``-token segment — the unit of
+    CCNet/RefinedWeb-style sub-document (line-level) dedup, degraded to fixed
+    windows for punctuation-free text. ``array<string>``; < n tokens => empty.
+
+    Let-bound through ``transform(array(tokens), t -> ...)[0]`` so the
+    whitespace split runs once per row, not once per segment (the
+    CollapseProject re-inlining trap documented on ``word_shingles``)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.transform(
+        F.array(tokens(c)),
+        # guard: sequence(0, -1) DESCENDS in Spark, so < n tokens must
+        # short-circuit to an empty array, not a bogus [0, -1] index list
+        lambda t: F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.floor(F.size(t) / n).cast("int") - 1),
+                lambda i: F.md5(F.array_join(F.slice(t, i * n + 1, n), " ")),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )[0]
+
+
+def segment_dedup(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8, min_docs: int = 2
+) -> DataFrame:
+    """Per-document duplicated-segment stats: a segment is boilerplate when it
+    appears in >= ``min_docs`` DISTINCT documents. Returns one row per doc:
+    (id, n_segments, n_dup, dup_frac — NULL for docs shorter than a segment).
+
+    100 TB shape: segments shuffle as 32-byte md5 keys (inverted index, the
+    decontaminate pattern); the duplicated-hash set joins back broadcast-or-
+    shuffle per AQE. Never doc x doc."""
+    segs = df.select(F.col(id_col), F.explode(segment_hashes(text_col, n)).alias("__h"))
+    dup = (
+        segs.groupBy("__h")
+        .agg(F.count_distinct(id_col).alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select("__h")
+    )
+    per_doc = segs.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_segments"))
+    dups = segs.join(dup, on="__h").groupBy(id_col).agg(F.count(F.lit(1)).alias("__ndup"))
+    out = (
+        df.select(id_col)
+        .join(per_doc, on=id_col, how="left")
+        .join(dups, on=id_col, how="left")
+    )
+    n_seg = F.coalesce(F.col("n_segments"), F.lit(0))
+    n_dup = F.coalesce(F.col("__ndup"), F.lit(0))
+    return out.select(
+        F.col(id_col),
+        n_seg.alias("n_segments"),
+        n_dup.alias("n_dup"),
+        F.when(n_seg > 0, n_dup.cast("double") / n_seg).alias("dup_frac"),
+    )
+
+
 # ---------------------------------------------------------------- minhash
 
 

@@ -291,6 +291,55 @@ def ivf_cell(vec_col: Column, n_centroids: int = 16, dims: int = 64) -> Column:
     return F.array_position(scores, F.array_max(scores))
 
 
+SEMDEDUP_TABLE = 97  # plane-recipe namespace reserved for semdedup cells
+
+
+def semdedup(
+    corpus: DataFrame,
+    threshold: float,
+    n_planes: int = 4,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    cluster embeddings with a coarse quantizer — here sign-random-projection
+    buckets (``lsh_bucket``, 2^n_planes cells), which spread ANY distribution
+    where fixed Voronoi centroids can degenerate — then WITHIN each cell drop
+    every vector whose cosine to a lower-id member is >= threshold; the kept
+    representative in ``dup_of`` is the smallest such lower id
+    (deterministic, order-free).
+
+    Returns one row per input vector: (id, cell, dropped, dup_of).
+
+    Scale shape: pair generation is cell-scoped — ONE equi-join on cell id,
+    never corpus x corpus; n_planes grows with the corpus to bound cell
+    sizes. Cosines are rounded to 6 dp before the threshold compare (same
+    guard as embedding near-dup) so SQL-oracle comparison is float-edge-proof."""
+    from chronon_spark.functions.vec_kernels import cosine_arrow
+
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        lsh_bucket(F.col(vec_col), SEMDEDUP_TABLE, n_planes, dims).alias("cell"),
+    )
+    a = c.select(F.col(id_col).alias("__ida"), F.col(vec_col).alias("__va"), "cell")
+    b = c.select(F.col(id_col).alias("__idb"), F.col(vec_col).alias("__vb"), "cell")
+    hits = (
+        a.join(b, on="cell")
+        .where(F.col("__ida") < F.col("__idb"))
+        .where(F.round(cosine_arrow(F.col("__va"), F.col("__vb"), dims), 6) >= threshold)
+        .groupBy("__idb")
+        .agg(F.min("__ida").alias("dup_of"))
+    )
+    return c.join(hits, c[id_col] == hits["__idb"], "left").select(
+        F.col(id_col),
+        F.col("cell"),
+        F.col("dup_of").isNotNull().alias("dropped"),
+        F.col("dup_of"),
+    )
+
+
 def ivf_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

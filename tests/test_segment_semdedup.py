@@ -1,0 +1,91 @@
+"""segment_dedup (sub-document boilerplate) + semdedup (cluster-scoped
+semantic dedup) unit tests against hand-computed expectations."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from chronon_spark.functions.dedup import segment_dedup, segment_hashes
+from chronon_spark.functions.similarity import SEMDEDUP_TABLE, lsh_bucket, semdedup
+
+W8_A = "a b c d e f g h"          # one full segment
+W8_B = "p q r s t u v w"          # a different full segment
+
+
+def test_segment_hashes_shapes(spark):
+    df = spark.createDataFrame(
+        [
+            (1, f"{W8_A} {W8_B} x y"),  # 18 tokens -> 2 segments (tail dropped)
+            (2, "one two three"),        # < 8 tokens -> no segments
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r.doc_id: r.h for r in df.select("doc_id", segment_hashes("text").alias("h")).collect()}
+    assert len(rows[1]) == 2
+    assert rows[2] == []
+    # segment identity: same 8 tokens -> same hash regardless of position
+    df2 = spark.createDataFrame([(3, f"{W8_B} {W8_A}")], "doc_id int, text string")
+    h2 = df2.select(segment_hashes("text").alias("h")).head().h
+    assert set(h2) == set(rows[1][:2])
+
+
+def test_segment_dedup_fractions(spark):
+    # A appears in docs 1+2 (boilerplate); B only in doc 1; doc 3 too short
+    df = spark.createDataFrame(
+        [(1, f"{W8_A} {W8_B}"), (2, f"{W8_A} z z z z z z z z"), (3, "tiny doc")],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in segment_dedup(df, "doc_id", "text").collect()}
+    assert (out[1].n_segments, out[1].n_dup) == (2, 1) and math.isclose(out[1].dup_frac, 0.5)
+    assert (out[2].n_segments, out[2].n_dup) == (2, 1)  # the z-segment is unique
+    assert (out[3].n_segments, out[3].n_dup, out[3].dup_frac) == (0, 0, None)
+
+
+def test_segment_dedup_within_doc_repeat_not_boilerplate(spark):
+    # the same segment twice in ONE doc is not cross-doc boilerplate
+    df = spark.createDataFrame([(1, f"{W8_A} {W8_A}")], "doc_id int, text string")
+    r = segment_dedup(df, "doc_id", "text").head()
+    assert (r.n_segments, r.n_dup) == (2, 0)
+
+
+def _vec(seed: int, dims: int = 64) -> list[float]:
+    # deterministic unit-ish vectors; seed controls direction
+    return [math.sin(seed * 0.7 + d) for d in range(dims)]
+
+
+def test_semdedup_drops_exact_duplicates(spark):
+    v1, v2 = _vec(1), _vec(2)
+    df = spark.createDataFrame(
+        [(10, v1), (11, v1), (12, v1), (20, v2)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: r for r in semdedup(df, threshold=0.99).collect()}
+    # identical vectors share a bucket by construction; lowest id is kept
+    assert not out[10].dropped and out[10].dup_of is None
+    assert out[11].dropped and out[11].dup_of == 10
+    assert out[12].dropped and out[12].dup_of == 10
+    assert not out[20].dropped
+
+
+def test_semdedup_cell_matches_lsh_bucket(spark):
+    df = spark.createDataFrame([(1, _vec(5))], "vec_id long, embedding array<float>")
+    cell = semdedup(df, threshold=0.99).head().cell
+    direct = df.select(lsh_bucket(F.col("embedding"), SEMDEDUP_TABLE, 4, 64).alias("b")).head().b
+    assert cell == direct
+
+
+def _basis(i: int, dims: int = 64) -> list[float]:
+    return [1.0 if d == i % dims else 0.0 for d in range(dims)]
+
+
+def test_semdedup_one_row_per_vector(spark):
+    # distinct basis vectors are mutually orthogonal (cos 0); the 5 re-ids
+    # are exact copies (cos 1) and must be the only drops
+    vs = [(i, _basis(i)) for i in range(30)] + [(100 + i, _basis(i)) for i in range(5)]
+    df = spark.createDataFrame(vs, "vec_id long, embedding array<float>")
+    out = semdedup(df, threshold=0.99)
+    assert out.count() == len(vs)
+    dropped = {r.vec_id: r.dup_of for r in out.where(F.col("dropped")).collect()}
+    assert dropped == {100 + i: i for i in range(5)}
