@@ -48,12 +48,14 @@ BENCH_QUERIES = [
     "approx_sketch_daily",
     "doc_stats",
     "repetition_quality",
+    "segment_dedup",
     "dedup_minhash_lsh",
     "dedup_incremental",
     "dedup_ngram_jaccard",
     "dedup_clusters",
     "dedup_simhash",
     "embedding_topk",
+    "semdedup",
     "embedding_near_dups",
     "ann_lsh_topk",
     "ann_ivf_topk",
@@ -126,17 +128,47 @@ def _scaling_evidence() -> dict:
             out["scaling_best_raw_pair"] = best
     except (OSError, ValueError):
         pass
-    # absolute throughput records (BASELINE.md corroborating run #5)
-    pr = Path(__file__).resolve().parent / "tools" / "scaling_r3d_records.json"
+    # current-round run on this boot's host (BASELINE.md corroborating run #6)
+    pc = Path(__file__).resolve().parent / "tools" / "scaling_r3e_current.json"
     try:
-        r = json.loads(pr.read_text())
-        out["throughput_records"] = {
-            "turns_per_sec_local4": max(x["turns_per_sec_local4"] for x in r["pairs"]),
-            "turns_per_sec_local16": max(x["turns_per_sec_local16"] for x in r["pairs"]),
-            "input_rows": r.get("input_rows"),
+        c = json.loads(pc.read_text())
+        out["scaling_current_round"] = {
+            "input_rows": c.get("input_rows"),
+            "best_efficiency": c.get("best_efficiency"),
+            "hardware_ceiling": c.get("hardware_ceiling"),
+            "normalized_vs_membw": c.get("normalized_vs_membw"),
         }
-    except (OSError, ValueError, KeyError):
+    except (OSError, ValueError):
         pass
+    # 64M-row run: raw 0.797 at 2x work (BASELINE.md corroborating run #7)
+    p64 = Path(__file__).resolve().parent / "tools" / "scaling_r3f_64m.json"
+    try:
+        s = json.loads(p64.read_text())
+        out["scaling_64m"] = {
+            "input_rows": s.get("input_rows"),
+            "best_efficiency": s.get("best_efficiency"),
+            "hardware_ceiling": s.get("hardware_ceiling"),
+        }
+    except (OSError, ValueError):
+        pass
+    # absolute throughput records across every recorded run
+    best4, best16, rows_at = 0.0, 0.0, None
+    for fname in ("scaling_r3d_records.json", "scaling_r3e_current.json", "scaling_r3f_64m.json"):
+        try:
+            r = json.loads((Path(__file__).resolve().parent / "tools" / fname).read_text())
+            for x in r.get("pairs", []):
+                if x.get("turns_per_sec_local4", 0) > best4:
+                    best4 = x["turns_per_sec_local4"]
+                if x.get("turns_per_sec_local16", 0) > best16:
+                    best16, rows_at = x["turns_per_sec_local16"], r.get("input_rows")
+        except (OSError, ValueError):
+            pass
+    if best4:
+        out["throughput_records"] = {
+            "turns_per_sec_local4": best4,
+            "turns_per_sec_local16": best16,
+            "input_rows": rows_at,
+        }
     return out
 
 
