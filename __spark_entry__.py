@@ -447,6 +447,7 @@ _FRONT_50 = [
     "doc_stats",
     "repetition_quality",
     "lang_quality",
+    "unigram_logppl",
     "dedup_exact",
     "segment_dedup",
     "dedup_minhash_lsh",

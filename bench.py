@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "approx_sketch_daily",
     "doc_stats",
     "repetition_quality",
+    "unigram_logppl",
     "segment_dedup",
     "dedup_minhash_lsh",
     "dedup_incremental",

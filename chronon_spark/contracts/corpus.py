@@ -128,6 +128,27 @@ FROM s
 """
 
 
+# ---------------------------------------------------------------- unigram LM
+
+
+def _q_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram LM quality scoring (the CCNet quality-bucket mechanic):
+    per-doc mean −ln p(token) under corpus frequencies."""
+    return text.unigram_logppl(_load_docs(spark, sf_dir), "doc_id", "text")
+
+
+_SQL_UNIGRAM_LOGPPL = f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+cnt AS (SELECT term, sum(tf)::BIGINT AS cnt FROM tf GROUP BY term),
+tot AS (SELECT sum(cnt)::BIGINT AS t FROM cnt),
+doc AS (SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+               sum(tf * ln(cnt::DOUBLE / t)) AS slp
+        FROM tf JOIN cnt USING (term) CROSS JOIN tot GROUP BY doc_id)
+SELECT doc_id, n_tokens, ROUND(-slp / n_tokens + 1e-10, 6) + 0.0 AS logppl FROM doc
+"""
+
+
 # ---------------------------------------------------------------- exact dedup
 
 
@@ -1022,6 +1043,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_stats": _q_doc_stats,
     "repetition_quality": _q_repetition,
     "lang_quality": _q_lang_quality,
+    "unigram_logppl": _q_unigram_logppl,
     "dedup_exact": _q_dedup_exact,
     "segment_dedup": _q_segment_dedup,
     "dedup_minhash_lsh": _q_dedup_minhash,
@@ -1053,6 +1075,7 @@ ORACLES: dict[str, str] = {
     "doc_stats": _SQL_DOC_STATS,
     "repetition_quality": _SQL_REPETITION,
     "lang_quality": _SQL_LANG_QUALITY,
+    "unigram_logppl": _SQL_UNIGRAM_LOGPPL,
     "dedup_exact": _SQL_DEDUP_EXACT,
     "segment_dedup": _SQL_SEGMENT_DEDUP,
     "dedup_minhash_lsh": _minhash_sql(),

@@ -251,3 +251,36 @@ def repetition_signals(text: Column | str, round_to: int = 6) -> list[Column]:
         F.round(_mode_run_count(t) / n, round_to).alias("top_word_frac"),
         F.when(nb > 0, F.round(_mode_run_count(bg) / nb, round_to)).alias("top_bigram_frac"),
     ]
+
+
+def unigram_logppl(df, id_col: str, text_col: str):
+    """CCNet-style LM quality scoring with a corpus-trained UNIGRAM model:
+    per-document mean negative log-probability of its tokens under the
+    corpus-wide unigram frequency distribution — high logppl = tokens rare
+    in this corpus (gibberish / other-domain), low = boilerplate-ish. The
+    quality-bucket mechanic of CCNet (Wenzek et al. 2020) with the KenLM
+    5-gram swapped for the heaviest model expressible engine-side.
+
+    Two aggregation passes and one join, all whole-stage-codegen:
+    explode -> (doc, term) tf -> term counts; at 100 TB the vocabulary is
+    ZIPF-small relative to the corpus so the count join is broadcast-or-AQE,
+    and the corpus streams map-side. Float parity with the SQL oracle: the
+    per-doc sum's addition order differs between engines (~1e-16 relative),
+    so the final mean takes the moments treatment — +1e-10 nudge off
+    rounding boundaries, ROUND 6, +0.0 signed-zero normalization.
+
+    Returns one row per doc: (id, n_tokens, logppl)."""
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__term"))
+    tf = toks.groupBy(id_col, "__term").agg(F.count(F.lit(1)).alias("__tf"))
+    cnt = tf.groupBy("__term").agg(F.sum("__tf").alias("__cnt"))
+    tot = cnt.agg(F.sum("__cnt").alias("__t"))
+    per = tf.join(cnt, on="__term").crossJoin(F.broadcast(tot))
+    doc = per.groupBy(id_col).agg(
+        F.sum("__tf").alias("n_tokens"),
+        F.sum(F.col("__tf") * F.log(F.col("__cnt").cast("double") / F.col("__t"))).alias("__slp"),
+    )
+    return doc.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        (F.round(-F.col("__slp") / F.col("n_tokens") + F.lit(1e-10), 6) + F.lit(0.0)).alias("logppl"),
+    )

@@ -89,3 +89,15 @@ def test_semdedup_one_row_per_vector(spark):
     assert out.count() == len(vs)
     dropped = {r.vec_id: r.dup_of for r in out.where(F.col("dropped")).collect()}
     assert dropped == {100 + i: i for i in range(5)}
+
+
+def test_unigram_logppl_hand_computed(spark):
+    from chronon_spark.functions.text import unigram_logppl
+
+    # corpus: "a" x3, "b" x1 -> T=4; p(a)=3/4, p(b)=1/4
+    df = spark.createDataFrame([(1, "a a"), (2, "a b")], "doc_id int, text string")
+    out = {r.doc_id: r for r in unigram_logppl(df, "doc_id", "text").collect()}
+    ln = math.log
+    assert out[1].n_tokens == 2 and math.isclose(out[1].logppl, round(-ln(3 / 4) + 1e-10, 6))
+    exp2 = -(ln(3 / 4) + ln(1 / 4)) / 2
+    assert out[2].n_tokens == 2 and math.isclose(out[2].logppl, round(exp2 + 1e-10, 6))
