@@ -468,13 +468,16 @@ _FRONT_50 = [
     "vector_map_inputs",
     # red in r02 (signed-zero fix must land a green row)
     "asof_moments",
-    # ops uniques (green r02; rotated to keep a recent row)
+    # round-3: formerly pytest-only components now under the oracle gate
+    "staging_query_macros",
+    "bootstrap_covered",
+    "partition_stats_meta",
+    "twostack_trailing",
+    # ops uniques: priority to paths CHANGED this round (tiled fetch, the
+    # composite-kernel bucketed/map paths, streaming histogram rewrite);
+    # unchanged r01+r02-green queries rotate out past the cap
     "serving_fetch_tiled",
-    "sawtooth_tiled_rich",
     "stream_stats_tiles",
-    "label_join_forward",
-    "external_contextual",
-    "compare_metrics_drift",
     "asof_order_ops",
     "asof_bucketed_sum",
     "asof_histogram_ops",

@@ -1485,7 +1485,183 @@ FROM q
 """
 
 
+# ---------------------------------------------------------------- staging query
+
+
+def _q_staging_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StagingQuery under the oracle gate: free-form Spark SQL with the
+    reference's date macros ({{ start_date }}/{{ end_date }}/{{ latest_date }}),
+    stepped execution + per-step manifests (StagingQuery.scala:114-137).
+    The oracle replays the SQL with the macros hand-substituted."""
+    import tempfile
+
+    from chronon_spark.jobs.staging_query import run_staging_query
+
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("sq_events")
+    sql = """
+      SELECT date_format(ts, 'yyyy-MM-dd') AS ds, user_id,
+             COUNT(*) AS n_events, ROUND(SUM(value), 3) AS sum_value
+      FROM sq_events
+      WHERE date_format(ts, 'yyyy-MM-dd') BETWEEN {{ start_date }} AND {{ end_date }}
+      GROUP BY 1, 2
+    """
+    tmp = tempfile.mkdtemp(prefix="chronon_sq_")
+    run_staging_query(
+        spark, sql, "2024-01-05", "2024-01-16",
+        out_path=f"{tmp}/out", checkpoint_dir=f"{tmp}/ckpt", step_days=5,
+    )
+    # step dirs are range-named (not k=v), so read each step as its own root
+    import os
+
+    out = None
+    for step in sorted(os.listdir(f"{tmp}/out")):
+        d = spark.read.parquet(f"{tmp}/out/{step}")
+        out = d if out is None else out.unionByName(d)
+    return out.select(
+        F.col("ds").cast("string").alias("ds"), "user_id", "n_events", "sum_value"
+    )
+
+
+_SQL_STAGING_QUERY = """
+SELECT strftime(ts, '%Y-%m-%d') AS ds, user_id,
+       COUNT(*) AS n_events, ROUND(SUM(value), 3) AS sum_value
+FROM events
+WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-05' AND '2024-01-16'
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------- bootstrap
+
+
+def _q_bootstrap_covered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap correctness as a gate: rows covered by a precomputed feature
+    table (here: a real prior backfill of every 3rd turn) skip the as-of
+    computation and re-emit the bootstrap values; the oracle computes EVERY
+    row directly, so any drop/duplicate/coalesce defect in the covered-row
+    split hash-fails (reference JoinBootstrapJob covering-set semantics)."""
+    from chronon_spark.operators.bootstrap import bootstrap_asof_join
+
+    t = _transcripts(spark, sf_dir)
+    left = _user_left(t)
+    gb = GroupBy(
+        keys=["conv_id"],
+        aggregations=[
+            Aggregation("turn_idx", Op.COUNT, windows=("7d",)),
+            Aggregation("score", Op.SUM, windows=("7d",)),
+        ],
+        tie_breakers=["turn_idx"],
+    )
+    prev = asof_join(left.where(F.col("turn_idx") % 3 == 0), t, gb)
+    bootstrap_df = prev.select("conv_id", "turn_idx", "turn_idx_count_7d", "score_sum_7d")
+    out = bootstrap_asof_join(left, t, gb, bootstrap_df, row_keys=["conv_id", "turn_idx"])
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "tus",
+        F.col("turn_idx_count_7d").alias("n7"),
+        F.round(F.col("score_sum_7d"), 3).alias("s7"),
+    )
+
+
+_SQL_BOOTSTRAP = f"""
+WITH t AS ({_DUCK_T})
+SELECT q.conv_id AS conv_id, q.turn_idx AS turn_idx, q.tus AS tus,
+       (SELECT NULLIF(COUNT(e.turn_idx), 0) FROM t e
+         WHERE e.conv_id = q.conv_id AND e.tus < q.tus AND e.tus >= q.tus - {7 * US_D}) AS n7,
+       (SELECT ROUND(SUM(e.score), 3) FROM t e
+         WHERE e.conv_id = q.conv_id AND e.tus < q.tus AND e.tus >= q.tus - {7 * US_D}) AS s7
+FROM t q WHERE q.role = 'user'
+"""
+
+
+# ---------------------------------------------------------------- partition stats
+
+
+def _q_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only partition statistics (the reference's Iceberg
+    partition-stats extractor shape): write a ds-partitioned table, then read
+    per-partition row counts from parquet FOOTERS only — the oracle scans the
+    data and must agree with what the footers claim."""
+    import tempfile
+
+    from chronon_spark.plans.manifest import partition_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tmp = tempfile.mkdtemp(prefix="chronon_pstats_")
+    ev.withColumn("ds", F.date_format("ts", "yyyy-MM-dd")).write.mode("overwrite").partitionBy(
+        "ds"
+    ).parquet(f"{tmp}/tbl")
+    stats = partition_stats(spark, f"{tmp}/tbl")
+    return stats.select("ds", F.col("rows").alias("n_rows"))
+
+
+_SQL_PARTITION_STATS = """
+SELECT strftime(ts, '%Y-%m-%d') AS ds, COUNT(*) AS n_rows
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------- twostack
+
+
+def _q_twostack_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TwoStackLite sliding aggregator (the reference's
+    aggregator/base/TwoStackLiteAggregationBuffer.scala) driven end-to-end:
+    per conversation, events stream through one amortized-O(1) two-stack
+    buffer per (column, window) and every user turn reads (count 1h,
+    sum 7d) — must equal the oracle's direct window computation."""
+    import pandas as pd
+
+    from chronon_spark.aggregators.twostack import compute_parts_twostack
+
+    t = _transcripts(spark, sf_dir)
+    gb = GroupBy(
+        keys=["conv_id"],
+        aggregations=[
+            Aggregation("turn_idx", Op.COUNT, windows=("1h",)),
+            Aggregation("score", Op.SUM, windows=("7d",)),
+        ],
+        tie_breakers=["turn_idx"],
+    )
+    parts = gb.parts()
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["tus", "turn_idx"], kind="stable")
+        vals = {
+            "turn_idx": pdf["turn_idx"].to_numpy("float64"),
+            "score": pdf["score"].to_numpy("float64"),
+        }
+        q = pdf[pdf["role"] == "user"]
+        res = compute_parts_twostack(
+            pdf["tus"].to_numpy("int64"), vals, parts, q["tus"].to_numpy("int64")
+        )
+        out = q[["conv_id", "turn_idx", "tus"]].copy()
+        out["n1h"] = res["turn_idx_count_1h"]
+        out["s7"] = [None if v is None else round(float(v), 3) for v in res["score_sum_7d"]]
+        return out
+
+    return t.select("conv_id", "turn_idx", "tus", "score", "role").groupBy("conv_id").applyInPandas(
+        fn, "conv_id string, turn_idx int, tus long, n1h long, s7 double"
+    )
+
+
+_SQL_TWOSTACK = f"""
+WITH t AS ({_DUCK_T})
+SELECT q.conv_id AS conv_id, q.turn_idx AS turn_idx, q.tus AS tus,
+       (SELECT NULLIF(COUNT(e.turn_idx), 0) FROM t e
+         WHERE e.conv_id = q.conv_id AND e.tus < q.tus AND e.tus >= q.tus - {US_H}) AS n1h,
+       (SELECT ROUND(SUM(e.score), 3) FROM t e
+         WHERE e.conv_id = q.conv_id AND e.tus < q.tus AND e.tus >= q.tus - {7 * US_D}) AS s7
+FROM t q WHERE q.role = 'user'
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "staging_query_macros": _q_staging_query,
+    "bootstrap_covered": _q_bootstrap_covered,
+    "partition_stats_meta": _q_partition_stats,
+    "twostack_trailing": _q_twostack_trailing,
     "serving_fetch": _q_serving_fetch,
     "serving_fetch_tiled": _q_serving_fetch_tiled,
     "sawtooth_tiled_rich": _q_tiled_rich,
@@ -1516,6 +1692,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "staging_query_macros": _SQL_STAGING_QUERY,
+    "bootstrap_covered": _SQL_BOOTSTRAP,
+    "partition_stats_meta": _SQL_PARTITION_STATS,
+    "twostack_trailing": _SQL_TWOSTACK,
     "serving_fetch": _SQL_SERVING_FETCH,
     "serving_fetch_tiled": _SQL_SERVING_FETCH_TILED,
     "sawtooth_tiled_rich": _SQL_TILED_RICH,

@@ -115,8 +115,13 @@ def segment_dedup(
 
     100 TB shape: segments shuffle as 32-byte md5 keys (inverted index, the
     decontaminate pattern); the duplicated-hash set joins back broadcast-or-
-    shuffle per AQE. Never doc x doc."""
-    segs = df.select(F.col(id_col), F.explode(segment_hashes(text_col, n)).alias("__h"))
+    shuffle per AQE. Never doc x doc. Three branches read the segment frame
+    (dup set, per-doc totals, per-doc dup counts), so it goes through
+    persist_reused: ONE corpus scan + explode, branches scan the cache."""
+    segs = persist_reused(
+        df.select(F.col(id_col), F.explode(segment_hashes(text_col, n)).alias("__h")),
+        "segment_hashes",
+    )
     dup = (
         segs.groupBy("__h")
         .agg(F.count_distinct(id_col).alias("__nd"))

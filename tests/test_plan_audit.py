@@ -38,6 +38,7 @@ BNLJ_ALLOWED = {
     "drift_psi",
     "drift_numeric_lp",
     "tfidf_topk",
+    "unigram_logppl",  # crossJoin(broadcast(1-row total)) — scalar attach, like tfidf
 }
 
 # iterative/stateful queries execute eagerly inside (checkpoint/collect) —
