@@ -101,3 +101,87 @@ def test_unigram_logppl_hand_computed(spark):
     assert out[1].n_tokens == 2 and math.isclose(out[1].logppl, round(-ln(3 / 4) + 1e-10, 6))
     exp2 = -(ln(3 / 4) + ln(1 / 4)) / 2
     assert out[2].n_tokens == 2 and math.isclose(out[2].logppl, round(exp2 + 1e-10, 6))
+
+
+# ---------------------------------------------------------------- brute-force parity
+
+
+def _brute_segment_dedup(docs: list[tuple[int, str]], n: int = 8, min_docs: int = 2):
+    """Pure-python oracle: same segmentation, inverted index, fractions."""
+    import hashlib
+    from collections import defaultdict
+
+    segs = {}
+    for did, txt in docs:
+        toks = txt.split()
+        segs[did] = [
+            hashlib.md5(" ".join(toks[i * n : i * n + n]).encode()).hexdigest()
+            for i in range(len(toks) // n)
+        ]
+    owners = defaultdict(set)
+    for did, hs in segs.items():
+        for h in hs:
+            owners[h].add(did)
+    out = {}
+    for did, hs in segs.items():
+        nd = sum(1 for h in hs if len(owners[h]) >= min_docs)
+        out[did] = (len(hs), nd, nd / len(hs) if hs else None)
+    return out
+
+
+def test_segment_dedup_matches_bruteforce(spark):
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = []
+    for did in range(40):
+        L = rng.randint(0, 40)
+        docs.append((did, " ".join(rng.choice(vocab) for _ in range(L))))
+    # inject literal copies so cross-doc segments definitely exist
+    docs.append((100, docs[0][1]))
+    docs.append((101, docs[1][1] + " " + docs[2][1]))
+    exp = _brute_segment_dedup(docs)
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {
+        r.doc_id: (r.n_segments, r.n_dup, r.dup_frac)
+        for r in segment_dedup(df, "doc_id", "text").collect()
+    }
+    for did, (ns, nd, frac) in exp.items():
+        gns, gnd, gfrac = got[did]
+        assert (gns, gnd) == (ns, nd), f"doc {did}"
+        assert (gfrac is None) == (frac is None) and (frac is None or math.isclose(gfrac, frac))
+
+
+def test_semdedup_matches_bruteforce(spark):
+    """Within-bucket pair semantics vs a python replay using the SAME bucket
+    function (parity is about the drop/representative logic, not the LSH)."""
+    import random
+
+    rng = random.Random(11)
+    vecs = []
+    for i in range(40):
+        base = [rng.uniform(-1, 1) for _ in range(64)]
+        vecs.append((i, base))
+        if i % 7 == 0:  # a jittered near-copy likely above threshold
+            vecs.append((1000 + i, [x + rng.uniform(-0.01, 0.01) for x in base]))
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    rows = semdedup(df, threshold=0.9).collect()
+    cells = {r.vec_id: r.cell for r in rows}
+    # python replay on float32-rounded inputs (Spark stores array<float>)
+    import numpy as np
+
+    v32 = {i: np.asarray(v, np.float32).astype(np.float64) for i, v in vecs}
+
+    def cos(a, b):
+        return round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+
+    exp_dup = {}
+    for i, vi in v32.items():
+        lower = [
+            j for j, vj in v32.items() if j < i and cells[j] == cells[i] and cos(vj, vi) >= 0.9
+        ]
+        if lower:
+            exp_dup[i] = min(lower)
+    got = {r.vec_id: r.dup_of for r in rows if r.dropped}
+    assert got == exp_dup
