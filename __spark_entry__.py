@@ -346,7 +346,9 @@ def _q_snapshot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "conv_id",
         "ds",
         F.col("turn_idx_count_7d").alias("turns_7d"),
-        F.round(F.col("score_average_7d"), 6).alias("avg_score_7d"),
+        # +1e-10 nudge: AVG differs by 1 ulp between engines and one sf0.1 cell
+        # sits exactly on a 1e-6 rounding boundary (the moments treatment)
+        (F.round(F.col("score_average_7d") + F.lit(1e-10), 6) + F.lit(0.0)).alias("avg_score_7d"),
     )
 
 
@@ -359,7 +361,7 @@ q AS (SELECT conv_id, strftime(d, '%Y-%m-%d') AS ds,
 SELECT q.conv_id AS conv_id, q.ds AS ds,
        (SELECT NULLIF(COUNT(*), 0) FROM t e
          WHERE e.conv_id = q.conv_id AND e.tus < q.qtus AND e.tus >= q.qtus - {7 * US_D}) AS turns_7d,
-       (SELECT ROUND(AVG(e.score), 6) FROM t e
+       (SELECT ROUND(AVG(e.score) + 1e-10, 6) + 0.0 FROM t e
          WHERE e.conv_id = q.conv_id AND e.tus < q.qtus AND e.tus >= q.qtus - {7 * US_D}) AS avg_score_7d
 FROM q
 """
