@@ -383,7 +383,7 @@ def _q_transcript_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("role") == "user", 1).otherwise(0)).alias("n_user"),
         F.count("tool").alias("n_tool_calls"),
         (F.max("tus") - F.min("tus")).alias("span_us"),
-        F.round(F.avg("score"), 6).alias("avg_score"),
+        (F.round(F.avg("score") + F.lit(1e-10), 6) + F.lit(0.0)).alias("avg_score"),
         F.sum(
             F.when(
                 F.col("prev_role").isNotNull() & (F.col("prev_role") != F.col("role")),
@@ -403,7 +403,7 @@ SELECT conv_id,
        SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END)::BIGINT          AS n_user,
        COUNT(tool)                                                     AS n_tool_calls,
        MAX(tus) - MIN(tus)                                             AS span_us,
-       ROUND(AVG(score), 6)                                            AS avg_score,
+       ROUND(AVG(score) + 1e-10, 6) + 0.0                                            AS avg_score,
        SUM(CASE WHEN prev_role IS NOT NULL AND prev_role <> role
                 THEN 1 ELSE 0 END)::BIGINT                             AS n_handovers
 FROM l GROUP BY conv_id

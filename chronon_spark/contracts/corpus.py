@@ -730,7 +730,7 @@ def _q_quality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = d.select(
         "doc_id",
         text.lang_id("text").alias("lang"),
-        F.round(text.quality_score("text"), 6).alias("quality"),
+        (F.round(text.quality_score("text") + F.lit(1e-10), 6) + F.lit(0.0)).alias("quality"),
     )
     # two-phase salted top-k: a bare per-lang window would single-task each
     # language's sort at corpus scale (see functions/ranking.py)
@@ -754,7 +754,7 @@ scored AS (SELECT doc_id,
             ELSE 'es' END AS lang,
        ROUND(CASE WHEN len(toks) BETWEEN 10 AND 1000 THEN 0.4 ELSE 0.0 END
         + least(uniq, 0.5) * 0.6
-        + CASE WHEN punct < 0.1 THEN 0.2 ELSE 0.0 END, 6) AS quality
+        + CASE WHEN punct < 0.1 THEN 0.2 ELSE 0.0 END + 1e-10, 6) + 0.0 AS quality
 FROM s),
 ranked AS (SELECT doc_id, lang, quality,
                   CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id ASC) AS INT) AS rank

@@ -643,7 +643,7 @@ def _q_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
         "conv_id",
         "turn_idx",
         "tus",
-        F.round(F.col("n_2d_average_1d"), 6).alias("avg_n2d_1d"),
+        (F.round(F.col("n_2d_average_1d") + F.lit(1e-10), 6) + F.lit(0.0)).alias("avg_n2d_1d"),
         F.col("n_2d_last_1d").alias("last_n2d_1d"),
     )
 
@@ -656,7 +656,7 @@ enr AS (SELECT t1.conv_id, t1.turn_idx, t1.tus,
                    AND e.tus >= t1.tus - {2 * US_D}) AS n_2d
         FROM t t1)
 SELECT q.conv_id AS conv_id, q.turn_idx AS turn_idx, q.tus AS tus,
-       (SELECT ROUND(AVG(en.n_2d), 6) FROM enr en
+       (SELECT ROUND(AVG(en.n_2d) + 1e-10, 6) + 0.0 FROM enr en
          WHERE en.conv_id = q.conv_id AND en.tus < q.tus
            AND en.tus >= q.tus - {US_D}) AS avg_n2d_1d,
        (SELECT en.n_2d FROM enr en
