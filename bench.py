@@ -190,21 +190,28 @@ def main() -> int:
     # once so the first timed query isn't charged for worker startup
     qs["asof_join_features"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # min of 2 runs per query: the sandbox host's ambient load drifts by up
-    # to 10x between windows (see ambient_* probes) and is one-sided noise —
-    # the minimum is the engine's throughput, a single sample is the host's
-    # mood. Second run reuses the warm JVM/codegen but NOT cached data
-    # (noop sink, no persist), so it is a true re-execution.
+    # min of 2 runs per query (adaptively up to 4): the sandbox host's
+    # ambient load drifts by up to 10x between windows (see ambient_* probes)
+    # and is one-sided noise — the minimum is the engine's throughput, a
+    # single sample is the host's mood. When the two samples disagree by
+    # >25% the window was noisy, so keep sampling (two more at most) until
+    # two samples agree within 25% of the min. Re-runs reuse the warm
+    # JVM/codegen but NOT cached data (noop sink, no persist), so each is a
+    # true re-execution.
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         if name not in qs:
             continue
-        best = float("inf")
-        for _ in range(2):
+        samples: list[float] = []
+        while True:
             t0 = time.time()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            samples.append(time.time() - t0)
+            if len(samples) >= 2:
+                lo = min(samples)
+                if sum(1 for s in samples if s <= lo * 1.25) >= 2 or len(samples) >= 4:
+                    break
+        timings[name] = round(min(samples), 3)
     total = round(sum(timings.values()), 3)
     asof_sec = timings.get("asof_join_features", 1e-9)
     payload = {
