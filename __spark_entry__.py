@@ -475,6 +475,9 @@ _FRONT_50 = [
     "bootstrap_covered",
     "partition_stats_meta",
     "twostack_trailing",
+    # round-3: brand-new operators (never driver-checked yet)
+    "role_transitions",
+    "embedding_clusters",
     # ops uniques: priority to paths CHANGED this round (tiled fetch, the
     # composite-kernel bucketed/map paths, streaming histogram rewrite);
     # unchanged r01+r02-green queries rotate out past the cap
@@ -488,9 +491,9 @@ _FRONT_50 = [
     "join_multi_part",
     "entity_state_cdc",
 ]
-# adding segment_dedup + semdedup pushed the last two ops uniques
-# (join_multi_part, entity_state_cdc) to positions 51-52 — both were
-# driver-green in r01 AND r02 and keep their pytest coverage
+# the [:50] truncation parks the tail ops uniques (asof_lifetime,
+# multi_source_union, join_multi_part, entity_state_cdc) past the cap — all
+# four were driver-green in r01 AND r02 and keep their pytest coverage
 _FRONT_50 = _FRONT_50[:50]
 
 

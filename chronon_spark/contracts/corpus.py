@@ -15,7 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from chronon_spark.functions import dedup, multimodal, similarity, text
+from chronon_spark.functions import clustering, dedup, multimodal, similarity, text
 from chronon_spark.functions.similarity import plane_components
 
 # ---------------------------------------------------------------- helpers
@@ -454,6 +454,60 @@ hits AS (SELECT b.vec_id AS idb, min(a.vec_id) AS dup_of
 SELECT c.vec_id AS vec_id, c.cell AS cell, h.dup_of IS NOT NULL AS dropped, h.dup_of AS dup_of
 FROM cells c LEFT JOIN hits h ON c.vec_id = h.idb
 """
+
+
+def _q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained k-means (Lloyd's, 2 iterations from deterministic md5-ordered
+    seeds) over the embeddings table, under the hard oracle gate: the SQL twin
+    unrolls the identical iterations, so every centroid (3-dp-rounded per-dim
+    sums / exact counts) and every assignment (6-dp-rounded squared distance,
+    ties to the lower cluster id) must agree bit-for-bit."""
+    emb = _load_emb(spark, sf_dir).where(
+        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+    )
+    cents = clustering.kmeans_fit(emb, k=8, iters=2, dims=64)
+    out = clustering.kmeans_assign(emb, cents)
+    return out.select("vec_id", F.col("cluster").cast("long").alias("cluster"), "dist")
+
+
+def _kmeans_sql(k: int = 8, iters: int = 2, dims: int = 64) -> str:
+    """Unrolled Lloyd's iterations in DuckDB SQL — same seeds (md5-ordered),
+    same rounding (sums 3 dp, distances 6 dp, +1e-10 half-tie nudge, +0.0
+    signed-zero normalization), same empty-cluster keep-previous rule."""
+    rng = f"range(1, {dims + 1})"
+
+    def dist(cent: str) -> str:
+        return (
+            f"ROUND(list_sum(list_transform({rng},"
+            f" i -> (e.v[i] - {cent}[i]) * (e.v[i] - {cent}[i]))) + 1e-10, 6) + 0.0"
+        )
+
+    ctes = [
+        "e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v"
+        " FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL)",
+        "c0 AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1"
+        f" AS c, v AS cent FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k})",
+    ]
+    for it in range(iters):
+        ctes += [
+            f"d{it} AS (SELECT e.vec_id, s.c, {dist('s.cent')} AS dist FROM e CROSS JOIN c{it} s)",
+            f"a{it} AS (SELECT vec_id, c FROM (SELECT *, row_number() OVER"
+            f" (PARTITION BY vec_id ORDER BY dist, c) AS rn FROM d{it}) WHERE rn = 1)",
+            f"s{it} AS (SELECT a.c, t.i, ROUND(SUM(e.v[t.i]) + 1e-10, 3) + 0.0 AS sm,"
+            f" COUNT(*) AS n FROM a{it} a JOIN e USING (vec_id) CROSS JOIN {rng} t(i)"
+            " GROUP BY a.c, t.i)",
+            f"n{it + 1} AS (SELECT c, list(sm / n ORDER BY i) AS cent FROM s{it} GROUP BY c)",
+            f"c{it + 1} AS (SELECT p.c, COALESCE(x.cent, p.cent) AS cent"
+            f" FROM c{it} p LEFT JOIN n{it + 1} x USING (c))",
+        ]
+    ctes.append(
+        f"df AS (SELECT e.vec_id, s.c, {dist('s.cent')} AS dist FROM e CROSS JOIN c{iters} s)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT vec_id, c AS cluster, dist FROM (SELECT *, row_number() OVER"
+        " (PARTITION BY vec_id ORDER BY dist, c) AS rn FROM df) WHERE rn = 1"
+    )
 
 
 def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1052,6 +1106,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": _q_dedup_clusters,
     "dedup_simhash": _q_simhash_pairs,
     "embedding_topk": _q_embedding_topk,
+    "embedding_clusters": _q_embedding_clusters,
     "semdedup": _q_semdedup,
     "embedding_near_dups": _q_embedding_near_dups,
     "ann_lsh_topk": _q_ann_topk,
@@ -1084,6 +1139,7 @@ ORACLES: dict[str, str] = {
     "dedup_clusters": _SQL_DEDUP_CLUSTERS,
     "dedup_simhash": _simhash_sql(),
     "embedding_topk": _SQL_EMBEDDING_TOPK,
+    "embedding_clusters": _kmeans_sql(),
     "semdedup": _semdedup_sql(),
     "embedding_near_dups": _SQL_EMBEDDING_NEAR_DUPS,
     "ann_lsh_topk": _ann_sql(),

@@ -1657,8 +1657,40 @@ FROM t q WHERE q.role = 'user'
 """
 
 
+def _q_role_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix over turn roles: for every conversation the
+    (previous role -> role) bigram under the engine's stable turn ordering
+    (ts, then turn_idx — the per-turn-ordering invariant the north rule pins),
+    aggregated corpus-wide. Pure-integer output, one window pass + one
+    partial-agg shuffle; the window's conv_id exchange is the same clustering
+    every downstream per-conversation operator reuses."""
+    from pyspark.sql import Window
+
+    t = _transcripts(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("tus", "turn_idx")
+    pairs = t.withColumn("prev_role", F.lag("role").over(w)).where(
+        F.col("prev_role").isNotNull()
+    )
+    return pairs.groupBy("prev_role", "role").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("conv_id").alias("n_convs"),
+    )
+
+
+_SQL_ROLE_TRANSITIONS = f"""
+WITH t AS ({_DUCK_T}),
+p AS (SELECT conv_id, role,
+             LAG(role) OVER (PARTITION BY conv_id ORDER BY tus, turn_idx) AS prev_role
+      FROM t)
+SELECT prev_role, role, COUNT(*) AS n, COUNT(DISTINCT conv_id) AS n_convs
+FROM p WHERE prev_role IS NOT NULL
+GROUP BY prev_role, role
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "staging_query_macros": _q_staging_query,
+    "role_transitions": _q_role_transitions,
     "bootstrap_covered": _q_bootstrap_covered,
     "partition_stats_meta": _q_partition_stats,
     "twostack_trailing": _q_twostack_trailing,
@@ -1693,6 +1725,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "staging_query_macros": _SQL_STAGING_QUERY,
+    "role_transitions": _SQL_ROLE_TRANSITIONS,
     "bootstrap_covered": _SQL_BOOTSTRAP,
     "partition_stats_meta": _SQL_PARTITION_STATS,
     "twostack_trailing": _SQL_TWOSTACK,

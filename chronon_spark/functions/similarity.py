@@ -350,6 +350,7 @@ def ivf_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: corpus vectors live in their nearest-
     centroid cell; a query probes its `n_probe` nearest cells and exact-
@@ -367,15 +368,19 @@ def ivf_ann_topk(
         ivf_probe_cells_arrow,
     )
 
+    if centroids is not None:
+        n_centroids = len(centroids)
     cq = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("__qv"),
-        ivf_probe_cells_arrow(F.col(vec_col), n_centroids, n_probe, dims).alias("__probe"),
+        ivf_probe_cells_arrow(F.col(vec_col), n_centroids, n_probe, dims, centroids).alias(
+            "__probe"
+        ),
     )
     cq = cq.select(query_id_col, "__qv", F.explode("__probe").alias("cell"))
     cc = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
-        ivf_cell_arrow(F.col(vec_col), n_centroids, dims).alias("cell"),
+        ivf_cell_arrow(F.col(vec_col), n_centroids, dims, centroids).alias("cell"),
     )
     cand = F.broadcast(cq).join(cc, "cell").where(F.col(query_id_col) != F.col("neighbor_id"))
     scored = cand.select(

@@ -102,11 +102,16 @@ def lsh_buckets_arrow(vec: Column, n_tables: int, n_planes: int, dims: int) -> C
     return _buckets(vec)
 
 
-def _centroid_matrix(n_centroids: int, dims: int) -> tuple[np.ndarray, np.ndarray]:
+def _centroid_matrix(
+    n_centroids: int, dims: int, centroids: list[list[float]] | None = None
+) -> tuple[np.ndarray, np.ndarray]:
     from chronon_spark.functions.similarity import ivf_centroid_components
 
     comp = np.array(
-        [ivf_centroid_components(j, dims) for j in range(n_centroids)], dtype="float64"
+        centroids
+        if centroids is not None
+        else [ivf_centroid_components(j, dims) for j in range(n_centroids)],
+        dtype="float64",
     ).T  # (dims, C)
     half_norms = (comp * comp).sum(axis=0) / 2.0
     return comp, half_norms
@@ -118,10 +123,14 @@ def _ivf_scores_np(v: np.ndarray, comp: np.ndarray, half_norms: np.ndarray) -> n
     return _fold_dot_matrix(v, comp) - half_norms
 
 
-def ivf_cell_arrow(vec: Column, n_centroids: int, dims: int) -> Column:
+def ivf_cell_arrow(
+    vec: Column, n_centroids: int, dims: int, centroids: list[list[float]] | None = None
+) -> Column:
     """1-based nearest-centroid cell — first max on ties (np.argmax), same as
-    `array_position(scores, array_max(scores))`."""
-    comp, half_norms = _centroid_matrix(n_centroids, dims)
+    `array_position(scores, array_max(scores))`. Pass ``centroids`` (e.g. from
+    ``clustering.kmeans_fit``) to replace the fixed hash-recipe quantizer with
+    a trained one — cells tighten, the probe/re-rank machinery is unchanged."""
+    comp, half_norms = _centroid_matrix(n_centroids, dims, centroids)
 
     @pandas_udf("int")
     def _cell(col: pd.Series) -> pd.Series:
@@ -132,10 +141,16 @@ def ivf_cell_arrow(vec: Column, n_centroids: int, dims: int) -> Column:
     return _cell(vec)
 
 
-def ivf_probe_cells_arrow(vec: Column, n_centroids: int, n_probe: int, dims: int) -> Column:
+def ivf_probe_cells_arrow(
+    vec: Column,
+    n_centroids: int,
+    n_probe: int,
+    dims: int,
+    centroids: list[list[float]] | None = None,
+) -> Column:
     """array<int>: the query's n_probe best cells, ties to the lower index
     (stable argsort on negated scores ≡ the rank-expression semantics)."""
-    comp, half_norms = _centroid_matrix(n_centroids, dims)
+    comp, half_norms = _centroid_matrix(n_centroids, dims, centroids)
 
     @pandas_udf("array<int>")
     def _probes(col: pd.Series) -> pd.Series:
