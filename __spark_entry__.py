@@ -478,6 +478,7 @@ _FRONT_50 = [
     # round-3: brand-new operators (never driver-checked yet)
     "role_transitions",
     "embedding_clusters",
+    "ann_ivf_trained",
     # ops uniques: priority to paths CHANGED this round (tiled fetch, the
     # composite-kernel bucketed/map paths, streaming histogram rewrite);
     # unchanged r01+r02-green queries rotate out past the cap
@@ -491,9 +492,10 @@ _FRONT_50 = [
     "join_multi_part",
     "entity_state_cdc",
 ]
-# the [:50] truncation parks the tail ops uniques (asof_lifetime,
-# multi_source_union, join_multi_part, entity_state_cdc) past the cap — all
-# four were driver-green in r01 AND r02 and keep their pytest coverage
+# the [:50] truncation parks the tail ops uniques (asof_histogram_ops,
+# asof_lifetime, multi_source_union, join_multi_part, entity_state_cdc) past
+# the cap — all five were driver-green in r01 AND r02 and keep their pytest
+# coverage
 _FRONT_50 = _FRONT_50[:50]
 
 

@@ -470,18 +470,24 @@ def _q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.col("cluster").cast("long").alias("cluster"), "dist")
 
 
-def _kmeans_sql(k: int = 8, iters: int = 2, dims: int = 64) -> str:
-    """Unrolled Lloyd's iterations in DuckDB SQL — same seeds (md5-ordered),
-    same rounding (sums 3 dp, distances 6 dp, +1e-10 half-tie nudge, +0.0
-    signed-zero normalization), same empty-cluster keep-previous rule."""
+def _kmeans_dist(cent: str, dims: int) -> str:
+    """6-dp squared distance with half-tie nudge + signed-zero normalization
+    — the SQL twin of ``clustering._r(_dist2(...), 6)``."""
     rng = f"range(1, {dims + 1})"
+    return (
+        f"ROUND(list_sum(list_transform({rng},"
+        f" i -> (e.v[i] - {cent}[i]) * (e.v[i] - {cent}[i]))) + 1e-10, 6) + 0.0"
+    )
 
-    def dist(cent: str) -> str:
-        return (
-            f"ROUND(list_sum(list_transform({rng},"
-            f" i -> (e.v[i] - {cent}[i]) * (e.v[i] - {cent}[i]))) + 1e-10, 6) + 0.0"
-        )
 
+def _kmeans_ctes(k: int, iters: int, dims: int) -> list[str]:
+    """CTE chain shared by the k-means oracle and the trained-IVF oracle:
+    ``e`` (clean double vectors), ``c0`` (md5-ordered seeds), then per
+    iteration d/a/s/n/c — ends at ``c{iters}``, the trained centroids.
+    Same seeds (md5-ordered), same rounding (sums 3 dp, distances 6 dp,
+    +1e-10 half-tie nudge, +0.0 signed-zero normalization), same
+    empty-cluster keep-previous rule as ``clustering.kmeans_fit``."""
+    rng = f"range(1, {dims + 1})"
     ctes = [
         "e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v"
         " FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL)",
@@ -489,8 +495,9 @@ def _kmeans_sql(k: int = 8, iters: int = 2, dims: int = 64) -> str:
         f" AS c, v AS cent FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k})",
     ]
     for it in range(iters):
+        dist = _kmeans_dist("s.cent", dims)
         ctes += [
-            f"d{it} AS (SELECT e.vec_id, s.c, {dist('s.cent')} AS dist FROM e CROSS JOIN c{it} s)",
+            f"d{it} AS (SELECT e.vec_id, s.c, {dist} AS dist FROM e CROSS JOIN c{it} s)",
             f"a{it} AS (SELECT vec_id, c FROM (SELECT *, row_number() OVER"
             f" (PARTITION BY vec_id ORDER BY dist, c) AS rn FROM d{it}) WHERE rn = 1)",
             f"s{it} AS (SELECT a.c, t.i, ROUND(SUM(e.v[t.i]) + 1e-10, 3) + 0.0 AS sm,"
@@ -500,13 +507,74 @@ def _kmeans_sql(k: int = 8, iters: int = 2, dims: int = 64) -> str:
             f"c{it + 1} AS (SELECT p.c, COALESCE(x.cent, p.cent) AS cent"
             f" FROM c{it} p LEFT JOIN n{it + 1} x USING (c))",
         ]
-    ctes.append(
-        f"df AS (SELECT e.vec_id, s.c, {dist('s.cent')} AS dist FROM e CROSS JOIN c{iters} s)"
-    )
+    return ctes
+
+
+def _kmeans_sql(k: int = 8, iters: int = 2, dims: int = 64) -> str:
+    ctes = _kmeans_ctes(k, iters, dims)
+    dist = _kmeans_dist("s.cent", dims)
+    ctes.append(f"df AS (SELECT e.vec_id, s.c, {dist} AS dist FROM e CROSS JOIN c{iters} s)")
     return (
         "WITH " + ",\n".join(ctes) + "\n"
         "SELECT vec_id, c AS cluster, dist FROM (SELECT *, row_number() OVER"
         " (PARTITION BY vec_id ORDER BY dist, c) AS rn FROM df) WHERE rn = 1"
+    )
+
+
+_IVF_TRAINED_K, _IVF_TRAINED_ITERS, _IVF_TRAINED_PROBE = 8, 1, 2
+
+
+def _q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end TRAINED-quantizer ANN — the FAISS IVF recipe: k-means fits
+    the coarse quantizer on the corpus itself, then the SAME inverted-file
+    machinery (cell assign → probe → exact cosine re-rank) runs with the
+    trained centroids in place of the fixed hash-recipe Voronoi cells. Cells
+    follow the data distribution so recall rises at equal n_probe; the
+    probe/re-rank plan (broadcast queries, map-side corpus, one equi-join on
+    cell id) is byte-identical to `ann_ivf_topk`. The oracle replays the
+    training in SQL (shared k-means CTE chain) and the unrounded fold-order
+    dot-product scores, so cell boundaries and the final top-k must agree
+    bit-for-bit."""
+    emb = _load_emb(spark, sf_dir).where(
+        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+    )
+    cents = clustering.kmeans_fit(emb, k=_IVF_TRAINED_K, iters=_IVF_TRAINED_ITERS, dims=64)
+    queries = emb.where(F.col("vec_id") < 10).withColumnRenamed("vec_id", "query_id")
+    return similarity.ivf_ann_topk(
+        emb, queries, k=5, n_probe=_IVF_TRAINED_PROBE, dims=64, centroids=cents
+    )
+
+
+def _ivf_trained_sql(
+    k: int = _IVF_TRAINED_K, iters: int = _IVF_TRAINED_ITERS, n_probe: int = _IVF_TRAINED_PROBE
+) -> str:
+    rng = "range(1, 65)"
+    # score = v·c − |c|²/2, every sum a sequential fold (list_sum) — matches
+    # _fold_dot_matrix / _fold_sq_norm order in the Arrow kernels exactly
+    score = (
+        f"list_sum(list_transform({rng}, i -> e.v[i] * s.cent[i]))"
+        f" - list_sum(list_transform({rng}, i -> s.cent[i] * s.cent[i])) / 2.0"
+    )
+    ctes = _kmeans_ctes(k, iters, 64)
+    ctes += [
+        f"sc AS (SELECT e.vec_id, s.c, {score} AS score FROM e CROSS JOIN c{iters} s)",
+        "cells AS (SELECT vec_id, c AS cell FROM (SELECT *, row_number() OVER"
+        " (PARTITION BY vec_id ORDER BY score DESC, c) AS rn FROM sc) WHERE rn = 1)",
+        "probes AS (SELECT vec_id AS query_id, c AS cell FROM (SELECT *, row_number() OVER"
+        " (PARTITION BY vec_id ORDER BY score DESC, c) AS rn FROM sc WHERE vec_id < 10)"
+        f" WHERE rn <= {n_probe})",
+        "scored AS (SELECT p.query_id, ce.vec_id AS neighbor_id,"
+        f" {_cos_sql('qe.embedding', 'ne.embedding')} AS cos"
+        " FROM probes p JOIN cells ce ON p.cell = ce.cell"
+        " JOIN embeddings qe ON qe.vec_id = p.query_id"
+        " JOIN embeddings ne ON ne.vec_id = ce.vec_id"
+        " WHERE ce.vec_id != p.query_id)",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT query_id, rank, neighbor_id, cos FROM (SELECT *, row_number() OVER"
+        " (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)"
+        " WHERE rank <= 5"
     )
 
 
@@ -1107,6 +1175,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": _q_simhash_pairs,
     "embedding_topk": _q_embedding_topk,
     "embedding_clusters": _q_embedding_clusters,
+    "ann_ivf_trained": _q_ann_ivf_trained,
     "semdedup": _q_semdedup,
     "embedding_near_dups": _q_embedding_near_dups,
     "ann_lsh_topk": _q_ann_topk,
@@ -1140,6 +1209,7 @@ ORACLES: dict[str, str] = {
     "dedup_simhash": _simhash_sql(),
     "embedding_topk": _SQL_EMBEDDING_TOPK,
     "embedding_clusters": _kmeans_sql(),
+    "ann_ivf_trained": _ivf_trained_sql(),
     "semdedup": _semdedup_sql(),
     "embedding_near_dups": _SQL_EMBEDDING_NEAR_DUPS,
     "ann_lsh_topk": _ann_sql(),

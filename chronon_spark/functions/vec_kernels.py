@@ -113,7 +113,11 @@ def _centroid_matrix(
         else [ivf_centroid_components(j, dims) for j in range(n_centroids)],
         dtype="float64",
     ).T  # (dims, C)
-    half_norms = (comp * comp).sum(axis=0) / 2.0
+    # sequential fold across dims (NOT np.sum's pairwise order): for the fixed
+    # hash-recipe components the value is identical (x.5 squares are exact
+    # dyadics), and for TRAINED centroids (arbitrary doubles) this is what
+    # keeps the half-norm bitwise-reproducible by the oracle's list_sum
+    half_norms = _fold_sq_norm(comp.T) / 2.0
     return comp, half_norms
 
 
