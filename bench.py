@@ -75,6 +75,9 @@ BENCH_QUERIES = [
     "stream_stats_tiles",
     # added round 3 (kept after the r01/r02-comparable 49 so ratios hold)
     "vector_map_inputs",
+    "role_transitions",
+    "embedding_clusters",
+    "ann_ivf_trained",
 ]
 
 

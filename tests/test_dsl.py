@@ -1,0 +1,167 @@
+"""Authoring DSL (chronon_spark.dsl): the reference's Python conf surface
+must emit compiled-conf shapes that parse through chronon_spark.confs and
+backfill end-to-end — a user can port their conf repo by changing imports."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+from chronon_spark import dsl
+from chronon_spark.api import Op
+from chronon_spark.confs import load_conf, parse_aggregation, parse_group_by, parse_join
+
+
+def test_window_forms_and_operation_args():
+    assert dsl.Window(7, dsl.TimeUnit.DAYS) == {"length": 7, "timeUnit": 1}
+    # string windows normalize like the reference's windows.py
+    a = dsl.Aggregation("x", dsl.Operation.SUM, windows=["3d", "2h", "30m"])
+    assert a["windows"] == [
+        {"length": 3, "timeUnit": 1},
+        {"length": 2, "timeUnit": 0},
+        {"length": 30, "timeUnit": 2},
+    ]
+    # parameterized ops stringify args into argMap (OperationWithArgs shape)
+    b = dsl.Aggregation("x", dsl.Operation.LAST_K(10), windows=[dsl.Window(7, 1)])
+    assert b["operation"] == 13 and b["argMap"] == {"k": "10"}
+    p = dsl.Aggregation("x", dsl.Operation.APPROX_PERCENTILE([0.25, 0.75], k=256))
+    assert p["operation"] == 12
+    assert json.loads(p["argMap"]["percentiles"]) == [0.25, 0.75]
+    # defaults to LAST, like the reference
+    assert dsl.Aggregation("x")["operation"] == 3
+    # and the emitted dict round-trips through the compiled-conf parser
+    agg = parse_aggregation(b)
+    assert agg.op is Op.LAST_K and agg.k == 10 and agg.windows[0].spec == "7d"
+
+
+def test_selects_helper():
+    assert dsl.selects("a", "b", c="f(x)") == {"a": "a", "b": "b", "c": "f(x)"}
+
+
+def test_groupby_and_join_parse_through_conf_loader():
+    purchases = dsl.GroupBy(
+        name="test.purchases.v1",
+        sources=dsl.EventSource(
+            table="data.purchases",
+            query=dsl.Query(
+                selects=dsl.selects("user_id", "purchase_price"),
+                wheres=["purchase_price > 6"],
+                time_column="ts",
+            ),
+        ),
+        keys=["user_id"],
+        aggregations=[
+            dsl.Aggregation("purchase_price", dsl.Operation.SUM, windows=["14d"]),
+            dsl.Aggregation("purchase_price", dsl.Operation.LAST_K(10)),
+        ],
+        online=True,
+        offline_schedule="@daily",  # execution knob: recorded, not semantic
+    )
+    join = dsl.Join(
+        name="test.training_set.v1",
+        left=dsl.EventSource(
+            table="data.checkouts",
+            query=dsl.Query(selects={"uid": "user_id", "ts": "ts"}, time_column="ts"),
+        ),
+        right_parts=[
+            dsl.JoinPart(group_by=purchases, key_mapping={"uid": "user_id"}, prefix="p")
+        ],
+        derivations=[
+            dsl.Derivation("*", "*"),
+            dsl.Derivation("dbl", "p_purchase_price_sum_14d * 2"),
+        ],
+        row_ids="uid",
+    )
+    # json-stable (what compile_conf writes)
+    assert json.loads(dsl.compile_conf(join)) == join
+    lj = parse_join(join)
+    assert lj.name == "test.training_set.v1"
+    assert lj.left.table == "data.checkouts"
+    (lg, prefix, km), = lj.parts
+    assert prefix == "p" and km == {"uid": "user_id"}
+    assert lg.group_by.keys == ["user_id"]
+    assert {a.op for a in lg.group_by.aggregations} == {Op.SUM, Op.LAST_K}
+    assert lj.derivations == {"*": "*", "dbl": "p_purchase_price_sum_14d * 2"}
+    assert lj.row_ids == ["uid"]
+    gb = parse_group_by(purchases)
+    assert gb.sources[0].query.wheres == ["purchase_price > 6"]
+
+
+def _tables(spark):
+    t0 = dt.datetime(2024, 1, 10)
+    purchases = spark.createDataFrame(
+        [
+            (u, float(p), t0 + dt.timedelta(hours=h))
+            for u, p, h in [
+                ("u1", 10.0, -120), ("u1", 20.0, -30), ("u1", 40.0, -4),
+                ("u2", 5.0, -100), ("u2", 7.0, -1),
+            ]
+        ],
+        "user_id string, purchase_price double, ts timestamp",
+    )
+    checkouts = spark.createDataFrame(
+        [("u1", t0), ("u2", t0), ("u3", t0)],
+        "user_id string, ts timestamp",
+    )
+    return {"data.purchases": purchases, "data.checkouts": checkouts}
+
+
+def test_dsl_backfill_end_to_end(spark, tmp_path):
+    gb = dsl.GroupBy(
+        name="test.purchases",
+        sources=dsl.EventSource(
+            "data.purchases",
+            dsl.Query(
+                selects=dsl.selects("user_id", "purchase_price"),
+                wheres=["purchase_price > 6"],
+                time_column="ts",
+            ),
+        ),
+        keys=["user_id"],
+        aggregations=[
+            dsl.Aggregation(
+                "purchase_price", dsl.Operation.SUM, windows=[dsl.Window(14, dsl.TimeUnit.DAYS)]
+            )
+        ],
+    )
+    join = dsl.Join(
+        name="test.join.v1",
+        left=dsl.EventSource(
+            "data.checkouts", dsl.Query(selects={"uid": "user_id", "ts": "ts"}, time_column="ts")
+        ),
+        right_parts=[dsl.JoinPart(gb, key_mapping={"uid": "user_id"}, prefix="p")],
+        derivations=[
+            dsl.Derivation("*", "*"),
+            dsl.Derivation("dbl", "p_purchase_price_sum_14d * 2"),
+        ],
+    )
+    out = dsl.backfill_join(spark, join, _tables(spark)).toPandas().set_index("uid")
+    assert out.loc["u1", "p_purchase_price_sum_14d"] == 70.0
+    assert out.loc["u2", "p_purchase_price_sum_14d"] == 7.0  # where filtered 5.0
+    assert out.loc["u1", "dbl"] == 140.0
+    assert "u3" in out.index  # left row survives empty windows
+
+    # the SAME conf written to disk runs through the file-based loader
+    path = str(tmp_path / "join.json")
+    dsl.compile_conf(join, path)
+    from chronon_spark.confs import backfill_join_conf
+
+    out2 = backfill_join_conf(spark, path, _tables(spark)).toPandas().set_index("uid")
+    assert out2.loc["u1", "dbl"] == 140.0
+    assert isinstance(load_conf(path).name, str)
+
+
+def test_run_group_by_renders_union(spark):
+    gb = dsl.GroupBy(
+        sources=[
+            dsl.EventSource(
+                "data.purchases",
+                dsl.Query(selects=dsl.selects("user_id", "purchase_price"), time_column="ts"),
+            )
+        ],
+        keys=["user_id"],
+        aggregations=[dsl.Aggregation("purchase_price", dsl.Operation.SUM)],
+    )
+    df = dsl.run_group_by(spark, gb, _tables(spark))
+    assert set(df.columns) >= {"user_id", "purchase_price", "ts"}
+    assert df.count() == 5
