@@ -122,6 +122,8 @@ def _with_k(code: int) -> Callable[[int], tuple]:
 # a python class attribute can't be both int and callable, so the constants
 # above are the codes and these module-level callables are the arg forms —
 # Aggregation() accepts either (code, (code, argMap)) uniformly.
+APPROX_UNIQUE_COUNT_LGK = _with_k(Operation.APPROX_UNIQUE_COUNT)
+FREQUENT_K = _with_k(Operation.HISTOGRAM)  # exact top-k histogram, like the reference
 LAST_K = _with_k(Operation.LAST_K)
 FIRST_K = _with_k(Operation.FIRST_K)
 TOP_K = _with_k(Operation.TOP_K)
@@ -145,6 +147,8 @@ def APPROX_PERCENTILE(percentiles: Sequence[float], k: int = 128) -> tuple:
 # the reference while `Operation.LAST_K` stays usable as the bare code via
 # the int constants being shadowed — mirror the reference by making the
 # attribute THE callable (the reference's Operation.LAST_K is a staticmethod)
+Operation.APPROX_UNIQUE_COUNT_LGK = staticmethod(APPROX_UNIQUE_COUNT_LGK)  # type: ignore[assignment]
+Operation.FREQUENT_K = staticmethod(FREQUENT_K)  # type: ignore[assignment]
 Operation.LAST_K = staticmethod(LAST_K)  # type: ignore[assignment]
 Operation.FIRST_K = staticmethod(FIRST_K)  # type: ignore[assignment]
 Operation.TOP_K = staticmethod(TOP_K)  # type: ignore[assignment]

@@ -29,6 +29,10 @@ def test_window_forms_and_operation_args():
     assert json.loads(p["argMap"]["percentiles"]) == [0.25, 0.75]
     # defaults to LAST, like the reference
     assert dsl.Aggregation("x")["operation"] == 3
+    # FREQUENT_K compiles to HISTOGRAM+k, LGK to APPROX_UNIQUE_COUNT+k
+    fk = dsl.Aggregation("x", dsl.Operation.FREQUENT_K(4))
+    assert fk["operation"] == 17 and fk["argMap"] == {"k": "4"}
+    assert dsl.Operation.APPROX_UNIQUE_COUNT_LGK(12) == (5, {"k": "12"})
     # and the emitted dict round-trips through the compiled-conf parser
     agg = parse_aggregation(b)
     assert agg.op is Op.LAST_K and agg.k == 10 and agg.windows[0].spec == "7d"
