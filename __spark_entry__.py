@@ -452,6 +452,7 @@ _FRONT_50 = [
     "unigram_logppl",
     "dedup_exact",
     "segment_dedup",
+    "segment_dedup_rewrite",
     "dedup_minhash_lsh",
     "dedup_incremental",
     "dedup_ngram_jaccard",

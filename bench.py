@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "role_transitions",
     "embedding_clusters",
     "ann_ivf_trained",
+    "segment_dedup_rewrite",
 ]
 
 

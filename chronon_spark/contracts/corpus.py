@@ -192,6 +192,44 @@ FROM d LEFT JOIN per_doc p USING (doc_id) LEFT JOIN dups x USING (doc_id)
 """
 
 
+def _q_segment_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRANSFORM form of sub-document dedup (CCNet's actual output):
+    corpus-duplicated 8-token segments are removed and the text re-assembled
+    — the oracle must reproduce the cleaned string byte-for-byte."""
+    return dedup.segment_dedup_rewrite(
+        _load_docs(spark, sf_dir), "doc_id", "text", n=8, min_docs=2
+    )
+
+
+_SQL_SEGMENT_REWRITE = f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+seg AS (SELECT doc_id, i AS idx,
+               array_to_string(toks[i*8+1 : i*8+8], ' ') AS seg,
+               md5(array_to_string(toks[i*8+1 : i*8+8], ' ')) AS h
+        FROM d, unnest(range(len(toks) // 8)) AS u(i)),
+dup AS (SELECT h FROM seg GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+marked AS (SELECT s.*, dup.h IS NOT NULL AS dropped
+           FROM seg s LEFT JOIN dup ON s.h = dup.h),
+agg AS (SELECT doc_id, COUNT(*) AS n_segments,
+               SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS n_dropped,
+               COALESCE(string_agg(CASE WHEN NOT dropped THEN seg END, ' ' ORDER BY idx), '')
+                 AS kept
+        FROM marked GROUP BY doc_id),
+tails AS (SELECT doc_id,
+                 CASE WHEN len(toks) - (len(toks) // 8) * 8 > 0
+                      THEN array_to_string(toks[(len(toks) // 8) * 8 + 1 : len(toks)], ' ')
+                      ELSE '' END AS tail
+          FROM d)
+SELECT t.doc_id AS doc_id,
+       COALESCE(a.n_segments, 0)::BIGINT AS n_segments,
+       COALESCE(a.n_dropped, 0)::BIGINT AS n_dropped,
+       CASE WHEN COALESCE(a.kept, '') = '' THEN t.tail
+            WHEN t.tail = '' THEN a.kept
+            ELSE a.kept || ' ' || t.tail END AS cleaned_text
+FROM tails t LEFT JOIN agg a USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------- minhash LSH
 
 _NUM_HASHES, _BANDS, _SHINGLE_N, _J_THRESHOLD = 16, 4, 3, 0.5
@@ -1168,6 +1206,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_logppl": _q_unigram_logppl,
     "dedup_exact": _q_dedup_exact,
     "segment_dedup": _q_segment_dedup,
+    "segment_dedup_rewrite": _q_segment_rewrite,
     "dedup_minhash_lsh": _q_dedup_minhash,
     "dedup_incremental": _q_dedup_incremental,
     "dedup_ngram_jaccard": _q_ngram_jaccard,
@@ -1202,6 +1241,7 @@ ORACLES: dict[str, str] = {
     "unigram_logppl": _SQL_UNIGRAM_LOGPPL,
     "dedup_exact": _SQL_DEDUP_EXACT,
     "segment_dedup": _SQL_SEGMENT_DEDUP,
+    "segment_dedup_rewrite": _SQL_SEGMENT_REWRITE,
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_incremental": _incremental_sql(),
     "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,

@@ -145,6 +145,94 @@ def segment_dedup(
     )
 
 
+def _segment_parts(c: Column, n: int) -> Column:
+    """struct(segs: array<struct<idx,h,seg>>, tail: string) for one document:
+    the indexed n-token segments (hash + re-joined text) plus the <n-token
+    remainder. Let-bound through transform(array(tokens), ...) so the
+    whitespace split evaluates once per row (the CollapseProject re-inlining
+    trap documented on ``word_shingles``)."""
+
+    def body(t: Column) -> Column:
+        nseg = F.floor(F.size(t) / n).cast("int")
+        seg_txts = F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(0), nseg - 1),
+                lambda i: F.array_join(F.slice(t, i * n + 1, F.lit(n)), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        segs = F.transform(
+            seg_txts,
+            lambda x, i: F.struct(i.alias("idx"), F.md5(x).alias("h"), x.alias("seg")),
+        )
+        rest = F.size(t) - nseg * n
+        tail = F.when(
+            rest > 0, F.array_join(F.slice(t, nseg * n + 1, rest), " ")
+        ).otherwise(F.lit(""))
+        return F.struct(segs.alias("segs"), tail.alias("tail"))
+
+    return F.transform(F.array(tokens(c)), lambda t: body(t))[0]
+
+
+def segment_dedup_rewrite(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8, min_docs: int = 2
+) -> DataFrame:
+    """CCNet/RefinedWeb sub-document dedup as a TRANSFORM, not just a score:
+    every n-token segment that appears in >= ``min_docs`` DISTINCT documents
+    is REMOVED and the surviving text re-assembled (kept segments in order,
+    then the <n-token remainder). Whitespace normalizes to single spaces —
+    the standard consequence of token-level rewriting. Returns one row per
+    doc: (id, n_segments, n_dropped, cleaned_text).
+
+    100 TB shape: same inverted index as ``segment_dedup`` — segments
+    shuffle as 32-byte md5 keys, never doc x doc; the duplicated-hash set is
+    data-sized-small and joins back broadcast-or-shuffle per AQE;
+    re-assembly is one groupBy(id) whose state is the document's own segment
+    list (bounded by doc length). The segment frame feeds two branches (dup
+    set + join back), so it goes through persist_reused: one scan."""
+    parts = _segment_parts(F.col(text_col) if isinstance(text_col, str) else text_col, n)
+    base = df.select(F.col(id_col), parts.alias("__p"))
+    ex = persist_reused(
+        base.select(
+            id_col,
+            F.col("__p.tail").alias("__tail"),
+            F.explode_outer("__p.segs").alias("__s"),
+        ),
+        "segment_rewrite",
+    )
+    dup = (
+        ex.where(F.col("__s").isNotNull())
+        .groupBy(F.col("__s.h").alias("__h"))
+        .agg(F.count_distinct(id_col).alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select("__h")
+    )
+    j = ex.join(dup, ex["__s.h"] == dup["__h"], "left")
+    kept_struct = F.when(
+        F.col("__h").isNull() & F.col("__s").isNotNull(),
+        F.struct(F.col("__s.idx").alias("idx"), F.col("__s.seg").alias("seg")),
+    )
+    agg = j.groupBy(id_col).agg(
+        F.first("__tail").alias("__tail"),
+        F.count("__s").alias("n_segments"),
+        F.count("__h").alias("n_dropped"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(kept_struct)), lambda s: s["seg"]), " "
+        ).alias("__kept"),
+    )
+    cleaned = (
+        F.when(F.col("__kept") == "", F.col("__tail"))
+        .when(F.col("__tail") == "", F.col("__kept"))
+        .otherwise(F.concat(F.col("__kept"), F.lit(" "), F.col("__tail")))
+    )
+    return agg.select(
+        F.col(id_col),
+        F.col("n_segments").cast("long").alias("n_segments"),
+        F.col("n_dropped").cast("long").alias("n_dropped"),
+        cleaned.alias("cleaned_text"),
+    )
+
+
 # ---------------------------------------------------------------- minhash
 
 

@@ -185,3 +185,40 @@ def test_semdedup_matches_bruteforce(spark):
             exp_dup[i] = min(lower)
     got = {r.vec_id: r.dup_of for r in rows if r.dropped}
     assert got == exp_dup
+
+
+def test_segment_rewrite_removes_boilerplate_and_keeps_tail(spark):
+    from chronon_spark.functions.dedup import segment_dedup_rewrite
+
+    df = spark.createDataFrame(
+        [
+            (1, f"{W8_A} {W8_B} x y"),            # A boilerplate, B unique, tail "x y"
+            (2, f"{W8_A} z1 z2 z3 z4 z5 z6 z7 z8"),  # A boilerplate, z-seg unique
+            (3, "tiny doc"),                       # < 8 tokens: text passes through
+        ],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in segment_dedup_rewrite(df, "doc_id", "text").collect()}
+    assert (out[1].n_segments, out[1].n_dropped) == (2, 1)
+    assert out[1].cleaned_text == f"{W8_B} x y"
+    assert (out[2].n_segments, out[2].n_dropped) == (2, 1)
+    assert out[2].cleaned_text == "z1 z2 z3 z4 z5 z6 z7 z8"
+    assert (out[3].n_segments, out[3].n_dropped) == (0, 0)
+    assert out[3].cleaned_text == "tiny doc"
+
+
+def test_segment_rewrite_all_dropped_and_order(spark):
+    from chronon_spark.functions.dedup import segment_dedup_rewrite
+
+    # both segments boilerplate -> empty cleaned text; order preserved in doc 3
+    df = spark.createDataFrame(
+        [
+            (1, f"{W8_A} {W8_B}"),
+            (2, f"{W8_A} {W8_B}"),
+            (3, f"u1 u2 u3 u4 u5 u6 u7 u8 {W8_A} v1 v2 v3 v4 v5 v6 v7 v8"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in segment_dedup_rewrite(df, "doc_id", "text").collect()}
+    assert out[1].cleaned_text == "" and out[1].n_dropped == 2
+    assert out[3].cleaned_text == "u1 u2 u3 u4 u5 u6 u7 u8 v1 v2 v3 v4 v5 v6 v7 v8"
