@@ -90,7 +90,12 @@ def parse_aggregation(d: dict) -> Aggregation:
 @dataclass
 class LoadedSource:
     """One resolved source leg: a catalog table name + the row-level Query
-    to render over it (+ the event-time column the spec declared)."""
+    to render over it (+ the event-time column the spec declared). A
+    joinSource leg carries the PARENT join instead of a table — binding it
+    computes the parent's PITC backfill and scans the result (the
+    reference's JoinSource chaining, api.thrift Source.joinSource; this
+    engine's native form is "any join output is a source",
+    contracts/ops.py chained_join_source)."""
 
     table: str
     query: Query
@@ -98,12 +103,19 @@ class LoadedSource:
     cumulative: bool = False
     entity: bool = False  # entities source (snapshotTable)
     mutation_table: str | None = None
+    join_source: "LoadedJoin | None" = None
 
     def bind(self, resolve: Callable[[str], DataFrame]) -> DataFrame:
         """Resolve the table and render selects/wheres. The time column is
         always carried through under its own name (the reference appends it
         to the select list when rendering, GroupBy.scala renderDataSourceQuery)."""
-        df = resolve(self.table)
+        if self.join_source is not None:
+            from chronon_spark.operators.asof_join import compute_join
+
+            left_df, api_join = self.join_source.bind(resolve)
+            df = compute_join(left_df, api_join)
+        else:
+            df = resolve(self.table)
         q = self.query
         if q.selects and self.time_column not in q.selects:
             q = Query(
@@ -135,7 +147,16 @@ def parse_source(d: dict) -> LoadedSource:
             entity=True,
             mutation_table=en.get("mutationTable"),
         )
-    raise ValueError(f"unsupported source shape: {sorted(d)} (events/entities only)")
+    if "joinSource" in d:
+        js = d["joinSource"]
+        q = js.get("query") or {}
+        return LoadedSource(
+            table="",
+            query=Query(selects=q.get("selects"), wheres=list(q.get("wheres") or [])),
+            time_column=q.get("timeColumn") or "ts",
+            join_source=parse_join(js["join"]),
+        )
+    raise ValueError(f"unsupported source shape: {sorted(d)} (events/entities/joinSource)")
 
 
 def _derivations(lst) -> dict[str, str] | None:

@@ -169,3 +169,57 @@ def test_run_group_by_renders_union(spark):
     df = dsl.run_group_by(spark, gb, _tables(spark))
     assert set(df.columns) >= {"user_id", "purchase_price", "ts"}
     assert df.count() == 5
+
+
+def test_join_source_chaining(spark):
+    """A GroupBy over JoinSource(parent join): binding computes the parent's
+    PITC backfill and scans its output — the reference's chained-join shape
+    authored in the DSL."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    parent_gb = dsl.GroupBy(
+        name="test.purchases",
+        sources=dsl.EventSource(
+            "data.purchases",
+            dsl.Query(selects=dsl.selects("user_id", "purchase_price"), time_column="ts"),
+        ),
+        keys=["user_id"],
+        aggregations=[dsl.Aggregation("purchase_price", dsl.Operation.SUM, windows=["14d"])],
+    )
+    parent = dsl.Join(
+        name="test.parent",
+        left=dsl.EventSource(
+            "data.checkouts", dsl.Query(selects={"uid": "user_id", "ts": "ts"}, time_column="ts")
+        ),
+        right_parts=[dsl.JoinPart(parent_gb, key_mapping={"uid": "user_id"})],
+    )
+    chained_gb = dsl.GroupBy(
+        name="test.chained",
+        sources=dsl.JoinSource(
+            parent,
+            dsl.Query(
+                selects=dsl.selects("uid", feat="purchase_price_sum_14d"), time_column="ts"
+            ),
+        ),
+        keys=["uid"],
+        aggregations=[dsl.Aggregation("feat", dsl.Operation.LAST)],
+    )
+    # the chained GroupBy's rendered source IS the parent backfill
+    src = dsl.run_group_by(spark, chained_gb, _tables(spark))
+    got = {r["uid"]: r["feat"] for r in src.collect()}
+    assert got["u1"] == 70.0 and got["u2"] == 12.0 and got["u3"] is None
+
+    # and a second-hop join consumes it point-in-time (left 1h after t0)
+    t1 = dt.datetime(2024, 1, 10, 1)
+    later = spark.createDataFrame([("u1", t1), ("u2", t1)], "uid string, ts timestamp")
+    tables = {**_tables(spark), "data.later": later}
+    second = dsl.Join(
+        name="test.second_hop",
+        left=dsl.EventSource("data.later", dsl.Query(selects=dsl.selects("uid"), time_column="ts")),
+        right_parts=[dsl.JoinPart(chained_gb, prefix="c")],
+    )
+    out = dsl.backfill_join(spark, second, tables).toPandas().set_index("uid")
+    assert out.loc["u1", "c_feat_last"] == 70.0
+    assert out.loc["u2", "c_feat_last"] == 12.0
