@@ -205,6 +205,7 @@ class LoadedJoin:
     parts: list[tuple[LoadedGroupBy, str | None, dict[str, str] | None]]
     derivations: dict[str, str] | None = None
     row_ids: list[str] | None = None
+    skew_keys: dict[str, list[str]] | None = None  # col -> excluded hot values
 
     def bind(self, resolve: Callable[[str], DataFrame]) -> tuple[DataFrame, Join]:
         """Resolve every leg into (left DataFrame, api.Join) ready for
@@ -223,6 +224,7 @@ class LoadedJoin:
             left_time_column=self.left.time_column,
             join_parts=jps,
             derivations=self.derivations,
+            skew_keys=self.skew_keys,
             row_ids=self.row_ids,
         )
 
@@ -238,6 +240,7 @@ def parse_join(d: dict) -> LoadedJoin:
         parts=parts,
         derivations=_derivations(d.get("derivations")),
         row_ids=list(d["rowIds"]) if d.get("rowIds") else None,
+        skew_keys={k: list(v) for k, v in d["skewKeys"].items()} if d.get("skewKeys") else None,
     )
 
 

@@ -223,3 +223,28 @@ def test_join_source_chaining(spark):
     out = dsl.backfill_join(spark, second, tables).toPandas().set_index("uid")
     assert out.loc["u1", "c_feat_last"] == 70.0
     assert out.loc["u2", "c_feat_last"] == 12.0
+
+
+def test_skew_keys_flow_through(spark):
+    """skewKeys in a DSL/compiled Join exclude the listed hot values on both
+    sides of the backfill (the reference's skew-key anti-filter)."""
+    gb = dsl.GroupBy(
+        name="t.gb",
+        sources=dsl.EventSource(
+            "data.purchases",
+            dsl.Query(selects=dsl.selects("user_id", "purchase_price"), time_column="ts"),
+        ),
+        keys=["user_id"],
+        aggregations=[dsl.Aggregation("purchase_price", dsl.Operation.SUM, windows=["14d"])],
+    )
+    join = dsl.Join(
+        name="t.join",
+        left=dsl.EventSource(
+            "data.checkouts", dsl.Query(selects={"user_id": "user_id"}, time_column="ts")
+        ),
+        right_parts=[dsl.JoinPart(gb)],
+        skew_keys={"user_id": ["u1"]},
+    )
+    out = dsl.backfill_join(spark, join, _tables(spark)).toPandas()
+    assert "u1" not in set(out["user_id"])  # excluded hot key
+    assert {"u2", "u3"} <= set(out["user_id"])
