@@ -480,6 +480,7 @@ _FRONT_50 = [
     "role_transitions",
     "embedding_clusters",
     "ann_ivf_trained",
+    "curate_corpus",
     # ops uniques: priority to paths CHANGED this round (tiled fetch, the
     # composite-kernel bucketed/map paths, streaming histogram rewrite);
     # unchanged r01+r02-green queries rotate out past the cap

@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "embedding_clusters",
     "ann_ivf_trained",
     "segment_dedup_rewrite",
+    "curate_corpus",
 ]
 
 

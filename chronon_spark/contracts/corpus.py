@@ -1190,6 +1190,68 @@ SELECT domain, COUNT(*) AS n_urls, COUNT(DISTINCT doc_id) AS n_docs FROM u GROUP
 """
 
 
+# ---------------------------------------------------------------- curation
+
+
+def _q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED training-data pipeline (jobs/curate.py) under the hard
+    oracle gate: exact dedup -> lang/quality gate -> 8-gram decontamination
+    vs the eval slice -> deterministic split, as ONE query whose oracle
+    replays all four stages in sequence."""
+    from chronon_spark.jobs.curate import curate
+
+    d = _load_docs(spark, sf_dir)
+    bench = d.where(F.col("doc_id") % 20 == 0)
+    return curate(d, bench, min_quality=0.6)
+
+
+_SQL_CURATE = f"""
+WITH fp AS (SELECT doc_id, text,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+            FROM documents),
+keep AS (SELECT doc_id, text
+         FROM (SELECT *, min(doc_id) OVER (PARTITION BY f) AS k FROM fp)
+         WHERE doc_id = k),
+d AS (SELECT doc_id, text, {_TOKS} AS toks FROM keep),
+s AS (SELECT doc_id, toks,
+             {_lex_sql("de")} AS s_de, {_lex_sql("en")} AS s_en, {_lex_sql("es")} AS s_es,
+             len(list_distinct(toks))::DOUBLE / len(toks) AS uniq,
+             length(regexp_replace(text, '[\\w ]', '', 'g'))::DOUBLE / length(text) AS punct
+      FROM d),
+q AS (SELECT doc_id, toks,
+             CASE WHEN greatest(s_de, s_en, s_es) <= 0 THEN 'und'
+                  WHEN s_de >= s_en AND s_de >= s_es THEN 'de'
+                  WHEN s_en >= s_es THEN 'en'
+                  ELSE 'es' END AS lang,
+             (CASE WHEN len(toks) BETWEEN 10 AND 1000 THEN 0.4 ELSE 0.0 END
+              + least(uniq, 0.5) * 0.6
+              + CASE WHEN punct < 0.1 THEN 0.2 ELSE 0.0 END) AS quality,
+             len(toks)::BIGINT AS n_tokens
+      FROM s),
+g AS (SELECT * FROM q WHERE quality >= 0.6),
+braw AS (SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id % 20 = 0),
+bench AS (SELECT DISTINCT unnest(CASE WHEN len(toks) >= 8
+            THEN list_transform(range(1, len(toks) - 6),
+                                i -> md5(array_to_string(toks[i:i+7], ' ')))
+            ELSE []::VARCHAR[] END) AS h
+          FROM braw),
+gsh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 8
+          THEN list_transform(range(1, len(toks) - 6),
+                              i -> md5(array_to_string(toks[i:i+7], ' ')))
+          ELSE []::VARCHAR[] END)) AS h
+        FROM g),
+hit AS (SELECT DISTINCT gsh.doc_id FROM gsh JOIN bench USING (h)),
+clean AS (SELECT g.* FROM g WHERE doc_id NOT IN (SELECT doc_id FROM hit)),
+u AS (SELECT *,
+             (('0x' || substring(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)::DOUBLE
+             / {_U60!r} AS uu
+      FROM clean)
+SELECT doc_id, lang, quality, n_tokens,
+       CASE WHEN uu < 0.8 THEN 'train' WHEN uu < 0.9 THEN 'val' ELSE 'test' END AS split
+FROM u
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": _q_pii_scrub,
     "url_domains": _q_url_domains,
@@ -1207,6 +1269,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": _q_dedup_exact,
     "segment_dedup": _q_segment_dedup,
     "segment_dedup_rewrite": _q_segment_rewrite,
+    "curate_corpus": _q_curate_corpus,
     "dedup_minhash_lsh": _q_dedup_minhash,
     "dedup_incremental": _q_dedup_incremental,
     "dedup_ngram_jaccard": _q_ngram_jaccard,
@@ -1242,6 +1305,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact": _SQL_DEDUP_EXACT,
     "segment_dedup": _SQL_SEGMENT_DEDUP,
     "segment_dedup_rewrite": _SQL_SEGMENT_REWRITE,
+    "curate_corpus": _SQL_CURATE,
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_incremental": _incremental_sql(),
     "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
