@@ -85,6 +85,29 @@ def cmd_backfill(args) -> int:
     return backfill.main(argv)
 
 
+def cmd_conf_backfill(args) -> int:
+    """Resumable backfill of a compiled (or DSL-authored) Join conf — the
+    drop-in runner for conf repos: tables resolve by name from --tables
+    name=path pairs (parquet) or, with none given, from the session catalog
+    (spark.read.table)."""
+    from chronon_spark.confs import run_conf_backfill
+
+    spark = _spark(args)
+    if args.tables:
+        paths = dict(kv.split("=", 1) for kv in args.tables)
+
+        def resolve(name: str):
+            if name not in paths:
+                raise KeyError(f"table {name!r} not in --tables ({sorted(paths)})")
+            return spark.read.parquet(paths[name])
+
+    else:
+        resolve = spark.read.table
+    stats = run_conf_backfill(spark, args.conf, resolve, args.out, args.checkpoint)
+    print(json.dumps(stats))
+    return 0
+
+
 def cmd_group_by_upload(args) -> int:
     from chronon_spark.jobs.backfill import parse_gb
     from chronon_spark.jobs.upload import build_batch_irs
@@ -228,6 +251,15 @@ def main(argv=None) -> int:
             )
         _add_common(p)
         p.set_defaults(fn=cmd_backfill)
+
+    p = sub.add_parser("conf-backfill")
+    p.add_argument("--conf", required=True, help="compiled/DSL Join conf JSON")
+    p.add_argument("--tables", nargs="*", default=None, metavar="NAME=PATH",
+                   help="table name -> parquet path; omit to resolve via the session catalog")
+    p.add_argument("--out", required=True)
+    p.add_argument("--checkpoint", required=True)
+    _add_common(p)
+    p.set_defaults(fn=cmd_conf_backfill)
 
     p = sub.add_parser("group-by-upload")
     p.add_argument("--events", required=True)

@@ -272,3 +272,101 @@ def backfill_join_conf(
     fn = resolve if callable(resolve) else (lambda t: resolve[t])
     left_df, join = conf.bind(fn)
     return compute_join(left_df, join)
+
+
+def run_conf_backfill(
+    spark: SparkSession,
+    path: str,
+    resolve: Callable[[str], DataFrame] | dict[str, DataFrame],
+    out_path: str,
+    checkpoint_dir: str,
+) -> dict:
+    """Partitioned, checkpoint-resumable backfill of a compiled/DSL Join conf
+    — the conf-shaped twin of ``plans.manifest.run_partitioned_backfill``
+    (same unfilled-partition resume, lifecycle-managed sink, per-partition
+    lineage manifests with stage metrics), differing where confs differ:
+    every part's right side comes from ITS OWN resolved source tables, so the
+    per-partition scan pruning is a per-part window rewind on each right
+    frame rather than one shared events slice."""
+    import os
+    import time as _time
+
+    from dataclasses import replace
+
+    from pyspark.sql import functions as F
+
+    from chronon_spark.operators.asof_join import compute_join
+    from chronon_spark.plans.manifest import (
+        ENGINE_VERSION,
+        join_semantic_hash,
+        unfilled_partitions,
+    )
+    from chronon_spark.plans.table_lifecycle import ManagedTable, managed_table
+
+    conf = load_conf(path)
+    if not isinstance(conf, LoadedJoin):
+        raise ValueError(f"{path} is a GroupBy conf; run_conf_backfill needs a Join")
+    fn = resolve if callable(resolve) else (lambda t: resolve[t])
+    left_df, join = conf.bind(fn)
+    tcol = join.left_time_column
+    left = left_df
+    if "ds" not in left.columns:
+        left = left.withColumn("ds", F.date_format(tcol, "yyyy-MM-dd"))
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    all_ds = [r[0] for r in left.select("ds").distinct().orderBy("ds").collect()]
+    gb_hash = join_semantic_hash(join)
+    todo = unfilled_partitions(all_ds, checkpoint_dir, gb_hash)
+    sink = managed_table(spark, out_path, partition_col="ds")
+    total_out = 0
+    for ds in todo:
+        t0 = _time.time()
+        q_part = left.where(F.col("ds") == ds)
+        # per-part scan pruning (reference GroupBy.getIntersectedRange):
+        # each right frame keeps only rows its windows can reach from ds
+        hi = F.date_add(F.to_timestamp(F.lit(ds)), 1).cast("timestamp")
+        parts = []
+        for jp in join.join_parts:
+            mw = jp.group_by.max_window_millis
+            rdf = jp.right_df.where(F.col(jp.group_by.time_column) < hi)
+            if mw is not None:
+                lo = F.to_timestamp(F.lit(ds)) - F.expr(f"INTERVAL {mw // 1000} SECOND")
+                rdf = rdf.where(F.col(jp.group_by.time_column) >= lo)
+            parts.append(replace(jp, right_df=rdf))
+        out = compute_join(q_part, replace(join, join_parts=parts))
+        sink.insert_partitions(out, auto_expand=True, semantic_hash=gb_hash)
+        if isinstance(sink, ManagedTable):
+            part_path = os.path.join(out_path, f"ds={ds}")
+            n_out = spark.read.parquet(part_path).count()
+        else:
+            part_path = f"{out_path}/ds={ds}"
+            n_out = sink.read().where(F.col("ds") == ds).count()
+        total_out += n_out
+        manifest = {
+            "ds": ds,
+            "engine_version": ENGINE_VERSION,
+            "semantic_hash": gb_hash,
+            "inputs": {
+                "conf": {"path": path, "name": conf.name},
+                "left_rows": q_part.count(),
+            },
+            "output": {"path": part_path, "rows": n_out},
+            "spec": {
+                "join_parts": [
+                    {"prefix": jp.prefix, "parts": [jp.out_name(p) for p in jp.group_by.parts()]}
+                    for jp in join.join_parts
+                ],
+                "derivations": join.derivations,
+            },
+            "stage_metrics": {"wall_sec": round(_time.time() - t0, 3)},
+            "completed_at_unix": int(_time.time()),
+        }
+        tmp = os.path.join(checkpoint_dir, f".{ds}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, os.path.join(checkpoint_dir, f"{ds}.json"))
+    return {
+        "partitions_total": len(all_ds),
+        "partitions_computed": len(todo),
+        "partitions_skipped_resume": len(all_ds) - len(todo),
+        "rows_out": total_out,
+    }

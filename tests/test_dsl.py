@@ -248,3 +248,55 @@ def test_skew_keys_flow_through(spark):
     out = dsl.backfill_join(spark, join, _tables(spark)).toPandas()
     assert "u1" not in set(out["user_id"])  # excluded hot key
     assert {"u2", "u3"} <= set(out["user_id"])
+
+
+def test_run_conf_backfill_resume(spark, tmp_path):
+    """Conf-driven partitioned backfill: lineage manifests, full-skip resume,
+    and single-partition recompute after a deleted checkpoint."""
+    import json as _json
+    import os
+
+    from chronon_spark.confs import run_conf_backfill
+
+    # two left partitions
+    t0 = dt.datetime(2024, 1, 10)
+    t1 = dt.datetime(2024, 1, 11)
+    checkouts = spark.createDataFrame(
+        [("u1", t0), ("u2", t0), ("u1", t1)], "user_id string, ts timestamp"
+    )
+    tables = {**_tables(spark), "data.checkouts2": checkouts}
+    gb = dsl.GroupBy(
+        name="t.gb",
+        sources=dsl.EventSource(
+            "data.purchases",
+            dsl.Query(selects=dsl.selects("user_id", "purchase_price"), time_column="ts"),
+        ),
+        keys=["user_id"],
+        aggregations=[dsl.Aggregation("purchase_price", dsl.Operation.SUM, windows=["14d"])],
+    )
+    join = dsl.Join(
+        name="t.join",
+        left=dsl.EventSource(
+            "data.checkouts2", dsl.Query(selects=dsl.selects("user_id"), time_column="ts")
+        ),
+        right_parts=[dsl.JoinPart(gb)],
+    )
+    conf_path = str(tmp_path / "join.json")
+    dsl.compile_conf(join, conf_path)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    s1 = run_conf_backfill(spark, conf_path, tables, out, ckpt)
+    assert s1["partitions_total"] == 2 and s1["partitions_computed"] == 2
+    got = spark.read.parquet(out).toPandas()
+    r = got[(got["user_id"] == "u1") & (got["ds"].astype(str) == "2024-01-10")].iloc[0]
+    assert r["purchase_price_sum_14d"] == 70.0
+    # manifests carry lineage + stage metrics
+    m = _json.load(open(os.path.join(ckpt, "2024-01-10.json")))
+    assert m["inputs"]["conf"]["name"] == "t.join" and "wall_sec" in m["stage_metrics"]
+
+    s2 = run_conf_backfill(spark, conf_path, tables, out, ckpt)
+    assert s2["partitions_computed"] == 0 and s2["partitions_skipped_resume"] == 2
+
+    os.remove(os.path.join(ckpt, "2024-01-11.json"))
+    s3 = run_conf_backfill(spark, conf_path, tables, out, ckpt)
+    assert s3["partitions_computed"] == 1
