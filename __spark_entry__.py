@@ -426,19 +426,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # r01+r02 park past the cap — each keeps its equivalence pytest
 # (tests/test_strategies*, tests/test_*), so nothing loses coverage.
 _FRONT_50 = [
-    # core uniques (entry-file)
+    # core uniques (entry-file). trailing/tumbling/hopping and pii_scrub/
+    # url_domains/dedup_exact park this round: all are r01- and/or r02-green,
+    # unchanged since, and pytest-covered — their slots go to queries whose
+    # code changed this round or that have never had a driver row.
     "asof_join_features",
-    "trailing_window_features",
     "sessionize",
     "lag_lead",
-    "tumbling_1d",
-    "hopping_1h_15m",
     "sawtooth_13d",
     "snapshot_daily",
     "transcript_stats",
     # LLM-pipeline corpus block (driver-unreached tail of r02 comes with it)
-    "pii_scrub",
-    "url_domains",
     "decontaminate",
     "quality_topk_per_lang",
     "doc_chunks",
@@ -450,7 +448,6 @@ _FRONT_50 = [
     "repetition_quality",
     "lang_quality",
     "unigram_logppl",
-    "dedup_exact",
     "segment_dedup",
     "segment_dedup_rewrite",
     "dedup_minhash_lsh",
@@ -481,23 +478,30 @@ _FRONT_50 = [
     "embedding_clusters",
     "ann_ivf_trained",
     "curate_corpus",
-    # ops uniques: priority to paths CHANGED this round (tiled fetch, the
-    # composite-kernel bucketed/map paths, streaming histogram rewrite);
+    # round-3: previously pytest-only infrastructure now under the gate
+    # (MergeJob merge, compiled-conf resumable backfill, ManagedTable sink)
+    "modular_join_merge",
+    "conf_backfill_resume",
+    "managed_table_lifecycle",
+    # ops uniques: priority to paths CHANGED this round (tiled fetch merge
+    # vectorization, streaming histogram run-length rewrite, the rounding
+    # nudge in chained_join_source, the composite-kernel bucketed path);
     # unchanged r01+r02-green queries rotate out past the cap
     "serving_fetch_tiled",
     "stream_stats_tiles",
-    "asof_order_ops",
+    "chained_join_source",
     "asof_bucketed_sum",
+    "asof_order_ops",
     "asof_histogram_ops",
     "asof_lifetime",
     "multi_source_union",
     "join_multi_part",
     "entity_state_cdc",
 ]
-# the [:50] truncation parks the tail ops uniques (asof_histogram_ops,
-# asof_lifetime, multi_source_union, join_multi_part, entity_state_cdc) past
-# the cap — all five were driver-green in r01 AND r02 and keep their pytest
-# coverage
+# the [:50] truncation parks the tail ops uniques (asof_order_ops,
+# asof_histogram_ops, asof_lifetime, multi_source_union, join_multi_part,
+# entity_state_cdc) past the cap — all were driver-green in r01 AND r02 and
+# keep their pytest coverage
 _FRONT_50 = _FRONT_50[:50]
 
 

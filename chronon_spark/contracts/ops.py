@@ -1688,7 +1688,216 @@ GROUP BY prev_role, role
 """
 
 
+# --------------------------- modular merge / conf backfill / managed sink
+#
+# These put three previously pytest-only infrastructure components under the
+# driver's value-hash gate: the rowIds merge job, the compiled-conf resumable
+# backfill runner, and the ManagedTable sink lifecycle. Each runs the real
+# job against a throwaway workdir and returns the data it produced, so the
+# oracle checks the END-TO-END write/read path, not just the plan.
+
+
+def _q_modular_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's modular backfill decomposition (backfill-left +
+    JoinPartJob per part + MergeJob on rowIds; spark/src/main/scala/ai/
+    chronon/spark/batch/MergeJob.scala, JoinPartJob.scala): left materialized
+    once, one part table per JoinPart keyed by the join's rowIds
+    (thrift/api.thrift:426), equi-join merge + join-level derivations. Same
+    spec as ``join_multi_part`` so the two paths share an oracle — what's
+    under the gate here is the part-table write/merge machinery itself."""
+    import tempfile
+
+    from chronon_spark.jobs.modular_join import compute_join_modular
+
+    t = _transcripts(spark, sf_dir)
+    left = _user_left(t)
+    gb_all = GroupBy(
+        keys=["conv_id"],
+        aggregations=[Aggregation("turn_idx", Op.COUNT, windows=("7d",))],
+        tie_breakers=["turn_idx"],
+    )
+    gb_tool = GroupBy(
+        keys=["conv_id"],
+        aggregations=[Aggregation("turn_idx", Op.COUNT, windows=("7d",))],
+        tie_breakers=["turn_idx"],
+    )
+    join = Join(
+        left_time_column="ts",
+        join_parts=[
+            JoinPart(group_by=gb_all, right_df=t),
+            JoinPart(group_by=gb_tool, right_df=t.where(F.col("role") == "tool"), prefix="tool"),
+        ],
+        derivations={
+            "*": "*",
+            "tool_ratio": "CAST(tool_turn_idx_count_7d AS DOUBLE) / turn_idx_count_7d",
+        },
+        row_ids=["conv_id", "turn_idx"],
+    )
+    out = compute_join_modular(left, join, tempfile.mkdtemp(prefix="modular_merge_"))
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "tus",
+        F.col("turn_idx_count_7d").alias("n_7d"),
+        F.col("tool_turn_idx_count_7d").alias("n_tool_7d"),
+        "tool_ratio",
+    )
+
+
+def _q_conf_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compiled-conf resumable backfill end-to-end: a reference-shaped Join
+    conf (the canary compiled fixture schema, api/src/test/resources/canary/
+    compiled/joins/...; enum codes per thrift/api.thrift:198-230) is written
+    to disk, loaded by the conf loader, and run through the partitioned
+    checkpoint-resumable backfill into a ManagedTable sink — TWICE; the
+    second run must resume to a no-op off the per-partition lineage
+    manifests. Returned rows are the sink read-back, so conf parsing, PITC
+    backfill, manifest resume and sink write/read are all under the hash."""
+    import json as _json
+    import os
+    import tempfile
+
+    from chronon_spark.confs import run_conf_backfill
+    from chronon_spark.plans.table_lifecycle import managed_table
+
+    conf = {
+        "metaData": {"name": "contracts.conf_backfill.v1"},
+        "left": {
+            "events": {
+                "table": "data.transcripts",
+                "query": {
+                    "selects": {"conv_id": "conv_id", "turn_idx": "turn_idx", "tus": "tus"},
+                    "wheres": ["role = 'user'", "ts >= TIMESTAMP '2024-01-25 00:00:00'"],
+                    "timeColumn": "ts",
+                },
+            }
+        },
+        "rowIds": ["conv_id", "turn_idx"],
+        "joinParts": [
+            {
+                "groupBy": {
+                    "metaData": {"name": "contracts.turns_by_conv"},
+                    "keyColumns": ["conv_id"],
+                    "sources": [
+                        {
+                            "events": {
+                                "table": "data.transcripts",
+                                "query": {
+                                    "selects": {"conv_id": "conv_id", "score": "score"},
+                                    "timeColumn": "ts",
+                                },
+                            }
+                        }
+                    ],
+                    "aggregations": [
+                        # COUNT over 7d, SUM over 3d (codes 6 / 7, DAYS = 1)
+                        {
+                            "inputColumn": "score",
+                            "operation": 6,
+                            "windows": [{"length": 7, "timeUnit": 1}],
+                        },
+                        {
+                            "inputColumn": "score",
+                            "operation": 7,
+                            "windows": [{"length": 3, "timeUnit": 1}],
+                        },
+                    ],
+                }
+            }
+        ],
+        "derivations": [
+            {"name": "*", "expression": "*"},
+            {"name": "score_per_day_7d", "expression": "score_sum_3d / 3.0"},
+        ],
+    }
+    workdir = tempfile.mkdtemp(prefix="conf_backfill_")
+    path = os.path.join(workdir, "training_set.v1")
+    with open(path, "w") as f:
+        _json.dump(conf, f)
+    t = _transcripts(spark, sf_dir)
+    out_path = os.path.join(workdir, "out")
+    ckpt = os.path.join(workdir, "ckpt")
+    run_conf_backfill(spark, path, {"data.transcripts": t}, out_path, ckpt)
+    again = run_conf_backfill(spark, path, {"data.transcripts": t}, out_path, ckpt)
+    if again["partitions_computed"] != 0:
+        raise AssertionError(f"resume recomputed partitions: {again}")
+    res = managed_table(spark, out_path).read()
+    return res.select(
+        "conv_id",
+        "turn_idx",
+        "tus",
+        F.col("score_count_7d").alias("n_7d"),
+        (F.round(F.col("score_sum_3d"), 3) + F.lit(0.0)).alias("score_3d"),
+        (F.round(F.col("score_per_day_7d"), 4) + F.lit(0.0)).alias("score_rate"),
+    )
+
+
+_SQL_CONF_BACKFILL = f"""
+WITH t AS ({_DUCK_T})
+SELECT q.conv_id AS conv_id, q.turn_idx AS turn_idx, q.tus AS tus,
+       (SELECT NULLIF(COUNT(e.score), 0) FROM t e
+         WHERE e.conv_id = q.conv_id AND e.tus < q.tus
+           AND e.tus >= q.tus - {7 * US_D}) AS n_7d,
+       ROUND((SELECT SUM(e.score) FROM t e
+         WHERE e.conv_id = q.conv_id AND e.tus < q.tus
+           AND e.tus >= q.tus - {3 * US_D}), 3) + 0 AS score_3d,
+       ROUND((SELECT SUM(e.score) FROM t e
+         WHERE e.conv_id = q.conv_id AND e.tus < q.tus
+           AND e.tus >= q.tus - {3 * US_D}) / 3.0, 4) + 0 AS score_rate
+FROM t q
+WHERE q.role = 'user' AND q.ts >= TIMESTAMP '2024-01-25 00:00:00'
+"""
+
+
+def _q_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ManagedTable sink lifecycle under the hash gate: a per-(ds, conv)
+    daily rollup lands in a throwaway managed table via THREE snapshot
+    commits — first half of the calendar, then the rest (incremental
+    append), then an idempotent re-fill of one partition (the standard
+    backfill-repair motion; live data must not change) — followed by
+    small-file compaction. The returned rows are the live read-back, so
+    partition overwrite isolation, snapshot versioning, time-travel history
+    and compaction rewrite are all value-checked against the plain rollup.
+
+    Reference lifecycle surface: TableUtils.insertPartitions/expandTable
+    (spark/src/main/scala/ai/chronon/spark/catalog/TableUtils.scala:689-772),
+    Iceberg snapshots/compaction (catalog/Iceberg.scala)."""
+    import tempfile
+
+    from chronon_spark.plans.table_lifecycle import managed_table
+
+    t = _transcripts(spark, sf_dir)
+    daily = t.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("ds"), "conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        (F.round(F.sum("score"), 3) + F.lit(0.0)).alias("score_sum"),
+    )
+    sink = managed_table(spark, tempfile.mkdtemp(prefix="lifecycle_") + "/tbl")
+    sink.insert_partitions(daily.where(F.col("ds") < "2024-01-16"), semantic_hash="v1")
+    sink.insert_partitions(daily.where(F.col("ds") >= "2024-01-16"), semantic_hash="v1")
+    sink.insert_partitions(daily.where(F.col("ds") == "2024-01-01"), semantic_hash="v1")
+    if sink.current_version() != 3:
+        raise AssertionError(f"expected 3 snapshot commits, got {sink.current_version()}")
+    # time-travel: snapshot 1 must still see only the first half
+    v1_parts = {r[0] for r in sink.read(version=1).select("ds").distinct().collect()}
+    if max(v1_parts) >= "2024-01-16":
+        raise AssertionError(f"snapshot 1 leaked later partitions: {sorted(v1_parts)[-3:]}")
+    sink.compact(target_file_bytes=512 * 1024 * 1024)
+    return sink.read().select("ds", "conv_id", "n_turns", "score_sum")
+
+
+_SQL_TABLE_LIFECYCLE = f"""
+WITH t AS ({_DUCK_T})
+SELECT strftime(ts, '%Y-%m-%d') AS ds, conv_id,
+       COUNT(*) AS n_turns,
+       ROUND(SUM(score), 3) + 0 AS score_sum
+FROM t GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "modular_join_merge": _q_modular_merge,
+    "conf_backfill_resume": _q_conf_backfill,
+    "managed_table_lifecycle": _q_table_lifecycle,
     "staging_query_macros": _q_staging_query,
     "role_transitions": _q_role_transitions,
     "bootstrap_covered": _q_bootstrap_covered,
@@ -1724,6 +1933,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "modular_join_merge": _SQL_MULTI_PART,
+    "conf_backfill_resume": _SQL_CONF_BACKFILL,
+    "managed_table_lifecycle": _SQL_TABLE_LIFECYCLE,
     "staging_query_macros": _SQL_STAGING_QUERY,
     "role_transitions": _SQL_ROLE_TRANSITIONS,
     "bootstrap_covered": _SQL_BOOTSTRAP,
