@@ -51,8 +51,12 @@ _DUCK_TRANSCRIPTS = """
 
 
 def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = transcripts_from_events(spark, sf_dir)
-    return t.withColumn("tus", F.unix_micros(F.col("ts").cast("timestamp")))
+    # session-scoped cache shared with contracts/ops.py: the transcript table
+    # is the engine's stored input in production; without a cache every plan
+    # branch re-runs the events->transcripts window derivation (test plumbing)
+    from chronon_spark.contracts.ops import _transcripts as _t
+
+    return _t(spark, sf_dir)
 
 
 def _configure(spark: SparkSession) -> None:

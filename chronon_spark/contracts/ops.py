@@ -34,9 +34,26 @@ _DUCK_T = """
 """
 
 
+# In a real deployment the transcript table IS the stored input (the
+# engine's input contract: conv_id/turn_idx/role/text/tool/ts at rest);
+# deriving it from the synthetic events fixture is test plumbing. Without a
+# cache every plan BRANCH that scans transcripts (a join's left + each
+# part's right, an IR build's collapsed + tail slices + stream side) re-runs
+# the window derivation — the serving-fetch query paid it 4-5x per run.
+# Session-scoped persist = "the table is materialized", which is what the
+# operators would see in production.
+_T_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _T_CACHE.get(key)
+    if hit is not None:
+        return hit
     t = transcripts_from_events(spark, sf_dir)
-    return t.withColumn("tus", F.unix_micros(F.col("ts").cast("timestamp")))
+    t = t.withColumn("tus", F.unix_micros(F.col("ts").cast("timestamp"))).persist()
+    _T_CACHE[key] = t
+    return t
 
 
 def _user_left(t: DataFrame) -> DataFrame:

@@ -215,18 +215,23 @@ class ManagedTable:
                 for f in final_schema.fields
             ]
         )
-        # dynamic partition overwrite: replace exactly the incoming partitions.
-        # Superseded files retire into hidden commit dirs first, so every
-        # write is a snapshot commit and old versions stay readable.
+        # dynamic partition overwrite: replace exactly the incoming partitions
+        # in ONE Spark job (`partitionOverwriteMode=dynamic` truncates only
+        # the ds=* dirs present in df; root sidecar files and `._history` are
+        # untouched). The incoming partition list is a metadata-sized collect
+        # (calendar-bounded) needed for commit bookkeeping; superseded files
+        # retire into hidden commit dirs BEFORE the write, so every write is
+        # a snapshot commit and old versions stay readable. A per-partition
+        # write loop here would be P driver-sequenced jobs — at production
+        # partition counts that serializes the sink on the driver.
         parts = [str(r[0]) for r in out.select(self.partition_col).distinct().collect()]
         live_map = self._live_commit_map()
         version = self.current_version() + 1
         for p in parts:
             self._retire_live_files(p, live_map.get(p, 0))
-            part_dir = os.path.join(self.path, f"{self.partition_col}={p}")
-            out.where(F.col(self.partition_col) == p).drop(self.partition_col).write.mode(
-                "overwrite"
-            ).parquet(part_dir)
+        out.write.mode("overwrite").option("partitionOverwriteMode", "dynamic").partitionBy(
+            self.partition_col
+        ).parquet(self.path)
         snaps = self.snapshots()
         snaps.append(
             {
@@ -300,29 +305,51 @@ class ManagedTable:
         schema = self.schema()
         live_map = self._live_commit_map()
         version = self.current_version() + 1
-        rewritten = []
+        # plan: local file-metadata scan picks the over-fragmented partitions
+        # and their target file counts (no Spark job)
+        plan: dict[str, int] = {}
         for p in self.partitions():
             part_dir = os.path.join(self.path, f"{self.partition_col}={p}")
             files = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
             n_bytes = sum(os.path.getsize(os.path.join(part_dir, f)) for f in files)
             want = max(1, -(-n_bytes // target_file_bytes))
-            if len(files) <= want:
-                continue
-            data_schema = T.StructType(
-                [f for f in schema.fields if f.name != self.partition_col]
+            if len(files) > want:
+                plan[p] = int(want)
+        rewritten = sorted(plan)
+        if rewritten:
+            # ONE Spark job rewrites every planned partition (a per-partition
+            # rewrite loop would be P driver-sequenced jobs — Iceberg's
+            # rewrite_data_files is likewise one action): routing each row to
+            # (partition, file-slot) via repartition on (ds, salt) yields
+            # exactly `want` output files per partition from one write.
+            dirs = [os.path.join(self.path, f"{self.partition_col}={p}") for p in rewritten]
+            df = (
+                self.spark.read.schema(schema)
+                .option("basePath", self.path)
+                .parquet(*dirs)
+                .select(*[f.name for f in schema.fields])
             )
-            df = self.spark.read.schema(data_schema).parquet(part_dir).coalesce(int(want))
-            tmp_dir = os.path.join(self.path, f"._compact_tmp_{p}")
-            df.write.mode("overwrite").parquet(tmp_dir)
-            self._retire_live_files(p, live_map.get(p, 0))
-            for f in os.listdir(tmp_dir):
-                if not f.startswith((".", "_")):
-                    os.replace(os.path.join(tmp_dir, f), os.path.join(part_dir, f))
+            want_map = F.create_map(
+                *[x for p in rewritten for x in (F.lit(p), F.lit(plan[p]))]
+            )
+            data_cols = [f.name for f in schema.fields if f.name != self.partition_col]
+            salt = F.pmod(
+                F.xxhash64(*data_cols), want_map[F.col(self.partition_col).cast("string")]
+            )
+            df = df.repartition(sum(plan.values()), F.col(self.partition_col), salt)
+            tmp_dir = os.path.join(self.path, "._compact_tmp")
+            df.write.mode("overwrite").partitionBy(self.partition_col).parquet(tmp_dir)
             import shutil
 
+            for p in rewritten:
+                self._retire_live_files(p, live_map.get(p, 0))
+                src = os.path.join(tmp_dir, f"{self.partition_col}={p}")
+                dst = os.path.join(self.path, f"{self.partition_col}={p}")
+                for f in os.listdir(src):
+                    if not f.startswith((".", "_")):
+                        os.replace(os.path.join(src, f), os.path.join(dst, f))
+                live_map[p] = version
             shutil.rmtree(tmp_dir)
-            live_map[p] = version
-            rewritten.append(p)
         if rewritten:
             snaps = self.snapshots()
             snaps.append(
