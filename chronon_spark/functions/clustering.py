@@ -88,9 +88,13 @@ def kmeans_fit(
     if not cents:
         raise ValueError("kmeans_fit: corpus has no non-null vectors")
     v = F.col(vec_col)
+    # same row population as kmeans_seeds and the SQL oracle's base CTE
+    # (id AND vector non-null) — a null-id row entering only the assignment
+    # step would train centroids the oracle can't reproduce
+    fit_rows = corpus.where(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
     for _ in range(iters):
         scores = _scores(v, cents)
-        assigned = corpus.where(F.col(vec_col).isNotNull()).select(
+        assigned = fit_rows.select(
             (F.array_position(scores, F.array_min(scores)) - 1).alias("__c"), vec_col
         )
         stats = assigned.groupBy("__c").agg(

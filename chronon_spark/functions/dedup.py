@@ -29,6 +29,11 @@ from chronon_spark.functions.text import (
     word_shingles,
 )
 
+# session-id -> persisted scratch frames, oldest first (see persist_reused)
+_PERSISTED_REGISTRY: dict[str, list] = {}
+_PERSIST_KEEP = 8
+
+
 def persist_reused(df: DataFrame, what: str) -> DataFrame:
     """Persist a frame that multiple join branches re-derive (the winnow
     join-back's fingerprint arrays, the minhash band self-join's signatures):
@@ -52,6 +57,15 @@ def persist_reused(df: DataFrame, what: str) -> DataFrame:
     # stderr: stdout is reserved for the one-line JSON contract of
     # bench.py / backfill.py drivers
     print(f'{{"persisted": "{what}", "rows": {n}}}', file=sys.stderr)
+    # bounded registry: these caches are single-query scratch; nothing
+    # unpersists them otherwise, and a long-lived session (repeated bench
+    # runs, a resident pipeline driver) would pin memory/disk without bound.
+    # Evicting the oldest beyond a small window is safe — persist is
+    # advisory, an evicted frame silently recomputes.
+    reg = _PERSISTED_REGISTRY.setdefault(spark.sparkContext.applicationId, [])
+    reg.append(out)
+    while len(reg) > _PERSIST_KEEP:
+        reg.pop(0).unpersist(blocking=False)
     return out
 
 

@@ -560,8 +560,16 @@ class CatalogTable:
         if self._v2:
             out.writeTo(self._ident).overwritePartitions()
         else:
-            # V1 path: dynamic partition overwrite via insertInto — set the
-            # session conf for the write and restore it after
+            # V1 path: dynamic partition overwrite via insertInto. The
+            # per-write `option("partitionOverwriteMode", ...)` is NOT
+            # honored by insertInto on catalog tables (verified: the write
+            # went static and dropped untouched partitions), so the session
+            # conf toggle is the only switch. CAVEAT: this mutates session-
+            # global state for the duration of the write — two THREADS
+            # sharing one SparkSession must not run a static-mode overwrite
+            # concurrently with this insert. Per-job sessions (the engine's
+            # launch mode) are unaffected; Iceberg's writeTo path above has
+            # no such global.
             conf = self.spark.conf
             prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
             conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -586,11 +594,20 @@ class CatalogTable:
     def partitions(self) -> list[str]:
         if self._v2:
             # Iceberg: SHOW PARTITIONS is unsupported; the .partitions
-            # metadata table is the documented listing
-            rows = self.spark.sql(
-                f"SELECT DISTINCT `{self.partition_col}` FROM {self._ident}"
-            ).collect()
-            return sorted(str(r[0]) for r in rows)
+            # metadata table is the documented listing (catalog/Iceberg.scala
+            # :35-106 reads the same table) — a metadata lookup, where a
+            # SELECT DISTINCT over the data would scan the whole table
+            try:
+                rows = self.spark.sql(
+                    f"SELECT partition.`{self.partition_col}` FROM {self._ident}.partitions"
+                ).collect()
+                return sorted({str(r[0]) for r in rows})
+            except Exception:
+                # non-Iceberg v2 catalogs lack the metadata table — fall back
+                rows = self.spark.sql(
+                    f"SELECT DISTINCT `{self.partition_col}` FROM {self._ident}"
+                ).collect()
+                return sorted(str(r[0]) for r in rows)
         pre = f"{self.partition_col}="
         rows = self.spark.sql(f"SHOW PARTITIONS {self._ident}").collect()
         return sorted(r[0][len(pre):] for r in rows if r[0].startswith(pre))

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming import DataStreamWriter
 
 from chronon_spark.api import GroupBy
-from chronon_spark.jobs.upload import fetch_features
+from chronon_spark.jobs.upload import TAIL_BUFFER_MS, fetch_features
 
 
 def enrich_stream(
@@ -39,6 +39,7 @@ def enrich_stream(
     batch_end_ts_us: int,
     sink: Callable[[DataFrame, int], None],
     left_time_column: str = "ts",
+    tail_buffer_ms: int = TAIL_BUFFER_MS,
 ) -> DataStreamWriter:
     """Wire a streaming left through fetch-time enrichment.
 
@@ -61,6 +62,10 @@ def enrich_stream(
     def _enrich(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # tail_buffer_ms threads through to the fetch's valid-range check:
+        # IRs built with a wider buffer stay fetchable past the default 2d,
+        # and a long-running stream fails with the rebuild message instead
+        # of silently out-ranging its batch snapshot
         enriched = fetch_features(
             batch_df,
             cached,
@@ -68,6 +73,7 @@ def enrich_stream(
             gb,
             batch_end_ts_us,
             left_time_column=left_time_column,
+            tail_buffer_ms=tail_buffer_ms,
         )
         sink(enriched, epoch_id)
 

@@ -300,3 +300,29 @@ def test_run_conf_backfill_resume(spark, tmp_path):
     os.remove(os.path.join(ckpt, "2024-01-11.json"))
     s3 = run_conf_backfill(spark, conf_path, tables, out, ckpt)
     assert s3["partitions_computed"] == 1
+
+
+def test_unknown_kwargs_raise():
+    """Misspelled semantic parameters must fail at authoring time, not
+    compile into a conf with silently-default semantics (the hazard class
+    parse_gb also rejects): `acuracy=` / `time_colum=` are one-edit typos of
+    parameters that change every downstream value."""
+    import pytest
+
+    with pytest.raises(TypeError, match="acuracy"):
+        dsl.GroupBy(
+            sources=[dsl.EventSource(table="t", query=dsl.Query())],
+            keys=["k"],
+            aggregations=[dsl.Aggregation("x", dsl.Operation.SUM)],
+            acuracy=1,
+        )
+    with pytest.raises(TypeError):
+        dsl.Query(selects=dsl.selects("a"), time_colum="event_ts")
+    # the documented execution-info kwargs still pass through
+    gb = dsl.GroupBy(
+        sources=[dsl.EventSource(table="t", query=dsl.Query())],
+        keys=["k"],
+        aggregations=[dsl.Aggregation("x", dsl.Operation.SUM)],
+        step_days=7,
+    )
+    assert gb["metaData"]["executionInfo"] == {"step_days": 7}

@@ -577,3 +577,19 @@ def test_winnow_overlap_max_df_exact_scores(docs):
     assert set(tight) <= set(exact)
     for pair, v in tight.items():
         assert v == exact[pair]
+
+
+def test_persist_reused_registry_bounded(spark):
+    """Scratch caches evict oldest-first beyond the keep window — a resident
+    session must not pin memory/disk without bound (persist is advisory, an
+    evicted frame recomputes)."""
+    from chronon_spark.functions.dedup import _PERSIST_KEEP, _PERSISTED_REGISTRY, persist_reused
+
+    frames = [persist_reused(spark.range(3).selectExpr(f"id + {i} AS v"), f"t{i}") for i in range(_PERSIST_KEEP + 3)]
+    reg = _PERSISTED_REGISTRY[spark.sparkContext.applicationId]
+    assert len(reg) <= _PERSIST_KEEP
+    # the first frames were evicted (storage level reset to NONE), newest kept
+    assert frames[0].storageLevel.useMemory is False
+    assert frames[-1].storageLevel.useMemory is True
+    # evicted frames still compute correctly
+    assert frames[0].count() == 3

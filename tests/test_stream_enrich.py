@@ -104,3 +104,45 @@ def test_enriched_stream_feeds_downstream_groupby(spark, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_enrichment_threads_tail_buffer(spark, tmp_path):
+    """IRs built with a wider tail buffer stay fetchable past the default 2d
+    valid range — enrich_stream must thread tail_buffer_ms through to the
+    fetch's range check, or a long-running stream hard-fails at
+    batchEnd + 2d even when the tail hops cover the query."""
+    ev = synth_transcripts(n_rows=2000, n_convs=10)
+    q = synth_queries(ev, n_queries=2000)
+    lo = pd.Timestamp(BATCH_END_US, unit="us")
+    # queries in day 3 past batchEnd: beyond the DEFAULT buffer, inside 4d
+    q = q[(q["ts"] >= lo + pd.Timedelta(days=2, hours=1)) & (q["ts"] < lo + pd.Timedelta(days=4))]
+    q = q.reset_index(drop=True)
+    assert len(q) > 5
+
+    src = str(tmp_path / "left_stream")
+    spark.createDataFrame(q).write.parquet(src)
+    left_stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+
+    events = spark.createDataFrame(ev)
+    gb = _gb()
+    buf = 4 * 86_400_000
+    irs = build_batch_irs(events, gb, BATCH_END_US, tail_buffer_ms=buf)
+
+    out: list[pd.DataFrame] = []
+    writer = enrich_stream(
+        left_stream,
+        gb,
+        irs,
+        events,
+        BATCH_END_US,
+        sink=lambda df, _e: out.append(df.toPandas()),
+        tail_buffer_ms=buf,
+    )
+    writer.trigger(availableNow=True).option(
+        "checkpointLocation", str(tmp_path / "ckpt")
+    ).start().awaitTermination(300)
+
+    got = pd.concat(out, ignore_index=True)
+    want = asof_join(spark.createDataFrame(q), events, gb).toPandas()
+    assert len(got) == len(q)
+    assert_frames_allclose(got, want, sort_by=["query_id"])
