@@ -350,9 +350,11 @@ def _q_snapshot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "conv_id",
         "ds",
         F.col("turn_idx_count_7d").alias("turns_7d"),
-        # +1e-10 nudge: AVG differs by 1 ulp between engines and one sf0.1 cell
-        # sits exactly on a 1e-6 rounding boundary (the moments treatment)
-        (F.round(F.col("score_average_7d") + F.lit(1e-10), 6) + F.lit(0.0)).alias("avg_score_7d"),
+        # +2^-33 dyadic nudge: AVG differs by ~1 ulp between engines and
+        # boundary rationals exist on the 1e-6 grid; a dyadic offset moves
+        # the effective boundary off every decimal lattice point (the
+        # moments treatment — see contracts/ops.py r4)
+        (F.round(F.col("score_average_7d") + F.lit(1.1641532182693481e-10), 6) + F.lit(0.0)).alias("avg_score_7d"),
     )
 
 
@@ -365,7 +367,7 @@ q AS (SELECT conv_id, strftime(d, '%Y-%m-%d') AS ds,
 SELECT q.conv_id AS conv_id, q.ds AS ds,
        (SELECT NULLIF(COUNT(*), 0) FROM t e
          WHERE e.conv_id = q.conv_id AND e.tus < q.qtus AND e.tus >= q.qtus - {7 * US_D}) AS turns_7d,
-       (SELECT ROUND(AVG(e.score) + 1e-10, 6) + 0.0 FROM t e
+       (SELECT ROUND(AVG(e.score) + 1.1641532182693481e-10, 6) + 0.0 FROM t e
          WHERE e.conv_id = q.conv_id AND e.tus < q.qtus AND e.tus >= q.qtus - {7 * US_D}) AS avg_score_7d
 FROM q
 """
@@ -387,7 +389,7 @@ def _q_transcript_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("role") == "user", 1).otherwise(0)).alias("n_user"),
         F.count("tool").alias("n_tool_calls"),
         (F.max("tus") - F.min("tus")).alias("span_us"),
-        (F.round(F.avg("score") + F.lit(1e-10), 6) + F.lit(0.0)).alias("avg_score"),
+        (F.round(F.avg("score") + F.lit(1.1641532182693481e-10), 6) + F.lit(0.0)).alias("avg_score"),
         F.sum(
             F.when(
                 F.col("prev_role").isNotNull() & (F.col("prev_role") != F.col("role")),
@@ -407,7 +409,7 @@ SELECT conv_id,
        SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END)::BIGINT          AS n_user,
        COUNT(tool)                                                     AS n_tool_calls,
        MAX(tus) - MIN(tus)                                             AS span_us,
-       ROUND(AVG(score) + 1e-10, 6) + 0.0                                            AS avg_score,
+       ROUND(AVG(score) + 1.1641532182693481e-10, 6) + 0.0                                            AS avg_score,
        SUM(CASE WHEN prev_role IS NOT NULL AND prev_role <> role
                 THEN 1 ELSE 0 END)::BIGINT                             AS n_handovers
 FROM l GROUP BY conv_id

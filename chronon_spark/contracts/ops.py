@@ -160,16 +160,22 @@ def _q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         tie_breakers=["turn_idx"],
     )
     out = asof_join(_user_left(t), t, gb)
-    # +1e-10 before rounding: moment values of 2-decimal inputs are quantized
-    # rationals that often sit EXACTLY on a .00005 rounding boundary, where a
-    # 1e-12 cross-engine float diff flips the rounded digit. The bias (larger
-    # than the cross-engine error, smaller than the value quantum) pushes both
-    # engines to the same side of every boundary.
+    # +2^-26 before rounding: moment values of 2-decimal inputs are DECIMAL
+    # rationals that often sit exactly on a .00005 rounding boundary, and the
+    # engines' raw moments differ by up to ~3e-10 (different algebras: power-
+    # sum prefix scans here, two-pass central moments in the oracle; measured
+    # max 2.6e-11 at sf0.01, growing with window size). A DECIMAL nudge just
+    # relocates the boundary onto other lattice points (an sf0.1 sweep caught
+    # both 1e-10 and 1e-6 flipping var_7d cells); a DYADIC offset (2^-26 ~
+    # 1.49e-8, exactly representable, 50x the max delta, 3000x below the
+    # 5e-5 quantum) puts the effective boundary at tie - 2^-26, a point no
+    # decimal rational hits, so both engines round every lattice value the
+    # same way.
     def r4(c):
         # + 0.0 after rounding normalizes IEEE signed zero (-0.0 + 0.0 = +0.0):
         # the driver hashes raw bits, so a Spark +0.0 vs DuckDB -0.0 cell is a
         # hash mismatch even though == calls them equal (r02 kurt_7d red row)
-        return F.round(c + F.lit(1e-10), 4) + F.lit(0.0)
+        return F.round(c + F.lit(2.0**-26), 4) + F.lit(0.0)
 
     pct = F.col("score_approx_percentile_7d")
     return out.select(
@@ -201,12 +207,12 @@ c AS (SELECT w.conv_id, w.qi, w.qtus, ANY_VALUE(m.n) AS n,
       FROM w JOIN m ON w.conv_id = m.conv_id AND w.qi = m.qi AND w.qtus = m.qtus
       GROUP BY 1, 2, 3)
 SELECT q.conv_id AS conv_id, q.turn_idx AS turn_idx, q.tus AS tus,
-       ROUND(c.m2 + 1e-10, 4) + 0.0 AS var_7d,
-       CASE WHEN c.n >= 3 AND c.m2 > 0 THEN ROUND(c.m3 / POWER(c.m2, 1.5) + 1e-10, 4) + 0.0 END AS skew_7d,
-       CASE WHEN c.n >= 4 AND c.m2 > 0 THEN ROUND(c.m4 / (c.m2 * c.m2) - 3 + 1e-10, 4) + 0.0 END AS kurt_7d,
-       ROUND(list_extract(c.pct, 1) + 1e-10, 4) + 0.0 AS p25_7d,
-       ROUND(list_extract(c.pct, 2) + 1e-10, 4) + 0.0 AS p50_7d,
-       ROUND(list_extract(c.pct, 3) + 1e-10, 4) + 0.0 AS p75_7d
+       ROUND(c.m2 + 1.4901161193847656e-08, 4) + 0.0 AS var_7d,
+       CASE WHEN c.n >= 3 AND c.m2 > 0 THEN ROUND(c.m3 / POWER(c.m2, 1.5) + 1.4901161193847656e-08, 4) + 0.0 END AS skew_7d,
+       CASE WHEN c.n >= 4 AND c.m2 > 0 THEN ROUND(c.m4 / (c.m2 * c.m2) - 3 + 1.4901161193847656e-08, 4) + 0.0 END AS kurt_7d,
+       ROUND(list_extract(c.pct, 1) + 1.4901161193847656e-08, 4) + 0.0 AS p25_7d,
+       ROUND(list_extract(c.pct, 2) + 1.4901161193847656e-08, 4) + 0.0 AS p50_7d,
+       ROUND(list_extract(c.pct, 3) + 1.4901161193847656e-08, 4) + 0.0 AS p75_7d
 FROM q LEFT JOIN c ON c.conv_id = q.conv_id AND c.qi = q.turn_idx AND c.qtus = q.tus
 """
 
@@ -660,7 +666,7 @@ def _q_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
         "conv_id",
         "turn_idx",
         "tus",
-        (F.round(F.col("n_2d_average_1d") + F.lit(1e-10), 6) + F.lit(0.0)).alias("avg_n2d_1d"),
+        (F.round(F.col("n_2d_average_1d") + F.lit(1.1641532182693481e-10), 6) + F.lit(0.0)).alias("avg_n2d_1d"),
         F.col("n_2d_last_1d").alias("last_n2d_1d"),
     )
 
@@ -673,7 +679,7 @@ enr AS (SELECT t1.conv_id, t1.turn_idx, t1.tus,
                    AND e.tus >= t1.tus - {2 * US_D}) AS n_2d
         FROM t t1)
 SELECT q.conv_id AS conv_id, q.turn_idx AS turn_idx, q.tus AS tus,
-       (SELECT ROUND(AVG(en.n_2d) + 1e-10, 6) + 0.0 FROM enr en
+       (SELECT ROUND(AVG(en.n_2d) + 1.1641532182693481e-10, 6) + 0.0 FROM enr en
          WHERE en.conv_id = q.conv_id AND en.tus < q.tus
            AND en.tus >= q.tus - {US_D}) AS avg_n2d_1d,
        (SELECT en.n_2d FROM enr en

@@ -37,7 +37,7 @@ __all__ = ["kmeans_seeds", "kmeans_fit", "kmeans_assign"]
 
 def _r(c: Column, nd: int) -> Column:
     # half-tie nudge + signed-zero normalization, both mirrored in the oracle
-    return F.round(c + F.lit(1e-10), nd) + F.lit(0.0)
+    return F.round(c + F.lit(1.1641532182693481e-10), nd) + F.lit(0.0)
 
 
 def _dist2(vec_col: Column, cent: list[float]) -> Column:

@@ -266,7 +266,7 @@ def unigram_logppl(df, id_col: str, text_col: str):
     ZIPF-small relative to the corpus so the count join is broadcast-or-AQE,
     and the corpus streams map-side. Float parity with the SQL oracle: the
     per-doc sum's addition order differs between engines (~1e-16 relative),
-    so the final mean takes the moments treatment — +1e-10 nudge off
+    so the final mean takes the moments treatment — +2^-33 dyadic nudge off
     rounding boundaries, ROUND 6, +0.0 signed-zero normalization.
 
     Returns one row per doc: (id, n_tokens, logppl)."""
@@ -282,5 +282,5 @@ def unigram_logppl(df, id_col: str, text_col: str):
     return doc.select(
         F.col(id_col),
         F.col("n_tokens"),
-        (F.round(-F.col("__slp") / F.col("n_tokens") + F.lit(1e-10), 6) + F.lit(0.0)).alias("logppl"),
+        (F.round(-F.col("__slp") / F.col("n_tokens") + F.lit(1.1641532182693481e-10), 6) + F.lit(0.0)).alias("logppl"),
     )
