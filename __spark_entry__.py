@@ -29,6 +29,7 @@ from chronon_spark.operators.asof_join import asof_join
 from chronon_spark.operators.trailing import trailing_features
 from chronon_spark.operators.windows import hopping_window_agg, lag_lead, sessionize, tumbling_window_agg
 from chronon_spark.sources.tables import transcripts_from_events
+from chronon_spark.rounding import NUDGE_6DP
 
 US_H = 3_600_000_000
 US_D = 24 * US_H
@@ -354,7 +355,7 @@ def _q_snapshot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         # boundary rationals exist on the 1e-6 grid; a dyadic offset moves
         # the effective boundary off every decimal lattice point (the
         # moments treatment — see contracts/ops.py r4)
-        (F.round(F.col("score_average_7d") + F.lit(1.1641532182693481e-10), 6) + F.lit(0.0)).alias("avg_score_7d"),
+        (F.round(F.col("score_average_7d") + F.lit(NUDGE_6DP), 6) + F.lit(0.0)).alias("avg_score_7d"),
     )
 
 
@@ -367,7 +368,7 @@ q AS (SELECT conv_id, strftime(d, '%Y-%m-%d') AS ds,
 SELECT q.conv_id AS conv_id, q.ds AS ds,
        (SELECT NULLIF(COUNT(*), 0) FROM t e
          WHERE e.conv_id = q.conv_id AND e.tus < q.qtus AND e.tus >= q.qtus - {7 * US_D}) AS turns_7d,
-       (SELECT ROUND(AVG(e.score) + 1.1641532182693481e-10, 6) + 0.0 FROM t e
+       (SELECT ROUND(AVG(e.score) + {NUDGE_6DP!r}, 6) + 0.0 FROM t e
          WHERE e.conv_id = q.conv_id AND e.tus < q.qtus AND e.tus >= q.qtus - {7 * US_D}) AS avg_score_7d
 FROM q
 """
@@ -389,7 +390,7 @@ def _q_transcript_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("role") == "user", 1).otherwise(0)).alias("n_user"),
         F.count("tool").alias("n_tool_calls"),
         (F.max("tus") - F.min("tus")).alias("span_us"),
-        (F.round(F.avg("score") + F.lit(1.1641532182693481e-10), 6) + F.lit(0.0)).alias("avg_score"),
+        (F.round(F.avg("score") + F.lit(NUDGE_6DP), 6) + F.lit(0.0)).alias("avg_score"),
         F.sum(
             F.when(
                 F.col("prev_role").isNotNull() & (F.col("prev_role") != F.col("role")),
@@ -409,7 +410,7 @@ SELECT conv_id,
        SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END)::BIGINT          AS n_user,
        COUNT(tool)                                                     AS n_tool_calls,
        MAX(tus) - MIN(tus)                                             AS span_us,
-       ROUND(AVG(score) + 1.1641532182693481e-10, 6) + 0.0                                            AS avg_score,
+       ROUND(AVG(score) + {NUDGE_6DP!r}, 6) + 0.0                                            AS avg_score,
        SUM(CASE WHEN prev_role IS NOT NULL AND prev_role <> role
                 THEN 1 ELSE 0 END)::BIGINT                             AS n_handovers
 FROM l GROUP BY conv_id

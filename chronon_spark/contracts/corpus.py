@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from chronon_spark.functions import clustering, dedup, multimodal, similarity, text
 from chronon_spark.functions.similarity import plane_components
+from chronon_spark.rounding import NUDGE_6DP
 
 # ---------------------------------------------------------------- helpers
 
@@ -145,7 +146,7 @@ tot AS (SELECT sum(cnt)::BIGINT AS t FROM cnt),
 doc AS (SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
                sum(tf * ln(cnt::DOUBLE / t)) AS slp
         FROM tf JOIN cnt USING (term) CROSS JOIN tot GROUP BY doc_id)
-SELECT doc_id, n_tokens, ROUND(-slp / n_tokens + 1.1641532182693481e-10, 6) + 0.0 AS logppl FROM doc
+SELECT doc_id, n_tokens, ROUND(-slp / n_tokens + {NUDGE_6DP!r}, 6) + 0.0 AS logppl FROM doc
 """
 
 
@@ -514,7 +515,7 @@ def _kmeans_dist(cent: str, dims: int) -> str:
     rng = f"range(1, {dims + 1})"
     return (
         f"ROUND(list_sum(list_transform({rng},"
-        f" i -> (e.v[i] - {cent}[i]) * (e.v[i] - {cent}[i]))) + 1.1641532182693481e-10, 6) + 0.0"
+        f" i -> (e.v[i] - {cent}[i]) * (e.v[i] - {cent}[i]))) + {NUDGE_6DP!r}, 6) + 0.0"
     )
 
 
@@ -538,7 +539,7 @@ def _kmeans_ctes(k: int, iters: int, dims: int) -> list[str]:
             f"d{it} AS (SELECT e.vec_id, s.c, {dist} AS dist FROM e CROSS JOIN c{it} s)",
             f"a{it} AS (SELECT vec_id, c FROM (SELECT *, row_number() OVER"
             f" (PARTITION BY vec_id ORDER BY dist, c) AS rn FROM d{it}) WHERE rn = 1)",
-            f"s{it} AS (SELECT a.c, t.i, ROUND(SUM(e.v[t.i]) + 1.1641532182693481e-10, 3) + 0.0 AS sm,"
+            f"s{it} AS (SELECT a.c, t.i, ROUND(SUM(e.v[t.i]) + {NUDGE_6DP!r}, 3) + 0.0 AS sm,"
             f" COUNT(*) AS n FROM a{it} a JOIN e USING (vec_id) CROSS JOIN {rng} t(i)"
             " GROUP BY a.c, t.i)",
             f"n{it + 1} AS (SELECT c, list(sm / n ORDER BY i) AS cent FROM s{it} GROUP BY c)",
@@ -890,7 +891,7 @@ def _q_quality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = d.select(
         "doc_id",
         text.lang_id("text").alias("lang"),
-        (F.round(text.quality_score("text") + F.lit(1.1641532182693481e-10), 6) + F.lit(0.0)).alias("quality"),
+        (F.round(text.quality_score("text") + F.lit(NUDGE_6DP), 6) + F.lit(0.0)).alias("quality"),
     )
     # two-phase salted top-k: a bare per-lang window would single-task each
     # language's sort at corpus scale (see functions/ranking.py)
@@ -914,7 +915,7 @@ scored AS (SELECT doc_id,
             ELSE 'es' END AS lang,
        ROUND(CASE WHEN len(toks) BETWEEN 10 AND 1000 THEN 0.4 ELSE 0.0 END
         + least(uniq, 0.5) * 0.6
-        + CASE WHEN punct < 0.1 THEN 0.2 ELSE 0.0 END + 1.1641532182693481e-10, 6) + 0.0 AS quality
+        + CASE WHEN punct < 0.1 THEN 0.2 ELSE 0.0 END + {NUDGE_6DP!r}, 6) + 0.0 AS quality
 FROM s),
 ranked AS (SELECT doc_id, lang, quality,
                   CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id ASC) AS INT) AS rank

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from chronon_spark.api import Aggregation, GroupBy, Join, JoinPart, Op
 from chronon_spark.operators.asof_join import asof_join, compute_join
 from chronon_spark.sources.tables import transcripts_from_events
+from chronon_spark.rounding import NUDGE_4DP, NUDGE_6DP
 
 US_H = 3_600_000_000
 US_D = 24 * US_H
@@ -175,7 +176,7 @@ def _q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         # + 0.0 after rounding normalizes IEEE signed zero (-0.0 + 0.0 = +0.0):
         # the driver hashes raw bits, so a Spark +0.0 vs DuckDB -0.0 cell is a
         # hash mismatch even though == calls them equal (r02 kurt_7d red row)
-        return F.round(c + F.lit(2.0**-26), 4) + F.lit(0.0)
+        return F.round(c + F.lit(NUDGE_4DP), 4) + F.lit(0.0)
 
     pct = F.col("score_approx_percentile_7d")
     return out.select(
@@ -207,12 +208,12 @@ c AS (SELECT w.conv_id, w.qi, w.qtus, ANY_VALUE(m.n) AS n,
       FROM w JOIN m ON w.conv_id = m.conv_id AND w.qi = m.qi AND w.qtus = m.qtus
       GROUP BY 1, 2, 3)
 SELECT q.conv_id AS conv_id, q.turn_idx AS turn_idx, q.tus AS tus,
-       ROUND(c.m2 + 1.4901161193847656e-08, 4) + 0.0 AS var_7d,
-       CASE WHEN c.n >= 3 AND c.m2 > 0 THEN ROUND(c.m3 / POWER(c.m2, 1.5) + 1.4901161193847656e-08, 4) + 0.0 END AS skew_7d,
-       CASE WHEN c.n >= 4 AND c.m2 > 0 THEN ROUND(c.m4 / (c.m2 * c.m2) - 3 + 1.4901161193847656e-08, 4) + 0.0 END AS kurt_7d,
-       ROUND(list_extract(c.pct, 1) + 1.4901161193847656e-08, 4) + 0.0 AS p25_7d,
-       ROUND(list_extract(c.pct, 2) + 1.4901161193847656e-08, 4) + 0.0 AS p50_7d,
-       ROUND(list_extract(c.pct, 3) + 1.4901161193847656e-08, 4) + 0.0 AS p75_7d
+       ROUND(c.m2 + {NUDGE_4DP!r}, 4) + 0.0 AS var_7d,
+       CASE WHEN c.n >= 3 AND c.m2 > 0 THEN ROUND(c.m3 / POWER(c.m2, 1.5) + {NUDGE_4DP!r}, 4) + 0.0 END AS skew_7d,
+       CASE WHEN c.n >= 4 AND c.m2 > 0 THEN ROUND(c.m4 / (c.m2 * c.m2) - 3 + {NUDGE_4DP!r}, 4) + 0.0 END AS kurt_7d,
+       ROUND(list_extract(c.pct, 1) + {NUDGE_4DP!r}, 4) + 0.0 AS p25_7d,
+       ROUND(list_extract(c.pct, 2) + {NUDGE_4DP!r}, 4) + 0.0 AS p50_7d,
+       ROUND(list_extract(c.pct, 3) + {NUDGE_4DP!r}, 4) + 0.0 AS p75_7d
 FROM q LEFT JOIN c ON c.conv_id = q.conv_id AND c.qi = q.turn_idx AND c.qtus = q.tus
 """
 
@@ -666,7 +667,7 @@ def _q_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
         "conv_id",
         "turn_idx",
         "tus",
-        (F.round(F.col("n_2d_average_1d") + F.lit(1.1641532182693481e-10), 6) + F.lit(0.0)).alias("avg_n2d_1d"),
+        (F.round(F.col("n_2d_average_1d") + F.lit(NUDGE_6DP), 6) + F.lit(0.0)).alias("avg_n2d_1d"),
         F.col("n_2d_last_1d").alias("last_n2d_1d"),
     )
 
@@ -679,7 +680,7 @@ enr AS (SELECT t1.conv_id, t1.turn_idx, t1.tus,
                    AND e.tus >= t1.tus - {2 * US_D}) AS n_2d
         FROM t t1)
 SELECT q.conv_id AS conv_id, q.turn_idx AS turn_idx, q.tus AS tus,
-       (SELECT ROUND(AVG(en.n_2d) + 1.1641532182693481e-10, 6) + 0.0 FROM enr en
+       (SELECT ROUND(AVG(en.n_2d) + {NUDGE_6DP!r}, 6) + 0.0 FROM enr en
          WHERE en.conv_id = q.conv_id AND en.tus < q.tus
            AND en.tus >= q.tus - {US_D}) AS avg_n2d_1d,
        (SELECT en.n_2d FROM enr en

@@ -32,12 +32,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from chronon_spark.rounding import NUDGE_6DP
+
 __all__ = ["kmeans_seeds", "kmeans_fit", "kmeans_assign"]
 
 
 def _r(c: Column, nd: int) -> Column:
     # half-tie nudge + signed-zero normalization, both mirrored in the oracle
-    return F.round(c + F.lit(1.1641532182693481e-10), nd) + F.lit(0.0)
+    return F.round(c + F.lit(NUDGE_6DP), nd) + F.lit(0.0)
 
 
 def _dist2(vec_col: Column, cent: list[float]) -> Column:

@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
+from chronon_spark.rounding import NUDGE_6DP
+
 # Small deterministic lexicons for the n-gram-free language-ID heuristic.
 # Real deployments plug in fastText et al.; the heuristic is the portable,
 # dependency-free baseline (score = stopword-hit fraction per language).
@@ -282,5 +284,5 @@ def unigram_logppl(df, id_col: str, text_col: str):
     return doc.select(
         F.col(id_col),
         F.col("n_tokens"),
-        (F.round(-F.col("__slp") / F.col("n_tokens") + F.lit(1.1641532182693481e-10), 6) + F.lit(0.0)).alias("logppl"),
+        (F.round(-F.col("__slp") / F.col("n_tokens") + F.lit(NUDGE_6DP), 6) + F.lit(0.0)).alias("logppl"),
     )

@@ -35,7 +35,7 @@ def _seeds_np(ids: list[int], X: np.ndarray, k: int) -> list[list[float]]:
 
 
 def _r(x: float, nd: int) -> float:
-    return round(x + 1e-10, nd) + 0.0
+    return round(x + 1.1641532182693481e-10, nd) + 0.0
 
 
 def _assign_np(X: np.ndarray, cents: list[list[float]]) -> tuple[np.ndarray, np.ndarray]:

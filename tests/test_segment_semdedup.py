@@ -98,9 +98,9 @@ def test_unigram_logppl_hand_computed(spark):
     df = spark.createDataFrame([(1, "a a"), (2, "a b")], "doc_id int, text string")
     out = {r.doc_id: r for r in unigram_logppl(df, "doc_id", "text").collect()}
     ln = math.log
-    assert out[1].n_tokens == 2 and math.isclose(out[1].logppl, round(-ln(3 / 4) + 1e-10, 6))
+    assert out[1].n_tokens == 2 and math.isclose(out[1].logppl, round(-ln(3 / 4) + 1.1641532182693481e-10, 6))
     exp2 = -(ln(3 / 4) + ln(1 / 4)) / 2
-    assert out[2].n_tokens == 2 and math.isclose(out[2].logppl, round(exp2 + 1e-10, 6))
+    assert out[2].n_tokens == 2 and math.isclose(out[2].logppl, round(exp2 + 1.1641532182693481e-10, 6))
 
 
 # ---------------------------------------------------------------- brute-force parity
