@@ -43,7 +43,11 @@ _DUCK_T = """
 # the window derivation — the serving-fetch query paid it 4-5x per run.
 # Session-scoped persist = "the table is materialized", which is what the
 # operators would see in production.
+# Bounded, oldest-first (same discipline as dedup._PERSISTED_REGISTRY): a
+# resident driver sweeping many sf_dirs must not pin memory/disk without
+# bound. Evicted frames unpersist and safely recompute on next access.
 _T_CACHE: dict[tuple[str, str], DataFrame] = {}
+_T_CACHE_KEEP = 4
 
 
 def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -54,6 +58,8 @@ def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = transcripts_from_events(spark, sf_dir)
     t = t.withColumn("tus", F.unix_micros(F.col("ts").cast("timestamp"))).persist()
     _T_CACHE[key] = t
+    while len(_T_CACHE) > _T_CACHE_KEEP:
+        _T_CACHE.pop(next(iter(_T_CACHE))).unpersist(blocking=False)
     return t
 
 

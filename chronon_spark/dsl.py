@@ -263,22 +263,55 @@ def Derivation(name: str, expression: str) -> dict:
     return {"name": name, "expression": expression}
 
 
-# the reference DSL's execution-info surface (group_by.py / join.py kwargs
-# that land in metaData.executionInfo). A closed set: accepting arbitrary
-# names here silently swallowed typos of SEMANTIC parameters (e.g.
-# `acuracy=1` compiling with TEMPORAL accuracy) — the same hazard
-# jobs/backfill.parse_gb rejects loudly.
+# the reference DSL's kwargs surface, split by where each lands. A closed
+# set: accepting arbitrary names here silently swallowed typos of SEMANTIC
+# parameters (e.g. `acuracy=1` compiling with TEMPORAL accuracy) — the same
+# hazard jobs/backfill.parse_gb rejects loudly.
+#
+# Execution-info kwargs → metaData.executionInfo (reference group_by.py:
+# 493-499 / join.py:283-292 route these into common.ExecutionInfo):
 _EXECUTION_KEYS = frozenset(
-    {"offline_schedule", "conf", "env_vars", "step_days", "historical_backfill", "cluster_conf"}
+    {
+        "offline_schedule",
+        "online_schedule",
+        "conf",
+        "env_vars",
+        "step_days",
+        "historical_backfill",
+        "disable_historical_backfill",  # GroupBy spelling (group_by.py:499,704)
+        "cluster_conf",
+        "enable_stats_compute",
+        "modular_execution",
+    }
 )
+# Meta-level kwargs → top-level metaData fields (join.py:479-489 MetaData(...)):
+_META_KEYS = {
+    "output_namespace": "outputNamespace",
+    "table_properties": "tableProperties",
+    "sample_percent": "samplePercent",
+    "check_consistency": "consistencyCheck",
+    "consistency_sample_percent": "consistencySamplePercent",
+}
+_EXEC_FIELD = {
+    "offline_schedule": "offlineSchedule",
+    "online_schedule": "onlineSchedule",
+    "conf": "conf",
+    "env_vars": "env",
+    "step_days": "stepDays",
+    "historical_backfill": "historicalBackfill",
+    "disable_historical_backfill": "historicalBackfill",
+    "cluster_conf": "clusterConf",
+    "enable_stats_compute": "enableStatsCompute",
+}
 
 
 def _meta(name: str | None, version, online, production, **execution) -> dict:
-    unknown = set(execution) - _EXECUTION_KEYS
+    unknown = set(execution) - _EXECUTION_KEYS - set(_META_KEYS)
     if unknown:
         raise TypeError(
-            f"unknown keyword(s) {sorted(unknown)}; execution-info kwargs are "
-            f"{sorted(_EXECUTION_KEYS)} — semantic parameters must be spelled exactly"
+            f"unknown keyword(s) {sorted(unknown)}; accepted kwargs are "
+            f"{sorted(_EXECUTION_KEYS | set(_META_KEYS))} — semantic parameters "
+            f"must be spelled exactly"
         )
     md: dict = {"name": name or "<unnamed>"}
     if version is not None:
@@ -287,7 +320,29 @@ def _meta(name: str | None, version, online, production, **execution) -> dict:
         md["online"] = True
     if production:
         md["production"] = True
-    exec_info = {k: v for k, v in execution.items() if v is not None}
+    for k, field in _META_KEYS.items():
+        if execution.get(k) is not None:
+            md[field] = execution[k]
+    # online_schedule validation + defaulting mirrors join.py:446-457
+    osched = execution.get("online_schedule")
+    if osched is not None and osched != "@never" and not online:
+        raise ValueError("online_schedule cannot be set when online=False")
+    if osched == "@never":
+        execution["online_schedule"] = None
+    elif online and osched is None:
+        execution["online_schedule"] = "@daily"
+    # modular_execution folds into conf.common (join.py:459-466)
+    if execution.get("modular_execution"):
+        conf = dict(execution.get("conf") or {})
+        common = dict(conf.get("common") or {})
+        common["modular_execution"] = "true"
+        conf["common"] = common
+        execution["conf"] = conf
+    exec_info = {
+        _EXEC_FIELD[k]: v
+        for k, v in execution.items()
+        if k in _EXEC_FIELD and v is not None and v is not False
+    }
     if exec_info:
         md["executionInfo"] = exec_info
     return md
@@ -339,18 +394,40 @@ def JoinPart(
     return jp
 
 
+def BootstrapPart(table: str, query: dict | None = None, key_columns: list[str] | None = None) -> dict:
+    """Reference api.BootstrapPart (join.py:271): a pre-computed table whose
+    columns pre-empt recomputation for covered rows."""
+    bp: dict = {"table": table}
+    if query:
+        bp["query"] = query
+    if key_columns:
+        bp["keyColumns"] = list(key_columns)
+    return bp
+
+
 def Join(
     left: dict,
     right_parts: list[dict],
     row_ids: str | list[str] | None = None,
     version: int | None = None,
+    online_external_parts: list[dict] | None = None,
+    bootstrap_parts: list[dict] | None = None,
+    bootstrap_from_log: bool = False,
     skew_keys: dict[str, list[str]] | None = None,
     derivations: list[dict] | None = None,
     online: bool = False,
     production: bool = False,
+    use_long_names: bool = False,
     name: str | None = None,
     **execution,
 ) -> dict:
+    if bootstrap_from_log:
+        # join.py:433-443: appends the templated logged-table bootstrap part
+        if not (online and float(execution.get("sample_percent", 100.0) or 0) > 0):
+            raise ValueError(
+                "bootstrap_from_log requires online=True with sample_percent > 0"
+            )
+        bootstrap_parts = (bootstrap_parts or []) + [{"table": "{{ logged_table }}"}]
     j: dict = {
         "metaData": _meta(name, version, online, production, **execution),
         "left": left,
@@ -358,10 +435,16 @@ def Join(
     }
     if row_ids:
         j["rowIds"] = [row_ids] if isinstance(row_ids, str) else list(row_ids)
+    if online_external_parts:
+        j["onlineExternalParts"] = list(online_external_parts)
+    if bootstrap_parts:
+        j["bootstrapParts"] = list(bootstrap_parts)
     if skew_keys:
         j["skewKeys"] = {k: list(v) for k, v in skew_keys.items()}
     if derivations:
         j["derivations"] = list(derivations)
+    if use_long_names:
+        j["useLongNames"] = True
     return j
 
 

@@ -215,23 +215,32 @@ class ManagedTable:
                 for f in final_schema.fields
             ]
         )
-        # dynamic partition overwrite: replace exactly the incoming partitions
-        # in ONE Spark job (`partitionOverwriteMode=dynamic` truncates only
-        # the ds=* dirs present in df; root sidecar files and `._history` are
-        # untouched). The incoming partition list is a metadata-sized collect
-        # (calendar-bounded) needed for commit bookkeeping; superseded files
-        # retire into hidden commit dirs BEFORE the write, so every write is
-        # a snapshot commit and old versions stay readable. A per-partition
-        # write loop here would be P driver-sequenced jobs — at production
-        # partition counts that serializes the sink on the driver.
+        # stage-then-commit dynamic partition overwrite: ONE Spark job writes
+        # every incoming partition into a hidden staging dir (a per-partition
+        # write loop would be P driver-sequenced jobs — at production
+        # partition counts that serializes the sink on the driver); only
+        # AFTER the job succeeds do superseded files retire into hidden
+        # commit dirs and the staged files move live. A crash mid-write
+        # leaves every live partition untouched (the old single-job
+        # retire-first order left all touched partitions empty-live on
+        # failure). The incoming partition list is a metadata-sized collect
+        # (calendar-bounded) needed for commit bookkeeping.
         parts = [str(r[0]) for r in out.select(self.partition_col).distinct().collect()]
         live_map = self._live_commit_map()
         version = self.current_version() + 1
+        tmp_dir = os.path.join(self.path, "._insert_tmp")
+        out.write.mode("overwrite").partitionBy(self.partition_col).parquet(tmp_dir)
+        import shutil
+
         for p in parts:
             self._retire_live_files(p, live_map.get(p, 0))
-        out.write.mode("overwrite").option("partitionOverwriteMode", "dynamic").partitionBy(
-            self.partition_col
-        ).parquet(self.path)
+            src = os.path.join(tmp_dir, f"{self.partition_col}={p}")
+            dst = os.path.join(self.path, f"{self.partition_col}={p}")
+            os.makedirs(dst, exist_ok=True)
+            for f in os.listdir(src):
+                if not f.startswith((".", "_")):
+                    os.replace(os.path.join(src, f), os.path.join(dst, f))
+        shutil.rmtree(tmp_dir)
         snaps = self.snapshots()
         snaps.append(
             {
@@ -320,8 +329,12 @@ class ManagedTable:
             # ONE Spark job rewrites every planned partition (a per-partition
             # rewrite loop would be P driver-sequenced jobs — Iceberg's
             # rewrite_data_files is likewise one action): routing each row to
-            # (partition, file-slot) via repartition on (ds, salt) yields
-            # exactly `want` output files per partition from one write.
+            # (partition, file-slot) via repartition on (ds, salt) yields AT
+            # MOST `want` output files per partition from one write (hash
+            # partitioning can land two salts of one ds in the same task, so
+            # files can be fewer/larger than target — fine for compaction;
+            # use repartitionByRange on explicit slot keys if exact file
+            # counts ever become a requirement).
             dirs = [os.path.join(self.path, f"{self.partition_col}={p}") for p in rewritten]
             df = (
                 self.spark.read.schema(schema)

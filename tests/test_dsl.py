@@ -318,11 +318,87 @@ def test_unknown_kwargs_raise():
         )
     with pytest.raises(TypeError):
         dsl.Query(selects=dsl.selects("a"), time_colum="event_ts")
-    # the documented execution-info kwargs still pass through
+    # the documented execution-info kwargs still pass through (emitted with
+    # the reference's thrift field names — join.py:469-477 ExecutionInfo)
     gb = dsl.GroupBy(
         sources=[dsl.EventSource(table="t", query=dsl.Query())],
         keys=["k"],
         aggregations=[dsl.Aggregation("x", dsl.Operation.SUM)],
         step_days=7,
     )
-    assert gb["metaData"]["executionInfo"] == {"step_days": 7}
+    assert gb["metaData"]["executionInfo"] == {"stepDays": 7}
+
+
+def test_reference_execution_and_meta_kwargs_accepted():
+    """Confs ported from the reference use the full kwargs surface of
+    group_by.py:480-499 / join.py:265-292; they must compile, with meta-level
+    kwargs routed into metaData and execution kwargs into executionInfo."""
+    import pytest
+
+    gb = dsl.GroupBy(
+        sources=[dsl.EventSource(table="t", query=dsl.Query())],
+        keys=["k"],
+        aggregations=[dsl.Aggregation("x", dsl.Operation.SUM)],
+        output_namespace="ns",
+        table_properties={"owner": "ml"},
+        online=True,
+        disable_historical_backfill=True,
+        offline_schedule="@daily",
+    )
+    md = gb["metaData"]
+    assert md["outputNamespace"] == "ns"
+    assert md["tableProperties"] == {"owner": "ml"}
+    # online=True without online_schedule defaults to @daily (join.py:455-457)
+    assert md["executionInfo"]["onlineSchedule"] == "@daily"
+    assert md["executionInfo"]["historicalBackfill"] is True
+    assert md["executionInfo"]["offlineSchedule"] == "@daily"
+
+    j = dsl.Join(
+        left=dsl.EventSource(table="l", query=dsl.Query()),
+        right_parts=[dsl.JoinPart(gb)],
+        online=True,
+        sample_percent=10.0,
+        check_consistency=True,
+        consistency_sample_percent=5.0,
+        enable_stats_compute=True,
+        modular_execution=True,
+        bootstrap_from_log=True,
+        use_long_names=True,
+        online_external_parts=[{"source": {"metadata": {"name": "ext"}}}],
+    )
+    md = j["metaData"]
+    assert md["samplePercent"] == 10.0
+    assert md["consistencyCheck"] is True
+    assert md["consistencySamplePercent"] == 5.0
+    assert md["executionInfo"]["enableStatsCompute"] is True
+    # modular_execution folds into conf.common (join.py:459-466)
+    assert md["executionInfo"]["conf"]["common"]["modular_execution"] == "true"
+    # bootstrap_from_log appends the templated logged-table part (join.py:433-443)
+    assert j["bootstrapParts"] == [{"table": "{{ logged_table }}"}]
+    assert j["useLongNames"] is True
+    assert j["onlineExternalParts"][0]["source"]["metadata"]["name"] == "ext"
+
+    # online_schedule without online=True is rejected (join.py:446-451)
+    with pytest.raises(ValueError, match="online_schedule"):
+        dsl.GroupBy(
+            sources=[dsl.EventSource(table="t", query=dsl.Query())],
+            keys=["k"],
+            aggregations=[dsl.Aggregation("x", dsl.Operation.SUM)],
+            online_schedule="@hourly",
+        )
+    # "@never" explicitly disables it even when online (join.py:453-454)
+    gb2 = dsl.GroupBy(
+        sources=[dsl.EventSource(table="t", query=dsl.Query())],
+        keys=["k"],
+        aggregations=[dsl.Aggregation("x", dsl.Operation.SUM)],
+        online=True,
+        online_schedule="@never",
+    )
+    assert "onlineSchedule" not in gb2["metaData"].get("executionInfo", {})
+    # bootstrap_from_log still requires online logging (join.py:434-437)
+    with pytest.raises(ValueError, match="bootstrap_from_log"):
+        dsl.Join(
+            left=dsl.EventSource(table="l", query=dsl.Query()),
+            right_parts=[dsl.JoinPart(gb)],
+            bootstrap_from_log=True,
+        )

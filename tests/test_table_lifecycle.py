@@ -217,3 +217,24 @@ def test_catalog_hashless_create_then_hashed_write_no_archive(spark):
         for tb in spark.catalog.listTables():
             if tb.name.startswith(name):
                 spark.sql(f"DROP TABLE IF EXISTS `{tb.name}`")
+
+
+def test_insert_crash_leaves_live_partitions_intact(spark, tmp_path):
+    """Stage-then-commit: a write job that fails mid-flight must leave every
+    live partition untouched (no empty-live partitions, no snapshot entry).
+    The staged files land in ._insert_tmp, which never shadows live data."""
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    t.insert_partitions(_df(spark, [("a", 1, "2024-01-01"), ("b", 2, "2024-01-02")]))
+    v_before = t.current_version()
+    # a frame whose job raises at execution time (after planning succeeds)
+    bad = _df(spark, [("c", 3, "2024-01-01")]).withColumn(
+        "v", F.assert_true(F.col("v") < 0).cast("bigint")
+    )
+    with pytest.raises(Exception):
+        t.insert_partitions(bad)
+    # live data fully intact, no phantom snapshot
+    assert {(r["k"], r["v"]) for r in t.read().collect()} == {("a", 1), ("b", 2)}
+    assert t.current_version() == v_before
+    # and a subsequent good write still works
+    t.insert_partitions(_df(spark, [("c", 3, "2024-01-01")]))
+    assert {r["k"] for r in t.read().collect()} == {"b", "c"}
