@@ -410,7 +410,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     shingle_n: int = 3,
     threshold: float = 0.5,
-    max_df: int | None = None,
+    max_df: int | None = 10_000,
 ) -> DataFrame:
     """EXACT all-pairs Jaccard ≥ threshold via an inverted index: explode
     distinct shingles, build posting lists per shingle, emit co-occurring
@@ -427,8 +427,11 @@ def ngram_jaccard_pairs(
     Trade-off (documented, standard prefix-filter refinement): a pair whose
     ONLY shared shingles are stop-shingles is missed — for near-duplicate
     thresholds (≥ 0.5) such pairs share many shingles, so any real duplicate
-    keeps a sub-max_df witness in practice. ``max_df=None`` (default) is the
-    fully exact path.
+    keeps a sub-max_df witness in practice. The DEFAULT is the pruned path
+    (max_df=10^4 — inactive below 10^4 docs, bounds the worst posting to
+    ~5·10^7 pairs at corpus scale); the fully exact path is an explicit
+    opt-in via ``max_df=None`` because its cost is O(df²) per posting and
+    its per-doc-size attach assumes the doc count is join-able driver-free.
     """
     sh = ensure_parallelism(df).select(
         F.col(id_col).alias("doc_id"), word_shingles(text_col, n=shingle_n).alias("sh")
@@ -474,9 +477,11 @@ def ngram_jaccard_pairs(
         )
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"))
+    # plain joins (no broadcast hint): the exact branch is the unbounded-doc-
+    # count opt-in, so let AQE pick broadcast only when sizes actually fit
     return (
-        co.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        co.join(sa, "id_a")
+        .join(sb, "id_b")
         .select(
             "id_a",
             "id_b",
@@ -493,7 +498,7 @@ def winnow_overlap_pairs(
     k: int = 8,
     w: int = 4,
     threshold: float = 0.5,
-    max_df: int | None = None,
+    max_df: int | None = 10_000,
 ) -> DataFrame:
     """Substring-level near-dup pairs from winnowing fingerprints
     (text.winnow_fingerprints): any shared normalized substring of length
@@ -509,7 +514,9 @@ def winnow_overlap_pairs(
     surviving candidates are re-scored EXACTLY over the full fingerprint
     sets via a join-back (array_intersect), so emitted scores are never
     approximate — only recall of pairs whose sole witnesses are boilerplate
-    is traded away.
+    is traded away. As in ngram_jaccard_pairs, the pruned path (max_df=10^4)
+    is the default; the exact O(df²)-per-posting path is an explicit
+    ``max_df=None`` opt-in.
     """
     base = ensure_parallelism(df).select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
@@ -561,9 +568,11 @@ def winnow_overlap_pairs(
         ).where(F.col("containment") >= threshold)
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_fp").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_fp").alias("nb"))
+    # plain joins: the exact branch is the unbounded-doc-count opt-in (AQE
+    # broadcasts when the size frames actually fit)
     return (
-        co.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        co.join(sa, "id_a")
+        .join(sb, "id_b")
         .select(
             "id_a",
             "id_b",

@@ -457,10 +457,24 @@ def test_connected_components_star_equivalence(spark):
 
 
 def test_ngram_jaccard_max_df(docs):
+    # the fully exact O(df²)-per-posting path is an EXPLICIT opt-in
     exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", 3, threshold=0.5, max_df=None
+        ).collect()
+    }
+    # the DEFAULT is the pruned path with max_df=10^4 — inactive below 10^4
+    # docs, so identical pairs AND values on this fixture
+    import inspect
+
+    assert inspect.signature(dedup.ngram_jaccard_pairs).parameters["max_df"].default == 10_000
+    assert inspect.signature(dedup.winnow_overlap_pairs).parameters["max_df"].default == 10_000
+    default = {
         (r["id_a"], r["id_b"]): r["jaccard"]
         for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text", 3, threshold=0.5).collect()
     }
+    assert default == exact and exact
     # max_df above every posting length -> identical pairs AND values
     loose = {
         (r["id_a"], r["id_b"]): r["jaccard"]
