@@ -549,10 +549,13 @@ FROM t q WHERE q.role = 'user'
 
 def _q_entity_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC mutations: treat transcript rows as inserts, 'tool'-role rows as
-    deletes (before-images). State SUM/COUNT at each user turn's ts —
-    abelian reversal through the as-of kernel (operators/mutations.py)."""
-    from chronon_spark.operators.mutations import entity_state_asof
-    from chronon_spark.api import Op as _Op
+    deletes (before-images). State SUM/COUNT at each user turn's ts via
+    abelian reversal through the as-of kernel, PLUS the non-abelian state
+    reads (windowed MIN, UNIQUE_COUNT, LAST_K) the reference's delete-based
+    mutation path cannot express — computed by the instance-replay operator
+    (operators/mutations.py entity_state_replay_asof)."""
+    from chronon_spark.operators.mutations import entity_state_asof, entity_state_replay_asof
+    from chronon_spark.api import Aggregation as _Agg, Op as _Op
 
     t = _transcripts(spark, sf_dir)
     mutations = t.select(
@@ -566,17 +569,53 @@ def _q_entity_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = entity_state_asof(
         left, snapshot, mutations, ["conv_id"], "balance", "2000-01-01", ops=(_Op.SUM, _Op.COUNT)
     )
+    rep = entity_state_replay_asof(
+        left,
+        snapshot,
+        mutations,
+        ["conv_id"],
+        "balance",
+        "2000-01-01",
+        [
+            _Agg("balance", _Op.MIN, windows=("7d",)),
+            _Agg("balance", _Op.UNIQUE_COUNT, windows=(None,)),
+            _Agg("balance", _Op.LAST_K, windows=(None,), k=2),
+        ],
+    )
+    out = out.join(rep, ["conv_id", "turn_idx", "tus", "ts"])
     return out.select(
         "conv_id",
         "turn_idx",
         "tus",
         F.round(F.col("balance_state_sum"), 3).alias("state_sum"),
         F.col("balance_state_count").alias("state_n"),
+        # raw input values pass through MIN/LAST_K bit-identically on both
+        # engines (same parquet doubles) — no rounding needed; the list
+        # splits into scalar columns (driver-canonicalizable)
+        F.col("balance_state_min_7d").alias("state_min_7d"),
+        F.col("balance_state_unique_count").alias("state_uniq"),
+        F.try_element_at(F.col("balance_state_last_k2"), F.lit(1)).alias("state_last_1"),
+        F.try_element_at(F.col("balance_state_last_k2"), F.lit(2)).alias("state_last_2"),
     )
 
 
+# replay-column oracle: FIFO instance pairing via row_number per
+# (conv_id, value), identical to the operator's pairing identity; an
+# instance is visible at q.tus iff vf < tus <= coalesce(vt, inf), and its
+# event-ts is its insert's (vf here, since event_ts defaults to mutation ts)
 _SQL_ENTITY_STATE = f"""
-WITH t AS ({_DUCK_T})
+WITH t AS ({_DUCK_T}),
+d AS (SELECT conv_id, score AS val, tus AS mts, (role = 'tool') AS is_b
+      FROM t WHERE score IS NOT NULL),
+ins AS (SELECT conv_id, val, mts,
+               row_number() OVER (PARTITION BY conv_id, val ORDER BY mts) AS rn
+        FROM d WHERE NOT is_b),
+del AS (SELECT conv_id, val, mts,
+               row_number() OVER (PARTITION BY conv_id, val ORDER BY mts) AS rn
+        FROM d WHERE is_b),
+inst AS (SELECT i.conv_id, i.val, i.rn, i.mts AS vf, dl.mts AS vt
+         FROM ins i LEFT JOIN del dl
+           ON i.conv_id = dl.conv_id AND i.val = dl.val AND i.rn = dl.rn)
 SELECT q.conv_id AS conv_id, q.turn_idx AS turn_idx, q.tus AS tus,
        CASE WHEN (SELECT COALESCE(SUM(CASE WHEN e.role = 'tool' THEN -1 ELSE 1 END), 0)
                   FROM t e WHERE e.conv_id = q.conv_id AND e.tus < q.tus AND e.score IS NOT NULL) > 0
@@ -585,7 +624,21 @@ SELECT q.conv_id AS conv_id, q.turn_idx AS turn_idx, q.tus AS tus,
        CASE WHEN (SELECT COALESCE(SUM(CASE WHEN e.role = 'tool' THEN -1 ELSE 1 END), 0)
                   FROM t e WHERE e.conv_id = q.conv_id AND e.tus < q.tus AND e.score IS NOT NULL) > 0
             THEN (SELECT SUM(CASE WHEN e.role = 'tool' THEN -1 ELSE 1 END)
-                  FROM t e WHERE e.conv_id = q.conv_id AND e.tus < q.tus AND e.score IS NOT NULL) END AS state_n
+                  FROM t e WHERE e.conv_id = q.conv_id AND e.tus < q.tus AND e.score IS NOT NULL) END AS state_n,
+       (SELECT MIN(e.val) FROM inst e
+         WHERE e.conv_id = q.conv_id AND e.vf < q.tus AND (e.vt IS NULL OR e.vt >= q.tus)
+           AND e.vf >= q.tus - {7 * US_D}) AS state_min_7d,
+       (SELECT NULLIF(COUNT(DISTINCT e.val), 0) FROM inst e
+         WHERE e.conv_id = q.conv_id AND e.vf < q.tus
+           AND (e.vt IS NULL OR e.vt >= q.tus)) AS state_uniq,
+       (SELECT (list(e.val ORDER BY e.vf DESC, e.val DESC, e.rn DESC))[1]
+          FROM inst e
+         WHERE e.conv_id = q.conv_id AND e.vf < q.tus
+           AND (e.vt IS NULL OR e.vt >= q.tus)) AS state_last_1,
+       (SELECT (list(e.val ORDER BY e.vf DESC, e.val DESC, e.rn DESC))[2]
+          FROM inst e
+         WHERE e.conv_id = q.conv_id AND e.vf < q.tus
+           AND (e.vt IS NULL OR e.vt >= q.tus)) AS state_last_2
 FROM t q WHERE q.role = 'user'
 """
 

@@ -169,3 +169,157 @@ def test_random_state_matches_pandas_replay(spark):
         else:
             assert r.balance_state_sum == pytest.approx(s), (r.acct, r.ts)
             assert r.balance_state_count == n
+
+
+def test_replay_non_abelian_ops(spark, fixtures):
+    """Windowed + non-abelian ops over the mutating table — the surface the
+    reference's delete-based mutation path cannot express (ColumnAggregator.
+    delete is unimplemented for order/set ops, BaseAggregator.scala:60)."""
+    from chronon_spark.api import Aggregation
+    from chronon_spark.operators.mutations import entity_state_replay_asof
+
+    snapshot, mutations, left = fixtures
+    out = (
+        entity_state_replay_asof(
+            left,
+            snapshot,
+            mutations,
+            ["acct"],
+            "balance",
+            "2024-01-01",
+            [
+                Aggregation("balance", Op.MIN, windows=(None,)),
+                Aggregation("balance", Op.MAX, windows=(None,)),
+                Aggregation("balance", Op.COUNT, windows=(None,)),
+                Aggregation("balance", Op.UNIQUE_COUNT, windows=(None,)),
+                Aggregation("balance", Op.LAST_K, windows=(None,), k=2),
+                Aggregation("balance", Op.HISTOGRAM, windows=(None,)),
+                Aggregation("balance", Op.MIN, windows=("4h",)),
+            ],
+        )
+        .toPandas()
+        .sort_values(["acct", "ts"])
+        .reset_index(drop=True)
+    )
+    # states: a@0h: {} | a@1h: {60,40} | a@3h: {75,40} | a@6h: {75,40,5}
+    #         a@8h: {75,5} | b@8h: {10}
+    assert pd.isna(out.loc[0, "balance_state_min"])  # strictly-before base: empty
+    assert list(out["balance_state_min"].iloc[1:]) == [40.0, 40.0, 5.0, 5.0, 10.0]
+    assert list(out["balance_state_max"].iloc[1:]) == [60.0, 75.0, 75.0, 75.0, 10.0]
+    assert list(out["balance_state_count"].iloc[1:]) == [2, 2, 3, 2, 1]
+    assert list(out["balance_state_unique_count"].iloc[1:]) == [2, 2, 3, 2, 1]
+    assert [list(x) for x in out["balance_state_last_k2"].iloc[1:]] == [
+        [60.0, 40.0],  # both ets=midnight -> value-desc tie order
+        [75.0, 40.0],
+        [5.0, 75.0],
+        [5.0, 75.0],
+        [10.0],
+    ]
+    assert dict(out["balance_state_histogram"].iloc[3]) == {"40.0": 1, "5.0": 1, "75.0": 1}
+    # windowed MIN: event-ts filter excludes the midnight snapshot rows once
+    # the 4h window moves past them (b's only row has ets=midnight -> NULL)
+    got_w = out["balance_state_min_4h"]
+    assert pd.isna(got_w.iloc[0]) and pd.isna(got_w.iloc[5])
+    assert list(got_w.iloc[1:5]) == [40.0, 40.0, 5.0, 5.0]
+
+
+def test_replay_matches_multiset_oracle_randomized(spark):
+    """Randomized CDC stream: replay operator vs a pure-python multiset
+    oracle that tracks FIFO instance lifetimes exactly."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = []
+    live: dict = {}  # well-formed CDC: before-images only of LIVE versions
+    t = BASE
+    for _ in range(250):
+        t = t + dt.timedelta(minutes=int(rng.integers(1, 40)))
+        acct = f"k{rng.integers(0, 3)}"
+        action = rng.choice(["ins", "upd", "del"])
+        v = float(rng.integers(1, 12))  # small value space -> real collisions
+        key_live = live.setdefault(acct, [])
+        if action == "ins" or not key_live:
+            rows.append((acct, v, t, False))
+            key_live.append(v)
+        elif action == "upd":
+            old = key_live[int(rng.integers(0, len(key_live)))]
+            rows.append((acct, old, t, True))
+            rows.append((acct, v, t, False))
+            key_live.remove(old)
+            key_live.append(v)
+        else:
+            old = key_live[int(rng.integers(0, len(key_live)))]
+            rows.append((acct, old, t, True))
+            key_live.remove(old)
+
+    mutations = spark.createDataFrame(
+        rows, "acct string, balance double, mutation_ts timestamp, is_before boolean"
+    )
+    snapshot = spark.createDataFrame([], "acct string, balance double")
+    qs = [
+        (f"k{k}", BASE + dt.timedelta(minutes=int(m)))
+        for m in np.linspace(30, 250 * 20, 40)
+        for k in range(3)
+    ]
+    left = spark.createDataFrame(qs, "acct string, ts timestamp")
+    from chronon_spark.api import Aggregation
+    from chronon_spark.operators.mutations import entity_state_replay_asof
+
+    W = "6h"
+    out = entity_state_replay_asof(
+        left,
+        snapshot,
+        mutations,
+        ["acct"],
+        "balance",
+        "2024-01-01",
+        [
+            Aggregation("balance", Op.MIN, windows=(None, W)),
+            Aggregation("balance", Op.MAX, windows=(None,)),
+            Aggregation("balance", Op.COUNT, windows=(None, W)),
+            Aggregation("balance", Op.SUM, windows=(None,)),
+            Aggregation("balance", Op.UNIQUE_COUNT, windows=(None,)),
+            Aggregation("balance", Op.HISTOGRAM, windows=(W,)),
+        ],
+    ).toPandas()
+
+    # oracle: FIFO instance pairing per (acct, value)
+    import collections
+
+    insts = []  # (acct, val, ets, vf, vt)
+    fifo: dict = collections.defaultdict(list)
+    for acct, v, mts, is_before in rows:
+        if not is_before:
+            fifo[(acct, v)].append([acct, v, mts, mts, None])
+            insts.append(fifo[(acct, v)][-1])
+        else:
+            open_ = [i for i in fifo[(acct, v)] if i[4] is None]
+            if open_:
+                open_[0][4] = mts
+                fifo[(acct, v)].remove(open_[0])
+    wus = dt.timedelta(hours=6)
+    for _, r in out.iterrows():
+        vis = [
+            i for i in insts
+            if i[0] == r.acct and i[3] < r.ts and (i[4] is None or i[4] >= r.ts)
+        ]
+        vals = [i[1] for i in vis]
+        w_vals = [i[1] for i in vis if r.ts - wus <= i[2] < r.ts]
+        if vals:
+            assert r.balance_state_min == min(vals), (r.acct, r.ts)
+            assert r.balance_state_max == max(vals)
+            assert r.balance_state_count == len(vals)
+            assert r.balance_state_sum == pytest.approx(sum(vals))
+            assert r.balance_state_unique_count == len(set(vals))
+        else:
+            assert pd.isna(r.balance_state_min) and pd.isna(r.balance_state_sum)
+        if w_vals:
+            assert r["balance_state_min_6h"] == min(w_vals)
+            assert r["balance_state_count_6h"] == len(w_vals)
+            want_h = collections.Counter(str(v) for v in w_vals)
+            assert dict(r["balance_state_histogram_6h"]) == dict(want_h)
+        else:
+            assert pd.isna(r["balance_state_min_6h"])
+            assert r["balance_state_histogram_6h"] is None or pd.isna(
+                r["balance_state_histogram_6h"]
+            )
