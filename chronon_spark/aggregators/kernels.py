@@ -733,7 +733,11 @@ def _grouped_kernel(
         s, e = cs.bounds(q_starts, q_ts, side)
         kv = _kernel(part, cs, s, e)
         key = str(uniques[g])
-        for i in np.flatnonzero(kv != None):  # noqa: E711 — elementwise on object array
+        # element-wise `kv != None` is unsafe here: list-output kernels put
+        # ndarrays in kv, whose __ne__ broadcasts — the stray truthiness let
+        # None-valued bucket keys leak into the map for order/extreme ops
+        nonnull = np.fromiter((v is not None for v in kv), bool, len(kv))
+        for i in np.flatnonzero(nonnull):
             d = acc[i]
             if d is None:
                 d = acc[i] = {}

@@ -28,6 +28,7 @@ _DUCK_T = """
                 WHEN event_type = 'error'            THEN 'tool'
                 ELSE 'assistant' END                                       AS role,
            event_type || ':' || CAST(event_id AS VARCHAR)                  AS text,
+           CASE WHEN event_type = 'error' THEN 'retry' END                 AS tool,
            value                                                           AS score,
            ts                                                              AS ts,
            epoch_us(ts)                                                    AS tus
@@ -1377,10 +1378,11 @@ FROM q LEFT JOIN hist h ON h.conv_id = q.conv_id AND h.qi = q.turn_idx AND h.qtu
 
 
 def _q_tiled_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucketed scalar ops through the TILED strategy: per-(key, hop, bucket)
-    partials merged with bucket-masked head events (the reference's
-    BucketedColumnAggregator over abelian IRs, row/BucketedColumnAggregator
-    .scala, collapsed per SawtoothOnlineAggregator)."""
+    """Bucketed ops through the TILED strategy: per-(key, hop, bucket)
+    IRs merged with bucket-masked head events (the reference's
+    BucketedColumnAggregator, row/BucketedColumnAggregator.scala, collapsed
+    per SawtoothOnlineAggregator) — scalar partials AND collection IRs
+    (LAST_K entry lists, HISTOGRAM value counts) per bucket slot."""
     from chronon_spark.operators.tiles import tiled_sawtooth_asof_join
 
     t = _transcripts(spark, sf_dir)
@@ -1390,6 +1392,8 @@ def _q_tiled_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             Aggregation("score", Op.SUM, windows=("7d",), buckets=("role",)),
             Aggregation("score", Op.COUNT, windows=("7d",), buckets=("role",)),
             Aggregation("score", Op.MIN, windows=("13d",), buckets=("role",)),
+            Aggregation("text", Op.LAST_K, windows=("7d",), k=2, buckets=("role",)),
+            Aggregation("tool", Op.HISTOGRAM, windows=("7d",), buckets=("role",)),
         ],
         tie_breakers=["turn_idx"],
         sawtooth=True,
@@ -1398,6 +1402,15 @@ def _q_tiled_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     sm = F.col("score_sum_7d_by_role")
     ct = F.col("score_count_7d_by_role")
     mn = F.col("score_min_13d_by_role")
+    lk = F.try_element_at(F.col("text_last_k2_7d_by_role"), F.lit("tool"))
+    hm = F.try_element_at(F.col("tool_histogram_7d_by_role"), F.lit("tool"))
+    hist_str = F.array_join(
+        F.transform(
+            F.array_sort(F.map_keys(hm)),
+            lambda x: F.concat(x, F.lit("="), F.element_at(hm, x).cast("string")),
+        ),
+        "|",
+    )
     return out.select(
         "conv_id",
         "turn_idx",
@@ -1407,6 +1420,8 @@ def _q_tiled_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_element_at(ct, F.lit("assistant")).alias("cnt_assistant"),
         F.try_element_at(mn, F.lit("user")).alias("min_user"),
         F.try_element_at(mn, F.lit("assistant")).alias("min_assistant"),
+        F.array_join(lk, "|").alias("last2_tool"),
+        hist_str.alias("hist_tool"),
     )
 
 
@@ -1429,14 +1444,29 @@ a7 AS (SELECT conv_id, qi, qtus,
 a13 AS (SELECT conv_id, qi, qtus,
                MIN(CASE WHEN role = 'user' THEN score END) AS min_user,
                MIN(CASE WHEN role = 'assistant' THEN score END) AS min_assistant
-        FROM w13 GROUP BY 1, 2, 3)
+        FROM w13 GROUP BY 1, 2, 3),
+w7x AS (SELECT q.conv_id, q.turn_idx AS qi, q.tus AS qtus,
+               e.role, e.text, e.tool, e.tus AS etus, e.turn_idx AS eturn
+        FROM q JOIN t e ON e.conv_id = q.conv_id
+         AND e.tus >= ((q.tus - {7 * US_D}) // {US_H}) * {US_H} AND e.tus < q.tus
+         AND e.role IS NOT NULL),
+l2 AS (SELECT conv_id, qi, qtus,
+              array_to_string((list(text ORDER BY etus DESC, eturn DESC))[1:2], '|') AS last2_tool
+       FROM w7x WHERE role = 'tool' AND text IS NOT NULL GROUP BY 1, 2, 3),
+h7 AS (SELECT conv_id, qi, qtus, string_agg(v || '=' || c, '|' ORDER BY v) AS hist_tool
+       FROM (SELECT conv_id, qi, qtus, tool AS v, COUNT(*) AS c
+             FROM w7x WHERE role = 'tool' AND tool IS NOT NULL GROUP BY 1, 2, 3, 4)
+       GROUP BY 1, 2, 3)
 SELECT q.conv_id AS conv_id, q.turn_idx AS turn_idx, q.tus AS tus,
        a7.sum_user AS sum_user, a7.sum_tool AS sum_tool,
        NULLIF(a7.cnt_assistant_raw, 0) AS cnt_assistant,
-       a13.min_user AS min_user, a13.min_assistant AS min_assistant
+       a13.min_user AS min_user, a13.min_assistant AS min_assistant,
+       l2.last2_tool AS last2_tool, h7.hist_tool AS hist_tool
 FROM q
 LEFT JOIN a7 ON a7.conv_id = q.conv_id AND a7.qi = q.turn_idx AND a7.qtus = q.tus
 LEFT JOIN a13 ON a13.conv_id = q.conv_id AND a13.qi = q.turn_idx AND a13.qtus = q.tus
+LEFT JOIN l2 ON l2.conv_id = q.conv_id AND l2.qi = q.turn_idx AND l2.qtus = q.tus
+LEFT JOIN h7 ON h7.conv_id = q.conv_id AND h7.qi = q.turn_idx AND h7.qtus = q.tus
 """
 
 

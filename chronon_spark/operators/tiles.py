@@ -57,8 +57,12 @@ SimpleAggregators.scala:545 — inherently lossy): each tile stores up to
 (n/K), a one-level KLL-style compactor. Rank error of a merged estimate is
 bounded by (tail volume)/QSK_K + the head is exact — asserted by a
 rank-error-bound test. Exact percentiles need the raw values: use the plain
-or sliced path when exactness matters. Bucketed parts stay on the plain
-path.
+or sliced path when exactness matters.
+
+Bucketed parts tile as a map of per-bucket IRs (the reference's
+BucketedColumnAggregator): scalar partials AND the collection IRs
+(entry/extreme lists, distinct sets, value counts) carry per bucket slot;
+only bucketed moments and the percentile sketch stay on the plain path.
 
 Moment-op caveat: raw power sums lose precision when |mean| >> stddev
 (classic cancellation); the raw path's globally-shifted prefix sums
@@ -168,28 +172,47 @@ def _tile_stats_needed(gb: GroupBy) -> dict[str, dict[str, int | None]]:
     return need
 
 
-def _tile_bucket_stats(gb: GroupBy) -> dict[tuple[str, str], set[str]]:
-    """Per-(input column, bucket column) tile stats for bucketed parts.
-    The tiled path collapses bucketed SCALAR ops (the reference's
-    BucketedColumnAggregator over abelian IRs); other bucketed ops stay on
-    the plain path."""
-    out: dict[tuple[str, str], set[str]] = {}
+def _tile_bucket_stats(
+    gb: GroupBy, scalar_only: bool = False
+) -> dict[tuple[str, str], dict[str, int | None]]:
+    """Per-(input column, bucket column) tile stats for bucketed parts —
+    the reference's BucketedColumnAggregator carries the SAME per-op IR
+    inside each bucket's map slot (row/ColumnAggregator.scala), so bucketed
+    tiles mirror the unbucketed IR per bucket: scalar partials, bounded
+    entry/extreme lists, distinct sets, value->count histograms.
+
+    ``scalar_only=True`` is the streaming tile builder's contract (its
+    post-agg run-length fold only covers scalar partials); moments and the
+    percentile sketch stay on the plain path per bucket everywhere (per-
+    bucket power sums / sketches are where the map-of-IR payload stops
+    paying for itself — use the plain/sliced strategies)."""
+    out: dict[tuple[str, str], dict[str, int | None]] = {}
     for p in gb.parts():
         if not p.bucket:
             continue
-        if p.op not in _SCALAR_OPS:
+        if p.op in _MOMENT_OPS or p.op == Op.APPROX_PERCENTILE or p.op not in TILED_OPS:
             raise ValueError(
-                f"tiled bucketed parts support scalar ops {sorted(o.value for o in _SCALAR_OPS)}; "
-                f"got {p.op} by {p.bucket} — use the plain path"
+                f"tiled bucketed parts do not support {p.op} by {p.bucket} — use the plain path"
             )
-        st = out.setdefault((p.input_column, p.bucket), set())
-        st.add("cnt")
+        if scalar_only and p.op not in _SCALAR_OPS:
+            raise ValueError(
+                f"streaming tiles support scalar bucketed ops {sorted(o.value for o in _SCALAR_OPS)}; "
+                f"got {p.op} by {p.bucket} — use the batch tiled path"
+            )
+        st = out.setdefault((p.input_column, p.bucket), {})
+        st["cnt"] = None  # anchor: every bucketed part needs per-bucket counts
         if p.op in (Op.SUM, Op.AVERAGE):
-            st.add("sm")
+            st["sm"] = None
         if p.op == Op.MIN:
-            st.add("mn")
+            st["mn"] = None
         if p.op == Op.MAX:
-            st.add("mx")
+            st["mx"] = None
+        fam = _op_family(p.op)
+        if fam in ("firstk", "lastk", "topk", "bottomk", "utopk"):
+            k = 1 if p.op in (Op.FIRST, Op.LAST) else int(p.k)
+            st[fam] = max(st.get(fam) or 0, k)
+        elif fam in ("set", "hist"):
+            st[fam] = None
     return out
 
 
@@ -336,8 +359,27 @@ def build_hop_tiles(
         )
         tiles = tiles.join(vc, on=keys + ["__hop"], how="left")
     for (c, b), st in _tile_bucket_stats(gb).items():
-        # bucketed scalar IRs: (keys, hop, bucket) partials collected into one
-        # list per tile — the same two-level shape as histogram tiles
+        # bucketed IRs: (keys, hop, bucket) partials collected into one list
+        # per tile — the same two-level shape as histogram tiles. Each
+        # bucket slot carries the SAME per-op IR as the unbucketed tile
+        # (scalar partials, bounded (ts, ties, value) entry lists, k-extreme
+        # lists, distinct sets, value->count pairs) — the reference's
+        # BucketedColumnAggregator layout (map of per-bucket IRs).
+        def bk_entry_struct():
+            fields = [F.col(_TS_US).alias("t")]
+            fields += [F.col(t).alias(f"b{i}") for i, t in enumerate(tie_cols)]
+            fields.append(F.col(c).alias("v"))
+            return F.struct(*fields)
+
+        # per-bucket partials at (keys, hop, bucket) grain. Scalars collect
+        # into the array<struct> IR column; collection IRs flatten into
+        # SEPARATE per-family columns of array<struct<__b, ...>> — each
+        # element tagged with its bucket. Nesting stays at list<struct>
+        # depth: list<struct<list<struct>>> payloads segfault pyarrow's
+        # arrow_to_pandas on some batch shapes (observed under spark-submit),
+        # and the flat layout is what the kernel's per-bucket slicing wants
+        # anyway. The flatten(collect_list(transform(...))) runs JVM-side —
+        # the nested intermediate never crosses Arrow.
         agg2 = [F.count(c).alias("cnt")]
         struct_fields = ["__b", "cnt"]
         if "sm" in st:
@@ -349,14 +391,80 @@ def build_hop_tiles(
         if "mx" in st:
             agg2.append(F.max(c).alias("mx"))
             struct_fields.append("mx")
-        bt = (
-            r.where(F.col(c).isNotNull() & F.col(b).isNotNull())
-            .select(*keys, hop_col.alias("__hop"), F.col(b).cast("string").alias("__b"), c)
-            .groupBy(*keys, "__hop", "__b")
-            .agg(*agg2)
-            .groupBy(*keys, "__hop")
-            .agg(F.collect_list(F.struct(*struct_fields)).alias(f"{c}__bk__{b}"))
+        if "firstk" in st:
+            agg2.append(
+                F.slice(F.sort_array(F.collect_list(bk_entry_struct())), 1, st["firstk"]).alias("firstk")
+            )
+        if "lastk" in st:
+            agg2.append(
+                F.slice(
+                    F.sort_array(F.collect_list(bk_entry_struct()), asc=False), 1, st["lastk"]
+                ).alias("lastk")
+            )
+        if "topk" in st:
+            agg2.append(F.slice(F.sort_array(F.collect_list(c), asc=False), 1, st["topk"]).alias("topk"))
+        if "bottomk" in st:
+            agg2.append(F.slice(F.sort_array(F.collect_list(c)), 1, st["bottomk"]).alias("bottomk"))
+        if "utopk" in st:
+            agg2.append(F.slice(F.sort_array(F.collect_set(c), asc=False), 1, st["utopk"]).alias("utopk"))
+        if "set" in st:
+            agg2.append(F.collect_set(c).alias("vset"))
+        base2 = r.where(F.col(c).isNotNull() & F.col(b).isNotNull()).select(
+            *keys,
+            hop_col.alias("__hop"),
+            F.col(b).cast("string").alias("__b"),
+            _TS_US,
+            *sorted({c, *tie_cols} - set(keys)),
         )
+        bt = base2.groupBy(*keys, "__hop", "__b").agg(*agg2)
+        if "hist" in st:
+            # per-bucket value counts: one extra pre-reduced level, joined
+            # back at the (keys, hop, bucket) grain both sides already
+            # hash-partition on
+            vc2 = (
+                base2.select(*keys, "__hop", "__b", F.col(c).cast("string").alias("__v"))
+                .groupBy(*keys, "__hop", "__b", "__v")
+                .agg(F.count("*").alias("__c"))
+                .groupBy(*keys, "__hop", "__b")
+                .agg(F.collect_list(F.struct("__v", "__c")).alias("hist"))
+            )
+            bt = bt.join(vc2, on=keys + ["__hop", "__b"])
+
+        def tagged(arr_field: str, payload):
+            return F.flatten(
+                F.collect_list(F.transform(F.col(arr_field), payload))
+            ).alias(f"{c}__bk_{arr_field}__{b}")
+
+        final_aggs = [F.collect_list(F.struct(*struct_fields)).alias(f"{c}__bk__{b}")]
+        ent_payload = lambda e: F.struct(  # noqa: E731
+            F.col("__b").alias("__b"),
+            e["t"].alias("t"),
+            *[e[f"b{i}"].alias(f"b{i}") for i in range(len(tie_cols))],
+            e["v"].alias("v"),
+        )
+        val_payload = lambda e: F.struct(F.col("__b").alias("__b"), e.alias("v"))  # noqa: E731
+        if "firstk" in st:
+            final_aggs.append(tagged("firstk", ent_payload))
+        if "lastk" in st:
+            final_aggs.append(tagged("lastk", ent_payload))
+        if "topk" in st:
+            final_aggs.append(tagged("topk", val_payload))
+        if "bottomk" in st:
+            final_aggs.append(tagged("bottomk", val_payload))
+        if "utopk" in st:
+            final_aggs.append(tagged("utopk", val_payload))
+        if "set" in st:
+            final_aggs.append(tagged("vset", val_payload))
+        if "hist" in st:
+            final_aggs.append(
+                tagged(
+                    "hist",
+                    lambda e: F.struct(
+                        F.col("__b").alias("__b"), e["__v"].alias("__v"), e["__c"].alias("__c")
+                    ),
+                )
+            )
+        bt = bt.groupBy(*keys, "__hop").agg(*final_aggs)
         tiles = tiles.join(bt, on=keys + ["__hop"], how="left")
     return tiles
 
@@ -643,13 +751,89 @@ def tiled_sawtooth_asof_join(
             for nm in ("cnt", "sm", "mn", "mx"):
                 if flat and nm in flat[0]:
                     stats[nm] = np.fromiter((e.get(nm) for e in flat), object, total)[tord]
-            hord = np.lexsort((hcomp_b, hcd)) if len(hb) else np.empty(0, np.int64)
+            # heads sorted by (bucket, comp, tie_breakers): within a bucket
+            # this is the raw kernel's exact event order, so per-bucket
+            # first/last(_k) match the plain grouped path
+            hties = (
+                [heads_pdf[t][hmask].to_numpy() for t in tie_cols]
+                if len(heads_pdf) and tie_cols
+                else []
+            )
+            hord = (
+                np.lexsort(tuple(reversed([hcd, hcomp_b] + hties)))
+                if len(hb)
+                else np.empty(0, np.int64)
+            )
             hcomp_b, hvals_b, hcd = hcomp_b[hord], hvals_b[hord], hcd[hord]
             nb = len(uniques)
             tlo = np.searchsorted(tcd, np.arange(nb + 1))
             hlo = np.searchsorted(hcd, np.arange(nb + 1))
             res = (uniques, tcomp_e, stats, tlo, hcomp_b, hvals_b, hlo)
             bucket_cache[ck] = res
+            return res
+
+        bucket_entry_cache: dict = {}
+
+        def bucket_entries(c: str, b: str, fam: str, kind: str) -> tuple:
+            """Flatten one per-bucket collection IR column (each element
+            tagged with its bucket, `{c}__bk_{fam}__{b}`) into arrays laid
+            out bucket-contiguously (same layouts as `entries`, plus an
+            `elo` offset table indexing each bucket's slice). Bucket codes
+            come from bucket_series' factorize so slices line up with the
+            scalar IRs and the head slices."""
+            ck = (c, b, fam)
+            if ck in bucket_entry_cache:
+                return bucket_entry_cache[ck]
+            uniques = bucket_series(c, b)[0]
+            nb = len(uniques)
+            code = {u: g for g, u in enumerate(uniques)}
+            field = {"set": "vset"}.get(fam, fam)
+            col_name = f"{c}__bk_{field}__{b}"
+            if len(tiles_pdf):
+                lists = tiles_pdf[col_name].to_numpy()
+                lens = np.fromiter(
+                    (len(v) if isinstance(v, (list, np.ndarray)) else 0 for v in lists),
+                    np.int64,
+                    len(lists),
+                )
+                total = int(lens.sum())
+                flat_e = [x for v in lists if isinstance(v, (list, np.ndarray)) for x in v]
+                tcomp_rep = np.repeat(tcomp_all, lens)
+                tcb_rep = np.repeat(tile_code_base, lens)
+            else:
+                total, flat_e = 0, []
+                tcomp_rep = tcb_rep = np.empty(0, np.int64)
+            # a bucket present in any collection entry always has tile rows
+            # in the scalar IR column (cnt is collected unconditionally at
+            # the same grain), so factorize covered it
+            ebkt = np.fromiter((code[x["__b"]] for x in flat_e), np.int64, total)
+            if kind == "ts":
+                if total:
+                    ets = np.fromiter((x["t"] for x in flat_e), np.int64, total)
+                    comp = tcb_rep + (ets - base)
+                    vals = _to_numpy(pd.Series([x["v"] for x in flat_e]))
+                    ties = [
+                        _to_numpy(pd.Series([x[f"b{i}"] for x in flat_e])) for i in range(n_ties)
+                    ]
+                    order = np.lexsort(tuple(reversed([ebkt, comp] + ties)))
+                    comp, vals, ebkt = comp[order], vals[order], ebkt[order]
+                else:
+                    comp, vals = np.empty(0, np.int64), np.empty(0, object)
+                out_t: tuple = (comp, vals)
+            elif kind == "hist":
+                vals = np.fromiter((x["__v"] for x in flat_e), object, total)
+                wts = np.fromiter((x["__c"] for x in flat_e), np.int64, total)
+                order = np.lexsort((tcomp_rep, ebkt)) if total else np.empty(0, np.int64)
+                ebkt = ebkt[order]
+                out_t = (tcomp_rep[order], vals[order], wts[order])
+            else:  # plain value entries, bound by their tile's comp
+                vals = _to_numpy(pd.Series([x["v"] for x in flat_e]))
+                order = np.lexsort((tcomp_rep, ebkt)) if total else np.empty(0, np.int64)
+                ebkt = ebkt[order]
+                out_t = (tcomp_rep[order], vals[order])
+            elo = np.searchsorted(ebkt, np.arange(nb + 1))
+            res = (elo, *out_t)
+            bucket_entry_cache[ck] = res
             return res
 
         nullkey = lcodes < 0
@@ -667,11 +851,13 @@ def tiled_sawtooth_asof_join(
             c = p.input_column
 
             if p.bucket is not None:
-                # Map[bucket -> scalar agg]: per-bucket tile partials merged
-                # with bucket-masked head events; iteration is per BUCKET
-                # (each pass vectorized over all queries), the same shape as
-                # kernels._grouped_kernel
+                # Map[bucket -> agg]: per-bucket tile IRs merged with
+                # bucket-masked head events; iteration is per BUCKET (each
+                # pass vectorized over all queries), the same shape as
+                # kernels._grouped_kernel. Scalars merge range partials;
+                # collection IRs reuse the SAME raw-path kernels per bucket.
                 uniques, tcomp_e, bstats, tlo, hcomp_b, hvals_b, hlo = bucket_series(c, p.bucket)
+                fam = _op_family(p.op)
                 integral = isinstance(part_output_type(p, right_types[c]).valueType, T.LongType)
                 acc: list = [None] * len(q_ts)
                 for g in range(len(uniques)):
@@ -682,6 +868,48 @@ def tiled_sawtooth_asof_join(
                     hv_g = hvals_b[hlo[g] : hlo[g + 1]]
                     s2 = np.searchsorted(hts_g, comp_h, side="left")
                     e2 = np.maximum(np.searchsorted(hts_g, comp_q, side="left"), s2)
+                    if fam is not None:
+                        kind = (
+                            "ts"
+                            if p.op in _ORDER_OPS
+                            else ("hist" if p.op in _HIST_OPS else "value")
+                        )
+                        ent = bucket_entries(c, p.bucket, fam, kind)
+                        elo, ecomp = ent[0], ent[1]
+                        arr = ecomp[elo[g] : elo[g + 1]]
+                        av = ent[2][elo[g] : elo[g + 1]]
+                        es = np.searchsorted(arr, comp_w, side="left")
+                        ee = np.maximum(np.searchsorted(arr, comp_h, side="left"), es)
+                        if p.op in _SET_OPS:
+                            vals_g = _distinct2(av, es, ee, hv_g, s2, e2)
+                        elif p.op in _HIST_OPS:
+                            aw = ent[3][elo[g] : elo[g + 1]]
+                            kk = p.k if (p.k or p.op != Op.HISTOGRAM) else None
+                            vals_g = _hist2(av, aw, es, ee, hv_g, s2, e2, kk)
+                        else:  # order / extreme: raw-path kernel both sides
+                            kp = p
+                            if p.op in (Op.FIRST, Op.LAST):
+                                kp = AggregationPart(
+                                    p.input_column,
+                                    Op.FIRST_K if p.op == Op.FIRST else Op.LAST_K,
+                                    p.window,
+                                    k=1,
+                                )
+                            tail_res = _kernel(kp, _ColumnSeries(arr, av), es, ee)
+                            head_res = _kernel(kp, _ColumnSeries(hts_g, hv_g), s2, e2)
+                            if p.op in (Op.FIRST, Op.LAST):
+                                merged_k = _merge_order(kp.op, 1, tail_res, head_res)
+                                vals_g = [None if v is None else v[0] for v in merged_k]
+                            else:
+                                vals_g = _merge_order(p.op, p.k, tail_res, head_res)
+                        bkey = str(uniques[g])
+                        for i in range(len(vals_g)):
+                            if vals_g[i] is not None:
+                                d0 = acc[i]
+                                if d0 is None:
+                                    d0 = acc[i] = {}
+                                d0[bkey] = vals_g[i]
+                        continue
                     cnt_g = _range_sum(
                         np.asarray(bstats["cnt"][tlo[g] : tlo[g + 1]], np.float64), s1, e1
                     ) + (e2 - s2)

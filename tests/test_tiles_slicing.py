@@ -306,15 +306,61 @@ def test_tiled_bucketed_scalar_equal_plain(spark, tdf):
                     assert x == y, (c, i, k, x, y)
 
 
-def test_tiled_bucketed_nonscalar_rejected(tdf):
+def test_tiled_bucketed_nonscalar_equal_plain(spark, tdf):
+    """Bucketed order/extreme/set/histogram ops through the tiled path: each
+    bucket slot carries the same collection IR as the unbucketed tile
+    (the reference's BucketedColumnAggregator layout) and must reproduce the
+    plain path's Map[bucket -> agg] exactly."""
     gb = GroupBy(
         keys=["conv_id"],
-        aggregations=[Aggregation("text", Op.LAST_K, windows=("1d",), k=2, buckets=("role",))],
+        aggregations=[
+            Aggregation("text", Op.LAST_K, windows=("13d",), k=2, buckets=("role",)),
+            Aggregation("text", Op.FIRST, windows=("3h",), buckets=("role",)),
+            Aggregation("n_chars", Op.TOP_K, windows=("13d",), k=3, buckets=("role",)),
+            Aggregation("n_chars", Op.UNIQUE_COUNT, windows=("13d",), buckets=("role",)),
+            Aggregation("tool", Op.HISTOGRAM, windows=("13d",), buckets=("role",)),
+            Aggregation("tool", Op.APPROX_FREQUENT_K, windows=("13d",), k=2, buckets=("role",)),
+            # mixed with scalars on the same (column, bucket) pair
+            Aggregation("n_chars", Op.SUM, windows=("3h",), buckets=("role",)),
+        ],
         tie_breakers=["turn_idx"],
         sawtooth=True,
     )
-    with pytest.raises(ValueError, match="plain path"):
-        tiled_sawtooth_asof_join(tdf.limit(1), tdf, gb)
+    left = tdf.where(F.col("role") == "user").select("conv_id", "turn_idx", "ts")
+    feats = [p.output_name for p in gb.parts()]
+    plain = _collect(asof_join(left, tdf, gb), feats)
+    tiled = _collect(tiled_sawtooth_asof_join(left, tdf, gb), feats)
+    assert len(plain) == len(tiled)
+
+    def canon(v):
+        if isinstance(v, dict):
+            return tuple(sorted((k, canon(x)) for k, x in v.items()))
+        if isinstance(v, (list, tuple)) or (hasattr(v, "__len__") and not isinstance(v, str)):
+            return tuple(canon(x) for x in v)
+        return v
+
+    for c in feats:
+        for i in range(len(plain)):
+            a, b = plain[c].iloc[i], tiled[c].iloc[i]
+            if a is None or b is None:
+                assert a is None and b is None, (c, i, a, b)
+                continue
+            assert canon(a) == canon(b), (c, i, a, b)
+
+
+def test_tiled_bucketed_moments_percentile_rejected(tdf):
+    for agg in (
+        Aggregation("n_chars", Op.VARIANCE, windows=("1d",), buckets=("role",)),
+        Aggregation("n_chars", Op.APPROX_PERCENTILE, windows=("1d",), buckets=("role",)),
+    ):
+        gb = GroupBy(
+            keys=["conv_id"],
+            aggregations=[agg],
+            tie_breakers=["turn_idx"],
+            sawtooth=True,
+        )
+        with pytest.raises(ValueError, match="plain path"):
+            tiled_sawtooth_asof_join(tdf.limit(1), tdf, gb)
 
 
 def test_derivations_agree_across_strategies(spark, tdf):
