@@ -165,6 +165,59 @@ FROM documents GROUP BY 1
 """
 
 
+def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup under the oracle gate: documents replay as two
+    micro-batches (maxFilesPerTrigger=1) through `stream_exact_dedup`
+    (dropDuplicatesWithinWatermark — bounded keyed state on the content
+    fingerprint), and the surviving fingerprint SET must equal the batch
+    definition of "distinct document". Arrival times are synthetic and span
+    < 1h against a 2h watermark, so no row is late — duplicates that
+    straddle the two batches dedup through state, not rescans."""
+    import glob as _glob
+    import os
+    import tempfile
+    import uuid
+
+    from chronon_spark.streaming.dedup_stream import stream_exact_dedup
+
+    d = _load_docs(spark, sf_dir).withColumn(
+        "arrived",
+        F.timestamp_seconds(F.lit(1704067200) + F.pmod(F.col("doc_id"), F.lit(3000))),
+    )
+    stage = tempfile.mkdtemp(prefix="stream_dedup_")
+    src = os.path.join(stage, "src")
+    os.makedirs(src)
+    for i, half in enumerate((d.where(F.col("doc_id") % 2 == 0), d.where(F.col("doc_id") % 2 == 1))):
+        half.coalesce(1).write.parquet(os.path.join(stage, f"h{i}"))
+        for j, f in enumerate(sorted(_glob.glob(os.path.join(stage, f"h{i}", "part-*.parquet")))):
+            os.link(f, os.path.join(src, f"h{i}_{j}.parquet"))
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = f"stream_dedup_{uuid.uuid4().hex}"
+    q = (
+        stream_exact_dedup(stream, "text", time_col="arrived", watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(stage, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # which doc_id survives per fingerprint is arrival-order-defined; the
+    # gated invariant is the fingerprint set (one survivor per distinct text)
+    return spark.table(name).select("fp").distinct()
+
+
+_SQL_STREAM_DEDUP = """
+SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------- segment dedup
 
 
@@ -1268,6 +1321,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_quality": _q_lang_quality,
     "unigram_logppl": _q_unigram_logppl,
     "dedup_exact": _q_dedup_exact,
+    "stream_dedup_exact": _q_stream_dedup,
     "segment_dedup": _q_segment_dedup,
     "segment_dedup_rewrite": _q_segment_rewrite,
     "curate_corpus": _q_curate_corpus,
@@ -1304,6 +1358,7 @@ ORACLES: dict[str, str] = {
     "lang_quality": _SQL_LANG_QUALITY,
     "unigram_logppl": _SQL_UNIGRAM_LOGPPL,
     "dedup_exact": _SQL_DEDUP_EXACT,
+    "stream_dedup_exact": _SQL_STREAM_DEDUP,
     "segment_dedup": _SQL_SEGMENT_DEDUP,
     "segment_dedup_rewrite": _SQL_SEGMENT_REWRITE,
     "curate_corpus": _SQL_CURATE,

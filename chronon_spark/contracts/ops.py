@@ -1475,6 +1475,157 @@ LEFT JOIN h7 ON h7.conv_id = q.conv_id AND h7.qi = q.turn_idx AND h7.qtus = q.tu
 _BATCH_END_US = 1_706_140_800_000_000
 
 
+def _q_stream_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fire-per-element RUNNING features under the HARD oracle gate: events
+    replay as a Structured Stream in three time-ordered runs over a SHARED
+    checkpoint, so later runs see earlier events only through the keyed
+    state IR of `stream_running_features` (applyInPandasWithState — the
+    reference's AlwaysFireOnElementTrigger semantics,
+    flink/src/main/scala/ai/chronon/flink/window/Trigger.scala:13-56).
+    Every emitted row carries lifetime COUNT/SUM/MIN/MAX/AVG of `value` over
+    events strictly before it (ts' < ts), hash-checked against the oracle's
+    RANGE ... 1 PRECEDING window — cross-run state correctness included,
+    since rows of runs 2-3 aggregate run-1 events they never re-scan."""
+    import glob as _glob
+    import os
+    import tempfile
+
+    from chronon_spark.streaming.groupby_stream import stream_running_features
+
+    stage = tempfile.mkdtemp(prefix="stream_running_")
+    src = os.path.join(stage, "src")
+    os.makedirs(src)
+    ckpt = os.path.join(stage, "ckpt")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    gb = GroupBy(
+        keys=["user_id"],
+        aggregations=[
+            Aggregation("value", Op.COUNT, windows=(None,)),
+            Aggregation("value", Op.SUM, windows=(None,)),
+            Aggregation("value", Op.MIN, windows=(None,)),
+            Aggregation("value", Op.MAX, windows=(None,)),
+            Aggregation("value", Op.AVERAGE, windows=(None,)),
+        ],
+        tie_breakers=["event_id"],
+    )
+    # split on day boundaries: duplicate-ts groups never straddle a run, so
+    # the strict ts' < ts contract is well-defined across the state handoff
+    cuts = ("2024-01-11", "2024-01-21")
+    ts_day = F.date_format("ts", "yyyy-MM-dd")
+    chunks = [
+        ev.where(ts_day < cuts[0]),
+        ev.where((ts_day >= cuts[0]) & (ts_day < cuts[1])),
+        ev.where(ts_day >= cuts[1]),
+    ]
+    sinkdir = os.path.join(stage, "out")
+    for i, chunk in enumerate(chunks):
+        chunk.write.parquet(os.path.join(stage, f"c{i}"))
+        for j, f in enumerate(sorted(_glob.glob(os.path.join(stage, f"c{i}", "part-*.parquet")))):
+            os.link(f, os.path.join(src, f"c{i}_{j}.parquet"))
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        q = (
+            stream_running_features(stream, gb, time_col="ts")
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", sinkdir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    out = spark.read.parquet(sinkdir)
+    return out.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+        F.col("value_count").alias("n_prior"),
+        (F.round(F.col("value_sum"), 3) + F.lit(0.0)).alias("sum_prior"),
+        F.col("value_min").alias("min_prior"),
+        F.col("value_max").alias("max_prior"),
+        (F.round(F.col("value_average") + F.lit(NUDGE_6DP), 6) + F.lit(0.0)).alias("avg_prior"),
+    )
+
+
+_SQL_STREAM_RUNNING = f"""
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, value FROM events)
+SELECT user_id, event_id, tus,
+       NULLIF(COUNT(value) OVER w, 0)               AS n_prior,
+       ROUND(SUM(value) OVER w, 3) + 0.0            AS sum_prior,
+       MIN(value) OVER w                            AS min_prior,
+       MAX(value) OVER w                            AS max_prior,
+       ROUND(AVG(value) OVER w + {NUDGE_6DP!r}, 6) + 0.0 AS avg_prior
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY tus
+             RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+"""
+
+
+def _q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming JoinSource enrichment (thrift/api.thrift:170-185 case #2)
+    under the HARD oracle gate: a streaming left of user turns is decorated
+    micro-batch by micro-batch via `enrich_stream`'s foreachBatch fetch
+    (batch IRs + post-batchEnd events, strict ts' < ts), the enriched
+    batches land in a parquet sink, and the read-back must hash-match the
+    oracle's direct point-in-time computation — the ConsistencyJob contract
+    for the REALTIME path, previously pytest-only."""
+    import tempfile
+
+    from chronon_spark.jobs.upload import build_batch_irs
+    from chronon_spark.streaming.enrichment import enrich_stream
+
+    t = _transcripts(spark, sf_dir)
+    gb = GroupBy(
+        keys=["conv_id"],
+        aggregations=[
+            Aggregation("turn_idx", Op.COUNT, windows=("13d",)),
+            Aggregation("score", Op.SUM, windows=("7d",)),
+            Aggregation("text", Op.LAST_K, windows=("7d",), k=2),
+        ],
+        tie_breakers=["turn_idx"],
+        sawtooth=True,
+    )
+    left = t.where(
+        (F.col("role") == "user")
+        & (F.col("tus") >= _BATCH_END_US)
+        & (F.col("tus") < _BATCH_END_US + 2 * US_D)
+    ).select("conv_id", "turn_idx", "tus", "ts")
+    workdir = tempfile.mkdtemp(prefix="stream_enrich_")
+    src = f"{workdir}/left"
+    left.write.parquet(src)
+    # small maxFilesPerTrigger forces several micro-batches through the
+    # foreachBatch fetch, not one batch wearing a streaming hat
+    left_stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(src)
+    )
+    irs = build_batch_irs(t, gb, _BATCH_END_US)
+    outdir = f"{workdir}/enriched"
+    writer = enrich_stream(
+        left_stream,
+        gb,
+        irs,
+        t,
+        _BATCH_END_US,
+        sink=lambda df, _e: df.write.mode("append").parquet(outdir),
+    )
+    q = (
+        writer.trigger(availableNow=True)
+        .option("checkpointLocation", f"{workdir}/ckpt")
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.read.parquet(outdir)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "tus",
+        F.col("turn_idx_count_13d").alias("n13"),
+        F.round(F.col("score_sum_7d"), 3).alias("sum7"),
+        F.array_join(F.col("text_last_k2_7d"), "|").alias("last2"),
+    )
+
+
 def _q_serving_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SERVING data path under the hard oracle gate: GroupByUpload batch
     IRs (collapsed + tail hops) merged with post-batch streaming rows at
@@ -2022,6 +2173,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sawtooth_tiled_bucketed": _q_tiled_bucketed,
     "log_flatten": _q_log_flatten,
     "stream_stats_tiles": _q_stream_stats,
+    "stream_running": _q_stream_running,
+    "stream_enrich_fetch": _q_stream_enrich,
     "label_join_forward": _q_label_join,
     "external_contextual": _q_external_parts,
     "compare_metrics_drift": _q_compare_metrics,
@@ -2060,6 +2213,8 @@ ORACLES: dict[str, str] = {
     "sawtooth_tiled_bucketed": _SQL_TILED_BUCKETED,
     "log_flatten": _SQL_LOG_FLATTEN,
     "stream_stats_tiles": _SQL_STREAM_STATS,
+    "stream_running": _SQL_STREAM_RUNNING,
+    "stream_enrich_fetch": _SQL_SERVING_FETCH,
     "label_join_forward": _SQL_LABEL_JOIN,
     "external_contextual": _SQL_EXTERNAL,
     "compare_metrics_drift": _SQL_COMPARE,
