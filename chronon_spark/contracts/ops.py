@@ -2158,10 +2158,61 @@ FROM t GROUP BY 1, 2
 """
 
 
+def _q_catalog_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same lifecycle motion as ``managed_table_lifecycle`` but through
+    the CatalogTable ICEBERG branch, executed against a genuine DSv2
+    TableCatalog (tools/dsv2double): ``writeTo().create()`` +
+    ``writeTo().overwritePartitions()`` distributed writes, snapshot history
+    via the ``.snapshots`` metadata table, ``versionAsOf`` time travel,
+    partition listing via ``.partitions``, and small-file compaction via
+    ``CALL <cat>.system.rewrite_data_files``. In a deployment the identical
+    engine code runs against the Iceberg runtime catalog — nothing below is
+    double-specific. The returned rows are the live read-back, so dynamic
+    overwrite isolation, snapshot versioning and the compaction rewrite are
+    all value-checked against the plain rollup oracle.
+
+    Reference surface: catalog/Iceberg.scala:18-252 (partition listing,
+    snapshot ops), TableUtils.insertPartitions (TableUtils.scala:259-358)."""
+    import uuid as _uuid
+
+    from chronon_spark.plans.table_lifecycle import CatalogTable, attach_test_catalog
+
+    cat = attach_test_catalog(spark)
+    t = _transcripts(spark, sf_dir)
+    daily = t.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("ds"), "conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        (F.round(F.sum("score"), 3) + F.lit(0.0)).alias("score_sum"),
+    )
+    sink = CatalogTable(
+        spark, f"{cat}.default.lifecycle_{_uuid.uuid4().hex[:12]}", format="iceberg"
+    )
+    sink.insert_partitions(daily.where(F.col("ds") < "2024-01-16"), semantic_hash="v1")
+    sink.insert_partitions(daily.where(F.col("ds") >= "2024-01-16"), semantic_hash="v1")
+    sink.insert_partitions(daily.where(F.col("ds") == "2024-01-01"), semantic_hash="v1")
+    snaps = sink.snapshots()
+    if len(snaps) != 3:
+        raise AssertionError(f"expected 3 snapshot commits, got {len(snaps)}")
+    # time-travel: snapshot 1 must still see only the first half
+    v1_parts = {
+        r[0] for r in sink.read(version=snaps[0]["snapshot_id"]).select("ds").distinct().collect()
+    }
+    if max(v1_parts) >= "2024-01-16":
+        raise AssertionError(f"snapshot 1 leaked later partitions: {sorted(v1_parts)[-3:]}")
+    # partition listing must be metadata-complete before and after compaction
+    n_parts = len(sink.partitions())
+    rep = sink.compact()
+    if len(sink.partitions()) != n_parts:
+        raise AssertionError("compaction changed the partition list")
+    if rep["added_data_files_count"] > n_parts:
+        raise AssertionError(f"compaction left >1 file per partition: {rep}")
+    return sink.read().select("ds", "conv_id", "n_turns", "score_sum")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "modular_join_merge": _q_modular_merge,
     "conf_backfill_resume": _q_conf_backfill,
     "managed_table_lifecycle": _q_table_lifecycle,
+    "catalog_table_v2": _q_catalog_v2,
     "staging_query_macros": _q_staging_query,
     "role_transitions": _q_role_transitions,
     "bootstrap_covered": _q_bootstrap_covered,
@@ -2202,6 +2253,7 @@ ORACLES: dict[str, str] = {
     "modular_join_merge": _SQL_MULTI_PART,
     "conf_backfill_resume": _SQL_CONF_BACKFILL,
     "managed_table_lifecycle": _SQL_TABLE_LIFECYCLE,
+    "catalog_table_v2": _SQL_TABLE_LIFECYCLE,
     "staging_query_macros": _SQL_STAGING_QUERY,
     "role_transitions": _SQL_ROLE_TRANSITIONS,
     "bootstrap_covered": _SQL_BOOTSTRAP,

@@ -697,6 +697,47 @@ class CatalogTable:
         return target
 
 
+def attach_test_catalog(spark: SparkSession, name: str = "memtest") -> str:
+    """Attach the in-memory DSv2 catalog (tools/dsv2double/memcatalog.jar —
+    source alongside) to a RUNNING session via ADD JAR + a runtime catalog
+    conf, and return the catalog name. This is how the V2 branch of
+    :class:`CatalogTable` (``writeTo().overwritePartitions()``, the
+    ``.partitions``/``.snapshots`` metadata tables, ``versionAsOf`` time
+    travel, ``CALL <cat>.system.rewrite_data_files/expire_snapshots``)
+    executes in a sandbox with no Iceberg runtime jar: the catalog is a
+    genuine ``TableCatalog``/``ProcedureCatalog`` plugin, only its storage
+    is an in-JVM map. In a real deployment the same ``CatalogTable`` code
+    runs against ``org.apache.spark.sql.catalog.<name> =
+    org.apache.iceberg.spark.SparkCatalog`` instead; nothing here is
+    Iceberg-double-specific beyond this attachment.
+
+    Idempotent: re-attaching under the same name is a no-op. Override the
+    jar location with $CHRONON_MEMCATALOG_JAR when the repo layout isn't
+    available (e.g. a --py-files-only deployment).
+    """
+    key = f"spark.sql.catalog.{name}"
+    try:
+        if spark.conf.get(key) is not None:
+            return name
+    except Exception:
+        pass  # unset -> attach below
+    jar = os.environ.get("CHRONON_MEMCATALOG_JAR") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "tools",
+        "dsv2double",
+        "memcatalog.jar",
+    )
+    if not os.path.isfile(jar):
+        raise FileNotFoundError(
+            f"memcatalog.jar not found at {jar}; build it with "
+            "`javac -cp '/opt/spark/jars/*' -d classes MemCatalog.java && jar cf memcatalog.jar -C classes chronon` "
+            "or set $CHRONON_MEMCATALOG_JAR"
+        )
+    spark.sql(f"ADD JAR 'file://{jar}'")
+    spark.conf.set(key, "chronon.testing.MemCatalog")
+    return name
+
+
 def managed_table(
     spark: SparkSession, ref: str, partition_col: str = "ds", format: str | None = None
 ):

@@ -3,12 +3,16 @@ create-if-absent, dynamic partition overwrite, auto-expand, type-change
 refusal, archive-on-semantic-change — run against BOTH backends:
 
 - ``path``: ManagedTable (bare parquet dir + JSON sidecar catalog)
-- ``catalog``: CatalogTable (session-catalog warehouse table via
-  spark.read.table / insertInto-dynamic / ALTER TABLE DDL — the same call
-  surface an Iceberg deployment uses through writeTo().overwritePartitions())
+- ``catalog``: CatalogTable on the V1 session catalog (spark.read.table /
+  insertInto-dynamic / ALTER TABLE DDL)
+- ``v2``: CatalogTable with ``format="iceberg"`` on a genuine DSv2
+  TableCatalog (tools/dsv2double MemCatalog) — this EXECUTES the Iceberg
+  branch: ``writeTo().overwritePartitions()``, ``.partitions``/``.snapshots``
+  metadata tables, ``versionAsOf`` time travel, and the
+  ``rewrite_data_files``/``expire_snapshots`` stored procedures.
 
-Snapshot/time-travel/compaction tests stay ManagedTable-only: Iceberg does
-those natively and the V1 session catalog cannot.
+ManagedTable-only tests cover its JSON snapshot log; the V2-only tests at the
+bottom cover the native Iceberg-surface equivalents.
 """
 
 from __future__ import annotations
@@ -23,6 +27,7 @@ from chronon_spark.plans.table_lifecycle import (
     CatalogTable,
     ManagedTable,
     SchemaEvolutionError,
+    attach_test_catalog,
     managed_table,
 )
 
@@ -31,20 +36,32 @@ def _df(spark, rows, schema="k string, v bigint, ds string"):
     return spark.createDataFrame(rows, schema)
 
 
-@pytest.fixture(params=["path", "catalog"])
+def _drop_v2(spark, cat, prefix):
+    for r in spark.sql(f"SHOW TABLES IN {cat}.default").collect():
+        if r["tableName"].startswith(prefix):
+            spark.sql(f"DROP TABLE IF EXISTS {cat}.default.`{r['tableName']}`")
+
+
+@pytest.fixture(params=["path", "catalog", "v2"])
 def make_table(request, spark, tmp_path):
     """Factory yielding a fresh table handle on the parametrized backend;
     catalog tables (and their archives) are dropped at teardown."""
     prefix = f"lc_{uuid.uuid4().hex[:10]}"
+    if request.param == "v2":
+        cat = attach_test_catalog(spark)
 
     def mk():
         if request.param == "path":
             return ManagedTable(spark, str(tmp_path / "t"))
+        if request.param == "v2":
+            return CatalogTable(spark, f"{cat}.default.{prefix}", format="iceberg")
         return CatalogTable(spark, prefix)
 
     def opener(ref):
         if request.param == "path":
             return ManagedTable(spark, ref)
+        if request.param == "v2":
+            return CatalogTable(spark, ref, format="iceberg")
         return CatalogTable(spark, ref)
 
     mk.open = opener
@@ -54,6 +71,8 @@ def make_table(request, spark, tmp_path):
         for t in spark.catalog.listTables():
             if t.name.startswith(prefix):
                 spark.sql(f"DROP TABLE IF EXISTS `{t.name}`")
+    elif request.param == "v2":
+        _drop_v2(spark, cat, prefix)
 
 
 def test_create_and_dynamic_overwrite(spark, make_table):
@@ -73,7 +92,13 @@ def test_auto_expand_adds_column_old_partitions_null(spark, make_table):
         _df(spark, [("c", 3, 7.5, "2024-01-02")], "k string, v bigint, extra double, ds string"),
         auto_expand=True,
     )
-    assert [f.name for f in t.schema().fields] == ["k", "v", "extra", "ds"]
+    names = [f.name for f in t.schema().fields]
+    if make_table.backend == "v2":
+        # Iceberg semantics: ADD COLUMNS appends at schema end (partition
+        # cols are regular columns, no Hive partition-last layout)
+        assert names == ["k", "v", "ds", "extra"]
+    else:
+        assert names == ["k", "v", "extra", "ds"]
     rows = {r["ds"]: r["extra"] for r in t.read().collect()}
     assert rows["2024-01-01"] is None and rows["2024-01-02"] == 7.5
 
@@ -217,6 +242,80 @@ def test_catalog_hashless_create_then_hashed_write_no_archive(spark):
         for tb in spark.catalog.listTables():
             if tb.name.startswith(name):
                 spark.sql(f"DROP TABLE IF EXISTS `{tb.name}`")
+
+
+# --------------------------------------------- V2 (Iceberg-branch) natives
+# These run the surface CatalogTable delegates to the catalog: snapshot
+# history via the .snapshots metadata table, versionAsOf time travel,
+# CALL <cat>.system.rewrite_data_files / expire_snapshots. ManagedTable
+# implements the same verbs over its JSON log (tested above); here the
+# engine-side code is the thin Iceberg-native dispatch, executed for real.
+
+
+@pytest.fixture
+def v2_table(spark):
+    cat = attach_test_catalog(spark)
+    prefix = f"lc_{uuid.uuid4().hex[:10]}"
+    yield CatalogTable(spark, f"{cat}.default.{prefix}", format="iceberg")
+    _drop_v2(spark, cat, prefix)
+
+
+def test_v2_snapshots_and_time_travel(spark, v2_table):
+    t = v2_table
+    t.insert_partitions(_df(spark, [("a", 1, "2024-01-01"), ("b", 2, "2024-01-02")]))
+    t.insert_partitions(_df(spark, [("b", 99, "2024-01-02")]))
+    t.insert_partitions(
+        _df(spark, [("c", 3, 7.5, "2024-01-03")], "k string, v bigint, extra double, ds string"),
+        auto_expand=True,
+    )
+    snaps = t.snapshots()
+    assert [s["snapshot_id"] for s in snaps] == [1, 2, 3]
+    assert snaps[1]["operation"] == "overwrite_dynamic"
+    live = {(r["k"], r["v"]) for r in t.read().collect()}
+    assert live == {("a", 1), ("b", 99), ("c", 3)}
+    # versionAsOf 1: pre-overwrite values (schema is the TABLE's current
+    # schema — Iceberg time travel reads old files through the live schema,
+    # unlike ManagedTable which pins the schema recorded at the snapshot)
+    v1 = t.read(version=1)
+    assert {(r["k"], r["v"]) for r in v1.collect()} == {("a", 1), ("b", 2)}
+    assert {(r["k"], r["v"]) for r in t.read(version=2).collect()} == {("a", 1), ("b", 99)}
+    # old partitions surface the expanded column as NULL through the live read
+    rows = {r["ds"]: r["extra"] for r in t.read().collect()}
+    assert rows["2024-01-01"] is None and rows["2024-01-03"] == 7.5
+
+
+def test_v2_partitions_metadata_table(spark, v2_table):
+    t = v2_table
+    t.insert_partitions(_df(spark, [("a", 1, "2024-01-01"), ("b", 2, "2024-01-02")]))
+    assert t.partitions() == ["2024-01-01", "2024-01-02"]
+    # listing is metadata-only: it must work (and stay correct) regardless of
+    # how many files each partition holds
+    t.insert_partitions(_df(spark, [("c", 3, "2024-01-02")]))
+    assert t.partitions() == ["2024-01-01", "2024-01-02"]
+
+
+def test_v2_compaction_procedure(spark, v2_table):
+    t = v2_table
+    df = _df(spark, [("k%d" % i, i, "2024-01-01") for i in range(40)]).repartition(8)
+    t.insert_partitions(df)
+    rep = t.compact()
+    assert rep["rewritten_data_files_count"] >= 8
+    assert rep["added_data_files_count"] == 1
+    # values unchanged; the compaction is a replace snapshot in history
+    assert {r["v"] for r in t.read().collect()} == set(range(40))
+    assert t.snapshots()[-1]["operation"] == "replace"
+
+
+def test_v2_expire_snapshots_procedure(spark, v2_table):
+    t = v2_table
+    t.insert_partitions(_df(spark, [("a", 1, "2024-01-01")]))
+    t.insert_partitions(_df(spark, [("a", 2, "2024-01-01")]))
+    t.insert_partitions(_df(spark, [("a", 3, "2024-01-01")]))
+    rep = t.expire_snapshots(keep_last=1)
+    assert rep["deleted_snapshots_count"] == 2
+    assert [r["v"] for r in t.read().collect()] == [3]
+    with pytest.raises(Exception, match="no snapshot"):
+        t.read(version=1).collect()
 
 
 def test_insert_crash_leaves_live_partitions_intact(spark, tmp_path):
