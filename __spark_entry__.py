@@ -425,90 +425,73 @@ def entry(spark: SparkSession) -> DataFrame:
     return _q_asof_features(spark, "/root/testdata/sf0.001")
 
 
-# The driver's correctness gate checks the FIRST 50 registered queries
-# (CORRECTNESS_r02.json = exactly positions 1-50 in registration order), so
-# registration order IS coverage. Layout: core uniques first, then the full
-# LLM-pipeline corpus block (14 of which had no r02 row), then this round's
-# new/fixed ops queries. Strategy variants and queries already driver-green in
-# r01+r02 park past the cap — each keeps its equivalence pytest
-# (tests/test_strategies*, tests/test_*), so nothing loses coverage.
+# The driver's correctness gate checks the FIRST 50 registered queries, so
+# registration order IS coverage. Round-4 rotation discipline (VERDICT r3
+# "Next round" #2): every query must have a green driver row within the last
+# two rounds. Layout: (a) ALL 33 queries whose latest green row is r02 — they
+# ride in front this round; (b) queries that are NEW or whose code changed
+# AFTER the r3 gate (catalog_table_v2; managed_table_lifecycle via the
+# staged-sink-commit change; dedup_ngram_jaccard + dedup_winnow_overlap via
+# the pruned-path default; entity_state_cdc via non-abelian replay;
+# sawtooth_tiled_bucketed via bucketed tile IRs; the three stream_* rows
+# added post-gate); (c) the remaining slots keep the most load-bearing
+# r3-green queries warm. Everything parked is r3-green, unchanged since,
+# and keeps its equivalence pytest.
 _FRONT_50 = [
-    # core uniques (entry-file). trailing/tumbling/hopping and pii_scrub/
-    # url_domains/dedup_exact park this round: all are r01- and/or r02-green,
-    # unchanged since, and pytest-covered — their slots go to queries whose
-    # code changed this round or that have never had a driver row.
-    "asof_join_features",
-    "sessionize",
-    "lag_lead",
-    "sawtooth_13d",
-    "snapshot_daily",
-    "transcript_stats",
-    # LLM-pipeline corpus block (driver-unreached tail of r02 comes with it)
-    "decontaminate",
-    "quality_topk_per_lang",
-    "doc_chunks",
-    "pack_bins",
-    "sample_split",
-    "stratified_lang_sample",
-    "corpus_mixture",
-    "doc_stats",
-    "repetition_quality",
-    "lang_quality",
-    "unigram_logppl",
-    "segment_dedup",
-    "segment_dedup_rewrite",
-    "dedup_minhash_lsh",
-    "dedup_incremental",
+    # (b) new / changed since the r3 gate — must land fresh rows
+    "catalog_table_v2",
+    "stream_running",
+    "stream_enrich_fetch",
+    "stream_dedup_exact",
+    "entity_state_cdc",
+    "sawtooth_tiled_bucketed",
     "dedup_ngram_jaccard",
-    "dedup_clusters",
-    "dedup_simhash",
-    "embedding_topk",
-    "semdedup",
-    "embedding_near_dups",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "media_features",
-    "doc_fingerprints",
     "dedup_winnow_overlap",
-    "tfidf_topk",
-    # new this round (vector auto-explode + per-map-key aggregation)
-    "vector_map_inputs",
-    # red in r02 (signed-zero fix must land a green row)
-    "asof_moments",
-    # round-3: formerly pytest-only components now under the oracle gate
-    "staging_query_macros",
-    "bootstrap_covered",
-    "partition_stats_meta",
-    "twostack_trailing",
-    # round-3: brand-new operators (never driver-checked yet)
-    "role_transitions",
-    "embedding_clusters",
-    "ann_ivf_trained",
-    "curate_corpus",
-    # round-3: previously pytest-only infrastructure now under the gate
-    # (MergeJob merge, compiled-conf resumable backfill, ManagedTable sink)
-    "modular_join_merge",
-    "conf_backfill_resume",
     "managed_table_lifecycle",
-    # ops uniques: priority to paths CHANGED this round (tiled fetch merge
-    # vectorization, streaming histogram run-length rewrite, the rounding
-    # nudge in chained_join_source, the composite-kernel bucketed path);
-    # unchanged r01+r02-green queries rotate out past the cap
-    "serving_fetch_tiled",
-    "stream_stats_tiles",
-    "chained_join_source",
-    "asof_bucketed_sum",
+    # (a) the r2-parked set: latest green row is r02 — re-evidence them all
+    "trailing_window_features",
+    "tumbling_1d",
+    "hopping_1h_15m",
+    "sawtooth_13d_tiled",
+    "sawtooth_13d_sliced",
+    "sawtooth_13d_skew_split",
+    "serving_fetch",
+    "sawtooth_tiled_rich",
+    "log_flatten",
+    "label_join_forward",
+    "external_contextual",
+    "compare_metrics_drift",
     "asof_order_ops",
     "asof_histogram_ops",
     "asof_lifetime",
     "multi_source_union",
     "join_multi_part",
-    "entity_state_cdc",
+    "cumulative_events_scan",
+    "join_snapshot_accuracy",
+    "stats_summary",
+    "drift_psi",
+    "drift_categorical_lp",
+    "drift_numeric_lp",
+    "drift_series",
+    "approx_sketch_daily",
+    "pii_scrub",
+    "url_domains",
+    "dedup_exact",
+    # (c) load-bearing r3-green continuity
+    "asof_join_features",
+    "sessionize",
+    "lag_lead",
+    "sawtooth_13d",
+    "snapshot_daily",
+    "asof_moments",
+    "vector_map_inputs",
+    "serving_fetch_tiled",
+    "stream_stats_tiles",
+    "curate_corpus",
+    "conf_backfill_resume",
+    "modular_join_merge",
+    "embedding_clusters",
 ]
-# the [:50] truncation parks the tail ops uniques (asof_order_ops,
-# asof_histogram_ops, asof_lifetime, multi_source_union, join_multi_part,
-# entity_state_cdc) past the cap — all were driver-green in r01 AND r02 and
-# keep their pytest coverage
 _FRONT_50 = _FRONT_50[:50]
 
 

@@ -81,10 +81,35 @@ BENCH_QUERIES = [
     "ann_ivf_trained",
     "segment_dedup_rewrite",
     "curate_corpus",
-    # modular_join_merge / managed_table_lifecycle / conf_backfill_resume are
-    # sink-writing jobs (left + part tables + merge; 30-partition commits) —
-    # gate-checked for correctness but excluded here: the bench measures
-    # operator throughput, not tempdir parquet IO
+    # added round 4: full registry coverage (VERDICT r3 "Next round" #8) —
+    # the 24 previously-unbenched queries, appended so the leading blocks
+    # stay position-comparable with BENCH_r02/r03. This block includes the
+    # sink-writing jobs (tempdir parquet IO is part of their real cost) and
+    # the drained-stream queries (micro-batch latency included).
+    "asof_histogram_ops",
+    "asof_lifetime",
+    "asof_bucketed_sum",
+    "twostack_trailing",
+    "drift_categorical_lp",
+    "url_domains",
+    "dedup_exact",
+    "quality_topk_per_lang",
+    "pack_bins",
+    "sample_split",
+    "stratified_lang_sample",
+    "corpus_mixture",
+    "lang_quality",
+    "media_features",
+    "staging_query_macros",
+    "bootstrap_covered",
+    "partition_stats_meta",
+    "modular_join_merge",
+    "conf_backfill_resume",
+    "managed_table_lifecycle",
+    "catalog_table_v2",
+    "stream_running",
+    "stream_enrich_fetch",
+    "stream_dedup_exact",
 ]
 
 
