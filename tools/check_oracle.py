@@ -81,9 +81,21 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    # --shard i/n: run only every n-th query starting at i (registration
+    # order) — lets a sweep fan out over a few processes; each query is
+    # small-data so a single local[8] session leaves most cores idle.
+    argv = list(sys.argv[1:])
+    shard_i, shard_n = 0, 1
+    for a in list(argv):
+        if a.startswith("--shard="):
+            shard_i, shard_n = (int(x) for x in a.split("=", 1)[1].split("/"))
+            argv.remove(a)
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    if shard_n > 1:
+        keep = set(list(qs)[shard_i::shard_n])
+        qs = {k: v for k, v in qs.items() if k in keep}
     spark = get_spark("oracle-check", master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TPCH_TABLES:
