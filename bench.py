@@ -192,6 +192,22 @@ def _scaling_evidence() -> dict:
             "best_efficiency": best64.get("best_efficiency"),
             "hardware_ceiling": best64.get("hardware_ceiling"),
         }
+    # current-round (r4) runs: best of tools/scaling_r4*.json on this host
+    bestr4 = None
+    for p4 in sorted((Path(__file__).resolve().parent / "tools").glob("scaling_r4*.json")):
+        try:
+            s = json.loads(p4.read_text())
+        except (OSError, ValueError):
+            continue
+        if bestr4 is None or s.get("best_efficiency", 0) > bestr4.get("best_efficiency", 0):
+            bestr4 = s
+    if bestr4:
+        out["scaling_r4"] = {
+            "input_rows": bestr4.get("input_rows"),
+            "best_efficiency": bestr4.get("best_efficiency"),
+            "median_efficiency": bestr4.get("median_efficiency"),
+            "hardware_ceiling": bestr4.get("hardware_ceiling"),
+        }
     # absolute throughput records across every recorded run
     best4, best16, rows_at = 0.0, 0.0, None
     for fname in (
@@ -201,6 +217,7 @@ def _scaling_evidence() -> dict:
         "scaling_r3g_64m.json",
         "scaling_r3h_64m.json",
         "scaling_r3i_64m.json",
+        *[p.name for p in sorted((Path(__file__).resolve().parent / "tools").glob("scaling_r4*.json"))],
     ):
         try:
             r = json.loads((Path(__file__).resolve().parent / "tools" / fname).read_text())
