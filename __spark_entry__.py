@@ -489,7 +489,9 @@ _FRONT_50 = [
     "stream_stats_tiles",
     "curate_corpus",
     "conf_backfill_resume",
-    "modular_join_merge",
+    # the plain bucketed kernel changed post-gate too (the _grouped_kernel
+    # non-null-scan fix rode in with the bucketed-tile commit) — fresh row
+    "asof_bucketed_sum",
     "embedding_clusters",
 ]
 _FRONT_50 = _FRONT_50[:50]

@@ -614,7 +614,8 @@ ins AS (SELECT conv_id, val, mts,
 del AS (SELECT conv_id, val, mts,
                row_number() OVER (PARTITION BY conv_id, val ORDER BY mts) AS rn
         FROM d WHERE is_b),
-inst AS (SELECT i.conv_id, i.val, i.rn, i.mts AS vf, dl.mts AS vt
+inst AS (SELECT i.conv_id, i.val, i.rn, i.mts AS vf,
+                CASE WHEN dl.mts < i.mts THEN NULL ELSE dl.mts END AS vt
          FROM ins i LEFT JOIN del dl
            ON i.conv_id = dl.conv_id AND i.val = dl.val AND i.rn = dl.rn)
 SELECT q.conv_id AS conv_id, q.turn_idx AS turn_idx, q.tus AS tus,

@@ -338,10 +338,13 @@ def _meta(name: str | None, version, online, production, **execution) -> dict:
         common["modular_execution"] = "true"
         conf["common"] = common
         execution["conf"] = conf
+    # False passes through: the reference emits explicitly-passed False
+    # (join.py:469-477 — historical_backfill=False must compile to
+    # historicalBackfill=false, not to an absent key a consumer defaults on)
     exec_info = {
         _EXEC_FIELD[k]: v
         for k, v in execution.items()
-        if k in _EXEC_FIELD and v is not None and v is not False
+        if k in _EXEC_FIELD and v is not None
     }
     if exec_info:
         md["executionInfo"] = exec_info

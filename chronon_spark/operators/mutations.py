@@ -205,7 +205,10 @@ def entity_state_replay_asof(
       feed whose before-images carry the original row's event time, the
       reference's `row.ts`) it is (key, value, event_ts). Unmatched
       before-images close nothing (a delete of a never-inserted version is
-      a no-op, where the signed-delta abelian path would oversubtract).
+      a no-op, where the signed-delta abelian path would oversubtract);
+      a before-image that precedes its FIFO-paired insert is likewise an
+      orphan (every earlier instance of the identity was already closed at
+      its ts) and closes nothing — the pair is un-paired, not emptied.
     - an instance's EVENT ts is its INSERT row's — windows and LAST-ordering
       read the opening image's time, never the before-image's.
     - an instance is VISIBLE at query ts T iff valid_from < T ≤ valid_to
@@ -256,6 +259,17 @@ def entity_state_replay_asof(
         .select(*ident, "__rn", F.col("__mts").alias("__vt"))
     )
     inst = ins.join(dele, [*ident, "__rn"], "left").withColumn("__ets", F.col("__i_ets"))
+    # an INVERTED pair (__vt < __vf) means the rn-th before-image fired
+    # BEFORE the rn-th insert — i.e. at its mutation ts every prior insert
+    # of this identity was already closed, so it is an orphan delete. Keep
+    # the documented contract (orphans close nothing) instead of silently
+    # producing an empty [vf, vt] interval that makes the insert invisible
+    # forever. Feeds whose deletes always follow their inserts (consistent
+    # CDC) never produce inversions; under same-identity interleaving with
+    # orphans the FIFO pairing remains a deterministic best-effort choice.
+    inst = inst.withColumn(
+        "__vt", F.when(F.col("__vt") < F.col("__vf"), F.lit(None)).otherwise(F.col("__vt"))
+    )
 
     val_type = dict(deltas.dtypes)["__val"]
     out_fields = list(left.schema.fields)

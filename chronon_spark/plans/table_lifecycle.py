@@ -225,22 +225,34 @@ class ManagedTable:
         # retire-first order left all touched partitions empty-live on
         # failure). The incoming partition list is a metadata-sized collect
         # (calendar-bounded) needed for commit bookkeeping.
-        parts = [str(r[0]) for r in out.select(self.partition_col).distinct().collect()]
         live_map = self._live_commit_map()
         version = self.current_version() + 1
         tmp_dir = os.path.join(self.path, "._insert_tmp")
-        out.write.mode("overwrite").partitionBy(self.partition_col).parquet(tmp_dir)
         import shutil
 
-        for p in parts:
-            self._retire_live_files(p, live_map.get(p, 0))
-            src = os.path.join(tmp_dir, f"{self.partition_col}={p}")
-            dst = os.path.join(self.path, f"{self.partition_col}={p}")
-            os.makedirs(dst, exist_ok=True)
-            for f in os.listdir(src):
-                if not f.startswith((".", "_")):
-                    os.replace(os.path.join(src, f), os.path.join(dst, f))
-        shutil.rmtree(tmp_dir)
+        try:
+            out.write.mode("overwrite").partitionBy(self.partition_col).parquet(tmp_dir)
+            # commit what Spark ACTUALLY wrote: staged dir names carry
+            # Spark's own partition-value escaping (null ->
+            # __HIVE_DEFAULT_PARTITION__, ':' -> %3A, ...) and are reused
+            # verbatim as live dir names, so retire/read/overwrite of the
+            # same value always resolves the same directory — deriving the
+            # names from collected raw values instead would miss every
+            # escaped partition and abort mid-commit.
+            pre = f"{self.partition_col}="
+            parts = sorted(
+                d[len(pre):] for d in os.listdir(tmp_dir) if d.startswith(pre)
+            )
+            for p in parts:
+                self._retire_live_files(p, live_map.get(p, 0))
+                src = os.path.join(tmp_dir, pre + p)
+                dst = os.path.join(self.path, pre + p)
+                os.makedirs(dst, exist_ok=True)
+                for f in os.listdir(src):
+                    if not f.startswith((".", "_")):
+                        os.replace(os.path.join(src, f), os.path.join(dst, f))
+        finally:
+            shutil.rmtree(tmp_dir, ignore_errors=True)
         snaps = self.snapshots()
         snaps.append(
             {
@@ -292,10 +304,15 @@ class ManagedTable:
                 raise ValueError(
                     f"snapshot {version} partition {p!r} (commit {c}) was expired"
                 )
+            # dir names carry Spark's escaping — decode back to the real
+            # value for the reattached literal (sentinel dir = NULL value)
+            from urllib.parse import unquote
+
+            val = None if p == "__HIVE_DEFAULT_PARTITION__" else unquote(p)
             pieces.append(
                 self.spark.read.schema(data_schema)
                 .parquet(d)
-                .withColumn(self.partition_col, F.lit(p).cast(part_field.dataType))
+                .withColumn(self.partition_col, F.lit(val).cast(part_field.dataType))
             )
         out = pieces[0]
         for piece in pieces[1:]:

@@ -353,6 +353,17 @@ def test_reference_execution_and_meta_kwargs_accepted():
     assert md["executionInfo"]["historicalBackfill"] is True
     assert md["executionInfo"]["offlineSchedule"] == "@daily"
 
+    # explicitly-passed False must EMIT (join.py:469-477 passes False into
+    # ExecutionInfo — the reference's sample_chaining_join_parent.py relies
+    # on historical_backfill=False compiling to a present false, not an
+    # absent key a consumer would default to true)
+    j_false = dsl.Join(
+        left=dsl.EventSource(table="l", query=dsl.Query()),
+        right_parts=[dsl.JoinPart(gb)],
+        historical_backfill=False,
+    )
+    assert j_false["metaData"]["executionInfo"]["historicalBackfill"] is False
+
     j = dsl.Join(
         left=dsl.EventSource(table="l", query=dsl.Query()),
         right_parts=[dsl.JoinPart(gb)],

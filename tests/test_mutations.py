@@ -323,3 +323,50 @@ def test_replay_matches_multiset_oracle_randomized(spark):
             assert r["balance_state_histogram_6h"] is None or pd.isna(
                 r["balance_state_histogram_6h"]
             )
+
+
+def test_replay_orphan_before_image_closes_nothing(spark):
+    """A before-image with NO prior open insert is an orphan: it must not
+    pair with a LATER insert of the same identity (an inverted [vf, vt]
+    interval would make that insert permanently invisible). Contract:
+    orphans close nothing; the later insert stays open."""
+    from chronon_spark.api import Aggregation
+    from chronon_spark.operators.mutations import entity_state_replay_asof
+
+    t = lambda m: BASE + dt.timedelta(minutes=m)  # noqa: E731
+    rows = [
+        # orphan delete BEFORE any insert of (a, 5.0)
+        ("a", 5.0, t(10), True),
+        ("a", 5.0, t(20), False),
+        # control key: normal insert -> delete pairing must still close
+        ("b", 7.0, t(10), False),
+        ("b", 7.0, t(30), True),
+    ]
+    mutations = spark.createDataFrame(
+        rows, "acct string, balance double, mutation_ts timestamp, is_before boolean"
+    )
+    snapshot = spark.createDataFrame([], "acct string, balance double")
+    left = spark.createDataFrame(
+        [("a", t(40)), ("b", t(40))], "acct string, ts timestamp"
+    )
+    out = {
+        r["acct"]: r
+        for r in entity_state_replay_asof(
+            left,
+            snapshot,
+            mutations,
+            ["acct"],
+            "balance",
+            "2024-01-01",
+            [
+                Aggregation("balance", Op.COUNT, windows=(None,)),
+                Aggregation("balance", Op.MIN, windows=(None,)),
+            ],
+        ).collect()
+    }
+    # the t(20) insert is live at t(40): the t(10) orphan closed nothing
+    assert out["a"]["balance_state_count"] == 1
+    assert out["a"]["balance_state_min"] == 5.0
+    # the control pairing still closes: b has no live state at t(40)
+    assert out["b"]["balance_state_count"] is None
+    assert out["b"]["balance_state_min"] is None

@@ -244,6 +244,26 @@ def test_catalog_hashless_create_then_hashed_write_no_archive(spark):
                 spark.sql(f"DROP TABLE IF EXISTS `{tb.name}`")
 
 
+def test_escaped_and_null_partition_values(spark, tmp_path):
+    """Partition values Spark escapes in dir names (':' -> %3A) and NULLs
+    (-> __HIVE_DEFAULT_PARTITION__) must survive the stage-then-commit
+    insert: the commit walks what Spark actually wrote, not re-derived raw
+    values. Time travel decodes the escaped names back to real values."""
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    t.insert_partitions(
+        _df(spark, [("a", 1, "2024:01"), ("b", 2, None)]),
+    )
+    got = {(r["k"], r["ds"]) for r in t.read().collect()}
+    assert got == {("a", "2024:01"), ("b", None)}
+    # dynamic overwrite of the escaped partition only
+    t.insert_partitions(_df(spark, [("a2", 9, "2024:01")]))
+    got = {(r["k"], r["ds"]) for r in t.read().collect()}
+    assert got == {("a2", "2024:01"), ("b", None)}
+    # snapshot 1 still sees the original rows, values decoded
+    v1 = {(r["k"], r["ds"]) for r in t.read(version=1).collect()}
+    assert v1 == {("a", "2024:01"), ("b", None)}
+
+
 # --------------------------------------------- V2 (Iceberg-branch) natives
 # These run the surface CatalogTable delegates to the catalog: snapshot
 # history via the .snapshots metadata table, versionAsOf time travel,

@@ -89,6 +89,8 @@ def main() -> int:
     for a in list(argv):
         if a.startswith("--shard="):
             shard_i, shard_n = (int(x) for x in a.split("=", 1)[1].split("/"))
+            if not (0 <= shard_i < shard_n):
+                raise SystemExit(f"--shard index must satisfy 0 <= i < n, got {shard_i}/{shard_n}")
             argv.remove(a)
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
