@@ -65,7 +65,15 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
         for c in g.columns:
             a, b = g[c], w[c]
             if a.dtype.kind == "f" and b.dtype.kind == "f":
-                same = (a.isna() & b.isna()) | np.isclose(a, b, rtol=0, atol=1e-9, equal_nan=True)
+                # rtol 1e-12: a float SUM at magnitude 1e14 legitimately
+                # differs by a few ULP (~1e-16 rel) between engines from
+                # summation order alone — seen on the upsampled sf1.0 sweep.
+                # Every real bug class sits orders of magnitude above this
+                # (the dyadic display-rounding bugs were ~1e-5 relative).
+                # The driver's exact-hash gate at sf0.01 stays the strict bar.
+                same = (a.isna() & b.isna()) | np.isclose(
+                    a, b, rtol=1e-12, atol=1e-9, equal_nan=True
+                )
                 # the driver hashes raw bits: -0.0 != +0.0 there even though
                 # == and isclose call them equal — flag signbit splits on zero
                 av, bv = a.to_numpy(), b.to_numpy()
