@@ -1176,7 +1176,11 @@ def _pii_fixture_expr(cast_type: str) -> str:
         f"' tel ' || lpad({c('(doc_id * 3) % 1000')}, 3, '0') || '-' || "
         f"lpad({c('(doc_id * 5) % 1000')}, 3, '0') || '-' || lpad({c('doc_id % 10000')}, 4, '0')"
     )
-    cc = f"' card 4' || lpad({c('(doc_id * 2654435761) % 1000000000000000')}, 15, '0')"
+    # bound the Knuth-hash multiplicand: doc_id * 2654435761 overflows int64
+    # once ids pass ~3.5e9 (Spark ANSI raises where DuckDB silently promotes
+    # to HUGEINT — caught by the upsampled sf1.0 sweep). ids < 1e6 (every
+    # driver sf) produce bit-identical output to the unbounded form.
+    cc = f"' card 4' || lpad({c('((doc_id % 1000000) * 2654435761) % 1000000000000000')}, 15, '0')"
     url = f"' see https://site' || {c('doc_id % 11')} || '.example.org/p/' || {c('doc_id')}"
     parts = [
         ("doc_id % 3 = 0", email),
