@@ -1592,7 +1592,11 @@ def _q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("conv_id", "turn_idx", "tus", "ts")
     workdir = tempfile.mkdtemp(prefix="stream_enrich_")
     src = f"{workdir}/left"
-    left.write.parquet(src)
+    # pin the staged file count so the micro-batch count is deterministic
+    # and scale-independent (3 triggers of 8 files) — writing one file per
+    # upstream partition made the drain pay one fetch job per ~8 parent
+    # partitions, dominating the query's wall clock at larger sf
+    left.repartition(24).write.parquet(src)
     # small maxFilesPerTrigger forces several micro-batches through the
     # foreachBatch fetch, not one batch wearing a streaming hat
     left_stream = (
