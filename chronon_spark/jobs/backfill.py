@@ -118,6 +118,12 @@ def main(argv=None) -> int:
         help="physical as-of plan for --group-by runs (tiled needs sawtooth:true)",
     )
     ap.add_argument("--master", default=None)
+    ap.add_argument(
+        "--out-format",
+        default=None,
+        help="sink table format when --out is a catalog name (e.g. iceberg "
+        "routes writes through the V2 writeTo/overwritePartitions path)",
+    )
     args = ap.parse_args(argv)
     if args.group_by and args.join:
         ap.error("--group-by and --join are mutually exclusive")
@@ -149,6 +155,7 @@ def main(argv=None) -> int:
         gb=gb,
         join_builder=join_builder,
         strategy=args.strategy,
+        out_format=args.out_format,
     )
     stats["wall_sec"] = round(time.time() - t0, 3)
     print(json.dumps(stats))

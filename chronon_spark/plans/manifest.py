@@ -95,6 +95,7 @@ def run_partitioned_backfill(
     left_time_column: str = "ts",
     join_builder=None,
     strategy: str = "plain",
+    out_format: str | None = None,
 ) -> dict:
     """Single-GroupBy (``gb``) or multi-part Join (``join_builder``: a
     callable DataFrame -> api.Join binding the pruned events slice as every
@@ -149,8 +150,9 @@ def run_partitioned_backfill(
     skipped = len(all_parts) - len(todo)
     # sink backend by ref shape: a path gets the parquet+JSON ManagedTable,
     # a bare name gets the catalog-table twin (spark.read.table / insertInto
-    # dynamic overwrite / Iceberg writeTo when that runtime is configured)
-    sink = managed_table(spark, out_path, partition_col="ds")
+    # dynamic overwrite); out_format="iceberg" (or any V2 provider) routes
+    # writes through writeTo().overwritePartitions() + native snapshots
+    sink = managed_table(spark, out_path, partition_col="ds", format=out_format)
     total_out = 0
     for ds in todo:
         t0 = time.time()
