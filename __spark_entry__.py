@@ -118,6 +118,50 @@ FROM t q WHERE q.role = 'user'
 """
 
 
+def _q_asof_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join through the bloom-filter key pushdown (operators/bloom.py —
+    the reference's large-left mode, Join.scala:268-285): left restricted to
+    1-in-5 conversations, right scan pre-filtered by a distributed bloom
+    bitmap probed JVM-hash/Arrow-vectorized. Bloom false positives only pass
+    extra events (dropped by the cogroup), so the hash gate proves exactness."""
+    _configure(spark)
+    t = _transcripts(spark, sf_dir)
+    left = (
+        t.where(F.col("role") == "user")
+        .where(F.substring("conv_id", 2, 100).cast("int") % 5 == 0)
+        .select("conv_id", "turn_idx", "tus", "ts")
+    )
+    gb = GroupBy(
+        keys=["conv_id"],
+        aggregations=[
+            Aggregation("turn_idx", Op.COUNT, windows=("7d",)),
+            Aggregation("score", Op.SUM, windows=("3d",)),
+        ],
+        tie_breakers=["turn_idx"],
+    )
+    out = asof_join(left, t, gb, prefilter="bloom")
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "tus",
+        F.col("turn_idx_count_7d").alias("turns_7d"),
+        F.round(F.col("score_sum_3d"), 3).alias("score_3d"),
+    )
+
+
+_SQL_ASOF_BLOOM = f"""
+WITH t AS ({_DUCK_TRANSCRIPTS})
+SELECT q.conv_id AS conv_id,
+       q.turn_idx AS turn_idx,
+       q.tus AS tus,
+       (SELECT NULLIF(COUNT(e.turn_idx), 0) FROM t e
+         WHERE e.conv_id = q.conv_id AND e.tus < q.tus AND e.tus >= q.tus - {7 * US_D}) AS turns_7d,
+       (SELECT ROUND(SUM(e.score), 3) FROM t e
+         WHERE e.conv_id = q.conv_id AND e.tus < q.tus AND e.tus >= q.tus - {3 * US_D}) AS score_3d
+FROM t q WHERE q.role = 'user' AND CAST(SUBSTR(q.conv_id, 2) AS INT) % 5 = 0
+"""
+
+
 def _q_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-as-of trailing features on raw events — the pure-JVM fast path."""
     _configure(spark)
@@ -487,12 +531,16 @@ _FRONT_50 = [
     "vector_map_inputs",
     "serving_fetch_tiled",
     "stream_stats_tiles",
-    "curate_corpus",
+    # NEW this round: DSIR importance resampling (functions/dsir.py) — takes
+    # the slot curate_corpus (r3-green, unchanged; its stages all have rows)
+    "dsir_weights",
     "conf_backfill_resume",
     # the plain bucketed kernel changed post-gate too (the _grouped_kernel
     # non-null-scan fix rode in with the bucketed-tile commit) — fresh row
     "asof_bucketed_sum",
-    "embedding_clusters",
+    # NEW this round: bloom-filter key pushdown (operators/bloom.py) — takes
+    # the slot embedding_clusters (r3-green, unchanged, pytest-covered) held
+    "asof_prefilter_bloom",
 ]
 _FRONT_50 = _FRONT_50[:50]
 
@@ -508,6 +556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return _reorder(
         {
             "asof_join_features": _q_asof_features,
+            "asof_prefilter_bloom": _q_asof_bloom,
             "trailing_window_features": _q_trailing,
             "sessionize": _q_sessionize,
             "lag_lead": _q_lag_lead,
@@ -531,6 +580,7 @@ def oracle_sql() -> dict[str, str]:
     return _reorder(
         {
             "asof_join_features": _SQL_ASOF,
+            "asof_prefilter_bloom": _SQL_ASOF_BLOOM,
             "trailing_window_features": _SQL_TRAILING,
             "sessionize": _SQL_SESSIONIZE,
             "lag_lead": _SQL_LAG_LEAD,

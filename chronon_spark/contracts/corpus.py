@@ -1310,7 +1310,54 @@ FROM u
 """
 
 
+# ---------------------------------------------------------------- DSIR
+
+
+_DSIR_B = 1024
+
+
+def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023) of every document toward the
+    English slice of the corpus: hashed unigram+bigram multinomials fit on
+    target (lang='en') and raw (all docs), per-doc log-likelihood ratio.
+    Both model fits, the n_buckets-row broadcast join and the per-doc sum are
+    verified value-for-value by the oracle (md5 bucketing is portable)."""
+    from chronon_spark.functions.dsir import dsir_log_weights
+
+    d = _load_docs(spark, sf_dir)
+    return dsir_log_weights(d, d.where(F.col("lang") == "en"), "doc_id", "text", _DSIR_B)
+
+
+_SQL_DSIR_WEIGHTS = f"""
+WITH w AS (SELECT doc_id, lang, {_TOKS} AS ws FROM documents),
+f AS (SELECT doc_id, lang,
+             unnest(list_concat(
+               list_transform(ws, t -> ('0x' || substring(md5(t), 1, 15))::BIGINT % {_DSIR_B}),
+               [('0x' || substring(md5(ws[i] || ' ' || ws[i+1]), 1, 15))::BIGINT % {_DSIR_B}
+                for i in generate_series(1, len(ws) - 1)]
+             )) AS b
+      FROM w),
+tf AS (SELECT doc_id, lang, b, count(*) AS c FROM f GROUP BY 1, 2, 3),
+qcnt AS (SELECT b, sum(c)::BIGINT AS n FROM tf GROUP BY b),
+qtot AS (SELECT coalesce(sum(n), 0) + {_DSIR_B} AS t FROM qcnt),
+pcnt AS (SELECT b, sum(c)::BIGINT AS n FROM tf WHERE lang = 'en' GROUP BY b),
+ptot AS (SELECT coalesce(sum(n), 0) + {_DSIR_B} AS t FROM pcnt),
+buckets AS (SELECT range AS b FROM range({_DSIR_B})),
+model AS (SELECT bk.b,
+                 ln((coalesce(p.n, 0) + 1)::DOUBLE / ptot.t) AS lp,
+                 ln((coalesce(q.n, 0) + 1)::DOUBLE / qtot.t) AS lq
+          FROM buckets bk
+          LEFT JOIN pcnt p ON bk.b = p.b
+          LEFT JOIN qcnt q ON bk.b = q.b
+          CROSS JOIN ptot CROSS JOIN qtot),
+doc AS (SELECT tf.doc_id, sum(c)::BIGINT AS n_feats, sum(c * (lp - lq)) AS lw
+        FROM tf JOIN model ON tf.b = model.b GROUP BY 1)
+SELECT doc_id, n_feats, ROUND(lw + {NUDGE_6DP!r}, 6) + 0.0 AS log_weight FROM doc
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dsir_weights": _q_dsir_weights,
     "pii_scrub": _q_pii_scrub,
     "url_domains": _q_url_domains,
     "decontaminate": _q_decontaminate,
@@ -1348,6 +1395,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "dsir_weights": _SQL_DSIR_WEIGHTS,
     "pii_scrub": _pii_scrub_sql(),
     "url_domains": _url_domains_sql(),
     "decontaminate": _SQL_DECONTAMINATE,

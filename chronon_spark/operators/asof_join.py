@@ -105,11 +105,20 @@ def prefilter_right_keys(
       so row groups whose stats exclude the keys are never read.
     - ``'semi'`` — ``right LEFT SEMI JOIN broadcast(distinct left keys)``:
       no scan pushdown, but events are dropped before the cogroup shuffle.
+    - ``'bloom'`` — the reference's large-left mode (Join.scala:268-285):
+      a distributed bloom bitmap over the left key tuples, probed by an
+      Arrow-vectorized `mightContain` on the right scan. False positives
+      only pass extra events (dropped by the cogroup), so exactness is
+      preserved. Use past the broadcast budget (~10^7 distinct tuples).
     - ``'auto'`` — collect up to ``small_limit`` distinct keys; IN-list if the
       left is small, else semi-join.
     """
     left_keys = list(key_mapping.keys())
     right_keys = [key_mapping[k] for k in left_keys]
+    if mode == "bloom":
+        from chronon_spark.operators.bloom import bloom_filter_keys
+
+        return bloom_filter_keys(left, right, key_mapping)
     if mode in ("auto", "in"):
         rows = left.select(*left_keys).distinct().limit(small_limit + 1).collect()
         if len(rows) <= small_limit:

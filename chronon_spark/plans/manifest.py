@@ -85,6 +85,20 @@ def unfilled_partitions(
     return [p for p in all_parts if p not in done]
 
 
+def _parquet_rows(part_dir: str) -> int:
+    """Row count of a partition's live files from parquet footers only —
+    metadata reads (one footer per file), no Spark job, and still a real
+    read-back check: a missing/corrupt committed file raises here."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in os.listdir(part_dir):
+        if f.startswith((".", "_")) or not os.path.isfile(os.path.join(part_dir, f)):
+            continue
+        total += pq.read_metadata(os.path.join(part_dir, f)).num_rows
+    return total
+
+
 def run_partitioned_backfill(
     spark: SparkSession,
     events_path: str,
@@ -117,7 +131,10 @@ def run_partitioned_backfill(
     queries = spark.read.parquet(queries_path)
     if "ds" not in queries.columns:
         queries = queries.withColumn("ds", F.date_format(left_time_column, "yyyy-MM-dd"))
-    all_parts = [r[0] for r in queries.select("ds").distinct().orderBy("ds").collect()]
+    # one job yields both the partition list and the per-ds left-row counts
+    # the manifests record — NOT one count job per partition in the loop
+    ds_counts = {r[0]: r[1] for r in queries.groupBy("ds").count().collect()}
+    all_parts = sorted(ds_counts)
     if gb is not None:
         gb_hash = group_by_semantic_hash(gb)
         mw_ms = gb.max_window_millis
@@ -191,7 +208,9 @@ def run_partitioned_backfill(
         sink.insert_partitions(out, auto_expand=True, semantic_hash=gb_hash)
         if isinstance(sink, ManagedTable):
             part_path = os.path.join(out_path, f"ds={ds}")
-            n_out = spark.read.parquet(part_path).count()
+            # read-back validation from parquet footers: proves the committed
+            # files exist and are readable without a per-partition Spark job
+            n_out = _parquet_rows(part_path)
         else:
             part_path = f"{out_path}/ds={ds}"  # logical partition ref
             n_out = sink.read().where(F.col("ds") == ds).count()
@@ -203,7 +222,7 @@ def run_partitioned_backfill(
             "inputs": {
                 "events": {"path": events_path, "scan_max_exclusive": f"{ds}+1d",
                            "rewind_ms": mw_ms},
-                "queries": {"path": queries_path, "rows": q_part.count()},
+                "queries": {"path": queries_path, "rows": ds_counts[ds]},
             },
             "output": {"path": part_path, "rows": n_out},
             "spec": spec_meta,

@@ -39,6 +39,7 @@ BNLJ_ALLOWED = {
     "drift_numeric_lp",
     "tfidf_topk",
     "unigram_logppl",  # crossJoin(broadcast(1-row total)) — scalar attach, like tfidf
+    "dsir_weights",  # two crossJoin(broadcast(1-row smoothed totals)) — scalar attaches
 }
 
 # iterative/stateful queries execute eagerly inside (checkpoint/collect) —
