@@ -128,7 +128,7 @@ def _q_asof_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _transcripts(spark, sf_dir)
     left = (
         t.where(F.col("role") == "user")
-        .where(F.substring("conv_id", 2, 100).cast("int") % 5 == 0)
+        .where(F.substring("conv_id", 2, 100).cast("long") % 5 == 0)
         .select("conv_id", "turn_idx", "tus", "ts")
     )
     gb = GroupBy(
@@ -158,7 +158,7 @@ SELECT q.conv_id AS conv_id,
          WHERE e.conv_id = q.conv_id AND e.tus < q.tus AND e.tus >= q.tus - {7 * US_D}) AS turns_7d,
        (SELECT ROUND(SUM(e.score), 3) FROM t e
          WHERE e.conv_id = q.conv_id AND e.tus < q.tus AND e.tus >= q.tus - {3 * US_D}) AS score_3d
-FROM t q WHERE q.role = 'user' AND CAST(SUBSTR(q.conv_id, 2) AS INT) % 5 = 0
+FROM t q WHERE q.role = 'user' AND CAST(SUBSTR(q.conv_id, 2) AS BIGINT) % 5 = 0
 """
 
 
