@@ -206,6 +206,26 @@ class LoadedJoin:
     derivations: dict[str, str] | None = None
     row_ids: list[str] | None = None
     skew_keys: dict[str, list[str]] | None = None  # col -> excluded hot values
+    exec_conf: dict[str, str] | None = None  # metaData.executionInfo.conf, flattened
+
+    def prefilter_mode(self, left_rows: int | None = None) -> str | None:
+        """Key-pushdown mode the conf requests (reference knob parity,
+        catalog/TableUtils.scala:54-63 + Join.scala:268-285):
+
+        - ``spark.chronon.backfill.prefilter`` = in/semi/bloom/auto — explicit;
+        - ``spark.chronon.backfill.bloomfilter.threshold`` = N — bloom kicks in
+          automatically once the left side exceeds N rows (the reference's
+          default N is 1,000,000), else the exact small-mode/semi ``auto``.
+        Returns None when the conf asks for neither (pushdown stays opt-in).
+        """
+        ec = self.exec_conf or {}
+        explicit = ec.get("spark.chronon.backfill.prefilter")
+        if explicit:
+            return explicit
+        thr = ec.get("spark.chronon.backfill.bloomfilter.threshold")
+        if thr is not None and left_rows is not None:
+            return "bloom" if left_rows > int(thr) else "auto"
+        return None
 
     def bind(self, resolve: Callable[[str], DataFrame]) -> tuple[DataFrame, Join]:
         """Resolve every leg into (left DataFrame, api.Join) ready for
@@ -229,6 +249,20 @@ class LoadedJoin:
         )
 
 
+def _flatten_exec_conf(md: dict) -> dict[str, str] | None:
+    """metaData.executionInfo.conf, flattened one level: the reference's
+    ConfigProperties nests per-mode maps ({"common": {...}, "backfill":
+    {...}}); engine knobs are looked up by bare key regardless of mode."""
+    conf = ((md.get("executionInfo") or {}).get("conf")) or {}
+    flat: dict[str, str] = {}
+    for k, v in conf.items():
+        if isinstance(v, dict):
+            flat.update({str(kk): str(vv) for kk, vv in v.items()})
+        else:
+            flat[str(k)] = str(v)
+    return flat or None
+
+
 def parse_join(d: dict) -> LoadedJoin:
     parts = []
     for p in d.get("joinParts") or []:
@@ -241,6 +275,7 @@ def parse_join(d: dict) -> LoadedJoin:
         derivations=_derivations(d.get("derivations")),
         row_ids=list(d["rowIds"]) if d.get("rowIds") else None,
         skew_keys={k: list(v) for k, v in d["skewKeys"].items()} if d.get("skewKeys") else None,
+        exec_conf=_flatten_exec_conf(d.get("metaData") or {}),
     )
 
 
@@ -271,7 +306,12 @@ def backfill_join_conf(
         raise ValueError(f"{path} is a GroupBy conf; backfill_join_conf needs a Join")
     fn = resolve if callable(resolve) else (lambda t: resolve[t])
     left_df, join = conf.bind(fn)
-    return compute_join(left_df, join)
+    # conf-requested key pushdown; the row count for the bloom threshold is
+    # only paid when that knob is actually set
+    mode = conf.prefilter_mode()
+    if mode is None and (conf.exec_conf or {}).get("spark.chronon.backfill.bloomfilter.threshold"):
+        mode = conf.prefilter_mode(left_rows=left_df.count())
+    return compute_join(left_df, join, prefilter=mode)
 
 
 def run_conf_backfill(
@@ -313,7 +353,14 @@ def run_conf_backfill(
     if "ds" not in left.columns:
         left = left.withColumn("ds", F.date_format(tcol, "yyyy-MM-dd"))
     os.makedirs(checkpoint_dir, exist_ok=True)
-    all_ds = [r[0] for r in left.select("ds").distinct().orderBy("ds").collect()]
+    # one job yields the partition list AND the per-ds left-row counts the
+    # manifests record (same discipline as plans.manifest: no per-partition
+    # count jobs in the loop)
+    ds_counts = {r[0]: r[1] for r in left.groupBy("ds").count().collect()}
+    all_ds = sorted(ds_counts)
+    # conf-requested key pushdown: the bloom-threshold decision rides the
+    # ds-count job above (total left rows are already known — no extra job)
+    prefilter = conf.prefilter_mode(left_rows=sum(ds_counts.values()))
     gb_hash = join_semantic_hash(join)
     todo = unfilled_partitions(all_ds, checkpoint_dir, gb_hash)
     sink = managed_table(spark, out_path, partition_col="ds")
@@ -332,11 +379,14 @@ def run_conf_backfill(
                 lo = F.to_timestamp(F.lit(ds)) - F.expr(f"INTERVAL {mw // 1000} SECOND")
                 rdf = rdf.where(F.col(jp.group_by.time_column) >= lo)
             parts.append(replace(jp, right_df=rdf))
-        out = compute_join(q_part, replace(join, join_parts=parts))
+        out = compute_join(q_part, replace(join, join_parts=parts), prefilter=prefilter)
         sink.insert_partitions(out, auto_expand=True, semantic_hash=gb_hash)
         if isinstance(sink, ManagedTable):
+            from chronon_spark.plans.manifest import _parquet_rows
+
             part_path = os.path.join(out_path, f"ds={ds}")
-            n_out = spark.read.parquet(part_path).count()
+            # read-back validation from parquet footers — no Spark job
+            n_out = _parquet_rows(part_path)
         else:
             part_path = f"{out_path}/ds={ds}"
             n_out = sink.read().where(F.col("ds") == ds).count()
@@ -347,7 +397,7 @@ def run_conf_backfill(
             "semantic_hash": gb_hash,
             "inputs": {
                 "conf": {"path": path, "name": conf.name},
-                "left_rows": q_part.count(),
+                "left_rows": ds_counts[ds],
             },
             "output": {"path": part_path, "rows": n_out},
             "spec": {

@@ -159,3 +159,95 @@ def test_inline_conf_accuracy_keymapping_derivations(spark, tmp_path):
     # wheres filtered u2's 5.0 purchase (and -100h is outside nothing at 14d)
     assert out.loc["u2", "p_purchase_price_sum_14d"] == 7.0
     assert out.loc["u1", "dbl"] == out.loc["u1", "p_purchase_price_sum_14d"] * 2
+
+
+def _prefilter_conf(exec_conf: dict | None) -> dict:
+    """Minimal Join conf; optional executionInfo.conf engine knobs."""
+    md: dict = {"name": "test.join.prefilter"}
+    if exec_conf is not None:
+        md["executionInfo"] = {"conf": exec_conf}
+    return {
+        "metaData": md,
+        "left": {
+            "events": {
+                "table": "data.checkouts",
+                "query": {"selects": {"user_id": "user_id", "ts": "ts"}, "timeColumn": "ts"},
+            }
+        },
+        "joinParts": [
+            {
+                "groupBy": {
+                    "metaData": {"name": "test.purchases"},
+                    "sources": [
+                        {
+                            "events": {
+                                "table": "data.purchases",
+                                "query": {
+                                    "selects": {
+                                        "user_id": "user_id",
+                                        "purchase_price": "purchase_price",
+                                    },
+                                    "timeColumn": "ts",
+                                },
+                            }
+                        }
+                    ],
+                    "keyColumns": ["user_id"],
+                    "aggregations": [
+                        {
+                            "inputColumn": "purchase_price",
+                            "operation": 7,
+                            "argMap": {},
+                            "windows": [{"length": 14, "timeUnit": 1}],
+                        }
+                    ],
+                }
+            }
+        ],
+    }
+
+
+def test_conf_prefilter_knobs(spark, tmp_path):
+    """Reference knob parity (TableUtils.scala:54-63): an explicit
+    spark.chronon.backfill.prefilter mode and an auto bloom threshold both
+    produce rows identical to the unfiltered run."""
+    base = None
+    for exec_conf in (
+        None,
+        {"spark.chronon.backfill.prefilter": "semi"},
+        {"spark.chronon.backfill.prefilter": "bloom"},
+        # nested per-mode map form + threshold of 0: every left exceeds it
+        {"backfill": {"spark.chronon.backfill.bloomfilter.threshold": "0"}},
+        # threshold far above the left size: falls back to exact auto mode
+        {"spark.chronon.backfill.bloomfilter.threshold": "1000000"},
+    ):
+        path = str(tmp_path / f"conf_{id(exec_conf)}.json")
+        with open(path, "w") as f:
+            json.dump(_prefilter_conf(exec_conf), f)
+        out = (
+            backfill_join_conf(spark, path, _tables(spark))
+            .toPandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        if base is None:
+            base = out
+        else:
+            assert out.equals(base), f"prefilter conf {exec_conf} changed results"
+
+
+def test_conf_prefilter_mode_resolution():
+    lj = LoadedJoin(name="x", left=None, parts=[], exec_conf=None)
+    assert lj.prefilter_mode() is None and lj.prefilter_mode(left_rows=10**9) is None
+    lj = LoadedJoin(
+        name="x", left=None, parts=[],
+        exec_conf={"spark.chronon.backfill.bloomfilter.threshold": "1000000"},
+    )
+    assert lj.prefilter_mode(left_rows=10**6 + 1) == "bloom"
+    assert lj.prefilter_mode(left_rows=10**6) == "auto"
+    assert lj.prefilter_mode() is None  # unknown left size: no decision
+    lj = LoadedJoin(
+        name="x", left=None, parts=[],
+        exec_conf={"spark.chronon.backfill.prefilter": "in"},
+    )
+    assert lj.prefilter_mode() == "in"
