@@ -110,6 +110,9 @@ BENCH_QUERIES = [
     "stream_running",
     "stream_enrich_fetch",
     "stream_dedup_exact",
+    # added round 4 (late): bloom key pushdown + DSIR data selection
+    "asof_prefilter_bloom",
+    "dsir_weights",
 ]
 
 
