@@ -15,6 +15,7 @@ resolves tables through its catalog; we take ``table name -> DataFrame``).
 from __future__ import annotations
 
 import json
+import re
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -104,11 +105,15 @@ class LoadedSource:
     entity: bool = False  # entities source (snapshotTable)
     mutation_table: str | None = None
     join_source: "LoadedJoin | None" = None
+    time_expr: str | None = None  # non-identifier timeColumn, rendered AS ts
+    topic: bool = False  # source declares a streaming topic (accuracy inference)
 
     def bind(self, resolve: Callable[[str], DataFrame]) -> DataFrame:
         """Resolve the table and render selects/wheres. The time column is
         always carried through under its own name (the reference appends it
-        to the select list when rendering, GroupBy.scala renderDataSourceQuery)."""
+        to the select list when rendering, GroupBy.scala renderDataSourceQuery);
+        an EXPRESSION timeColumn is rendered aliased to the reference's
+        canonical `ts` (Constants.TimeColumn) since `expr AS expr` can't parse."""
         if self.join_source is not None:
             from chronon_spark.operators.asof_join import compute_join
 
@@ -117,13 +122,48 @@ class LoadedSource:
         else:
             df = resolve(self.table)
         q = self.query
-        if q.selects and self.time_column not in q.selects:
-            q = Query(
-                selects={**q.selects, self.time_column: self.time_column},
-                wheres=q.wheres,
-                setups=q.setups,
-            )
+        tc, te = self.time_column, self.time_expr
+        if q.selects:
+            if te or tc not in q.selects:
+                q = Query(
+                    selects={**q.selects, tc: te or tc},
+                    wheres=q.wheres,
+                    setups=q.setups,
+                )
+            return q.apply(df)
+        if te:
+            # select-* conf with an expression timeColumn: run setups/wheres
+            # on base columns, then materialize the canonical ts
+            from pyspark.sql import functions as F
+
+            for stmt in q.setups:
+                df.sparkSession.sql(stmt)
+            for w in q.wheres:
+                df = df.where(w)
+            return df.withColumn(tc, F.expr(te))
         return q.apply(df)
+
+
+_BARE_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _time_fields(q: dict) -> dict:
+    """timeColumn handling: a bare column name passes through; an EXPRESSION
+    (legal in the reference, e.g. 'created_at * 1000') is aliased to the
+    canonical `ts` at render time (the reference emits `<expr> as ts`,
+    Constants.TimeColumn)."""
+    tc = q.get("timeColumn") or "ts"
+    if _BARE_IDENT.match(tc):
+        return {"time_column": tc}
+    return {"time_column": "ts", "time_expr": tc}
+
+
+def _query_of(q: dict) -> Query:
+    return Query(
+        selects=q.get("selects"),
+        wheres=list(q.get("wheres") or []),
+        setups=list(q.get("setups") or []),
+    )
 
 
 def parse_source(d: dict) -> LoadedSource:
@@ -133,28 +173,30 @@ def parse_source(d: dict) -> LoadedSource:
         q = ev.get("query") or {}
         return LoadedSource(
             table=ev["table"],
-            query=Query(selects=q.get("selects"), wheres=list(q.get("wheres") or [])),
-            time_column=q.get("timeColumn") or "ts",
+            query=_query_of(q),
             cumulative=bool(ev.get("isCumulative")),
+            topic=bool(ev.get("topic")),
+            **_time_fields(q),
         )
     if "entities" in d:
         en = d["entities"]
         q = en.get("query") or {}
         return LoadedSource(
             table=en["snapshotTable"],
-            query=Query(selects=q.get("selects"), wheres=list(q.get("wheres") or [])),
-            time_column=q.get("timeColumn") or "ts",
+            query=_query_of(q),
             entity=True,
             mutation_table=en.get("mutationTable"),
+            topic=bool(en.get("mutationTopic")),
+            **_time_fields(q),
         )
     if "joinSource" in d:
         js = d["joinSource"]
         q = js.get("query") or {}
         return LoadedSource(
             table="",
-            query=Query(selects=q.get("selects"), wheres=list(q.get("wheres") or [])),
-            time_column=q.get("timeColumn") or "ts",
+            query=_query_of(q),
             join_source=parse_join(js["join"]),
+            **_time_fields(q),
         )
     raise ValueError(f"unsupported source shape: {sorted(d)} (events/entities/joinSource)")
 
@@ -184,8 +226,25 @@ class LoadedGroupBy:
 def parse_group_by(d: dict) -> LoadedGroupBy:
     sources = [parse_source(s) for s in d.get("sources") or []]
     time_col = sources[0].time_column if sources else "ts"
+    # a second source with a different effective time column would union in
+    # with its time field NULL (allowMissingColumns) and silently drop every
+    # one of its events from windows — refuse loudly instead
+    for s in sources[1:]:
+        if s.time_column != time_col:
+            raise ValueError(
+                f"multi-source GroupBy has mismatched time columns "
+                f"{time_col!r} vs {s.time_column!r}; alias them to one name "
+                f"in each source's selects (or use an expression timeColumn, "
+                f"which renders AS ts)"
+            )
     acc = d.get("accuracy")
-    accuracy = Accuracy.SNAPSHOT if acc in (1, "SNAPSHOT") else Accuracy.TEMPORAL
+    if acc is None:
+        # reference inference (Extensions.scala:572-580): explicit accuracy
+        # wins; otherwise TEMPORAL iff any source declares a streaming topic
+        # (events.topic / entities.mutationTopic), else SNAPSHOT
+        accuracy = Accuracy.TEMPORAL if any(s.topic for s in sources) else Accuracy.SNAPSHOT
+    else:
+        accuracy = Accuracy.SNAPSHOT if acc in (1, "SNAPSHOT") else Accuracy.TEMPORAL
     gb = GroupBy(
         keys=list(d["keyColumns"]),
         aggregations=[parse_aggregation(a) for a in d.get("aggregations") or []],
@@ -338,7 +397,9 @@ def run_conf_backfill(
     from chronon_spark.operators.asof_join import compute_join
     from chronon_spark.plans.manifest import (
         ENGINE_VERSION,
+        ds_of,
         join_semantic_hash,
+        time_range_filter,
         unfilled_partitions,
     )
     from chronon_spark.plans.table_lifecycle import ManagedTable, managed_table
@@ -351,16 +412,40 @@ def run_conf_backfill(
     tcol = join.left_time_column
     left = left_df
     if "ds" not in left.columns:
-        left = left.withColumn("ds", F.date_format(tcol, "yyyy-MM-dd"))
+        left = left.withColumn("ds", ds_of(left, tcol))
     os.makedirs(checkpoint_dir, exist_ok=True)
+    # null ds (null left time) has no point-in-time semantics: drop before
+    # planning — a None key would poison the sort and match no ds filter
+    left = left.where(F.col("ds").isNotNull())
     # one job yields the partition list AND the per-ds left-row counts the
     # manifests record (same discipline as plans.manifest: no per-partition
     # count jobs in the loop)
     ds_counts = {r[0]: r[1] for r in left.groupBy("ds").count().collect()}
     all_ds = sorted(ds_counts)
     # conf-requested key pushdown: the bloom-threshold decision rides the
-    # ds-count job above (total left rows are already known — no extra job)
+    # ds-count job above (total left rows are already known — no extra job).
+    # The filter is built ONCE per part from the FULL left — a superset of
+    # every per-ds left, so semantics-neutral — instead of per partition,
+    # which with bloom would re-run the count+bitmap jobs for every ds.
     prefilter = conf.prefilter_mode(left_rows=sum(ds_counts.values()))
+    if prefilter:
+        from chronon_spark.operators.asof_join import prefilter_right_keys
+
+        join = replace(
+            join,
+            join_parts=[
+                replace(
+                    jp,
+                    right_df=prefilter_right_keys(
+                        left,
+                        jp.right_df,
+                        jp.key_mapping or {k: k for k in jp.group_by.keys},
+                        mode=prefilter,
+                    ),
+                )
+                for jp in join.join_parts
+            ],
+        )
     gb_hash = join_semantic_hash(join)
     todo = unfilled_partitions(all_ds, checkpoint_dir, gb_hash)
     sink = managed_table(spark, out_path, partition_col="ds")
@@ -374,12 +459,12 @@ def run_conf_backfill(
         parts = []
         for jp in join.join_parts:
             mw = jp.group_by.max_window_millis
-            rdf = jp.right_df.where(F.col(jp.group_by.time_column) < hi)
+            lo = None
             if mw is not None:
                 lo = F.to_timestamp(F.lit(ds)) - F.expr(f"INTERVAL {mw // 1000} SECOND")
-                rdf = rdf.where(F.col(jp.group_by.time_column) >= lo)
+            rdf = time_range_filter(jp.right_df, jp.group_by.time_column, lo_ts=lo, hi_ts=hi)
             parts.append(replace(jp, right_df=rdf))
-        out = compute_join(q_part, replace(join, join_parts=parts), prefilter=prefilter)
+        out = compute_join(q_part, replace(join, join_parts=parts))
         sink.insert_partitions(out, auto_expand=True, semantic_hash=gb_hash)
         if isinstance(sink, ManagedTable):
             from chronon_spark.plans.manifest import _parquet_rows

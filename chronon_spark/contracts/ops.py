@@ -2046,6 +2046,9 @@ def _q_conf_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             {
                 "groupBy": {
                     "metaData": {"name": "contracts.turns_by_conv"},
+                    # explicit TEMPORAL: without it the reference's inference
+                    # (no streaming topic declared) would pick SNAPSHOT
+                    "accuracy": 0,
                     "keyColumns": ["conv_id"],
                     "sources": [
                         {

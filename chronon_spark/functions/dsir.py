@@ -92,6 +92,15 @@ def dsir_log_weights(
     Returns (id, n_feats, log_weight): log_weight = sum over the doc's
     feature buckets of log p_target(b) - log q_raw(b), display-rounded with
     the house dyadic nudge (summation order differs across engines ~1 ulp).
+
+    NULL-text contract: a document with NULL text has no features, so it
+    gets NO weight row and can never be selected (it also contributes
+    nothing to the q model) — the SQL mirror behaves identically (unnest of
+    a NULL list emits no rows). Filter or impute nulls upstream if every
+    raw doc must be representable; note this also means ``dsir_resample``
+    can return fewer than ``k`` rows when null-text docs shrink the pool.
+    Empty-string text IS kept (one '' token feature), like the other text
+    operators.
     """
     raw_tf = _bucket_counts(raw, id_col, text_col, n_buckets)
     p = _model(_bucket_counts(target, id_col, text_col, n_buckets), n_buckets, "__lp")

@@ -98,9 +98,12 @@ def build_bloom(
             _set_bits(bm, h, k)
         yield pa.RecordBatch.from_arrays([pa.array([bm.tobytes()])], ["bm"])
 
-    # coalesce bounds driver traffic to max_build_parts bitmaps (a no-op when
-    # the frame already has fewer partitions)
-    rows = keys_hashed.coalesce(max_build_parts).mapInArrow(_partial, "bm binary").collect()
+    # repartition (NOT coalesce) bounds driver traffic to max_build_parts
+    # bitmaps while keeping a shuffle boundary: coalesce would merge the
+    # upstream distinct's reduce stage down to 16 tasks, serializing the
+    # hash-dedup of a billion-key left on 16 cores; the repartition shuffle
+    # moves only 8-byte hashes
+    rows = keys_hashed.repartition(max_build_parts).mapInArrow(_partial, "bm binary").collect()
     out = np.zeros(words, dtype=np.uint64)
     for r in rows:
         out |= np.frombuffer(r["bm"], dtype=np.uint64)
@@ -140,8 +143,6 @@ def bloom_filter_keys(
         bm = np.frombuffer(bc.value, dtype=np.uint64)
         return pd.Series(_test_bits(bm, h.to_numpy(), k))
 
-    return (
-        right.withColumn("__h", F.xxhash64(*right_keys))
-        .where(might_contain(F.col("__h")))
-        .drop("__h")
-    )
+    # inline hash inside the predicate: no temp column, so a pre-existing
+    # right column named like one we'd add can never be clobbered
+    return right.where(might_contain(F.xxhash64(*right_keys)))

@@ -85,6 +85,36 @@ def unfilled_partitions(
     return [p for p in all_parts if p not in done]
 
 
+def ds_of(df, time_column: str):
+    """yyyy-MM-dd Column of an event-time column that may be timestamp(-ntz)
+    OR epoch-millis bigint (the reference's convention, GroupBy.scala:630 —
+    date_format on a raw bigint raises DATATYPE_MISMATCH)."""
+    t = dict(df.dtypes).get(time_column, "")
+    c = F.col(time_column)
+    if t in ("bigint", "int"):
+        c = F.timestamp_millis(c.cast("long"))
+    return F.date_format(c, "yyyy-MM-dd")
+
+
+def time_range_filter(df, time_column: str, lo_ts=None, hi_ts=None):
+    """Filter df to [lo_ts, hi_ts) where the bounds are TIMESTAMP Columns;
+    adapts the comparison for epoch-millis bigint time columns (comparing a
+    bigint to a timestamp literal raises, it does not coerce)."""
+    t = dict(df.dtypes).get(time_column, "")
+    c = F.col(time_column)
+    if t in ("bigint", "int"):
+        if lo_ts is not None:
+            df = df.where(c >= F.unix_millis(lo_ts))
+        if hi_ts is not None:
+            df = df.where(c < F.unix_millis(hi_ts))
+        return df
+    if lo_ts is not None:
+        df = df.where(c >= lo_ts)
+    if hi_ts is not None:
+        df = df.where(c < hi_ts)
+    return df
+
+
 def _parquet_rows(part_dir: str) -> int:
     """Row count of a partition's live files from parquet footers only —
     metadata reads (one footer per file), no Spark job, and still a real
@@ -130,7 +160,11 @@ def run_partitioned_backfill(
     events = spark.read.parquet(events_path)
     queries = spark.read.parquet(queries_path)
     if "ds" not in queries.columns:
-        queries = queries.withColumn("ds", F.date_format(left_time_column, "yyyy-MM-dd"))
+        queries = queries.withColumn("ds", ds_of(queries, left_time_column))
+    # a left row with null ds (null event time) belongs to no partition and
+    # has no point-in-time semantics — drop it BEFORE planning, or the None
+    # key would poison the partition sort and match no per-ds filter
+    queries = queries.where(F.col("ds").isNotNull())
     # one job yields both the partition list and the per-ds left-row counts
     # the manifests record — NOT one count job per partition in the loop
     ds_counts = {r[0]: r[1] for r in queries.groupBy("ds").count().collect()}
@@ -176,12 +210,11 @@ def run_partitioned_backfill(
         q_part = queries.where(F.col("ds") == ds)
         # window-rewind scan pruning: only events any window can reach
         # (reference: GroupBy.getIntersectedRange, GroupBy.scala:741-788)
-        ev = events
+        lo = None
         if mw_ms is not None:
             lo = F.to_timestamp(F.lit(ds)) - F.expr(f"INTERVAL {mw_ms // 1000} SECOND")
-            ev = ev.where(F.col(time_col) >= lo)
         hi = F.date_add(F.to_timestamp(F.lit(ds)), 1).cast("timestamp")
-        ev = ev.where(F.col(time_col) < hi)
+        ev = time_range_filter(events, time_col, lo_ts=lo, hi_ts=hi)
         if gb is not None:
             if strategy == "tiled":
                 from chronon_spark.operators.tiles import tiled_sawtooth_asof_join

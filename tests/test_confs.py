@@ -251,3 +251,174 @@ def test_conf_prefilter_mode_resolution():
         exec_conf={"spark.chronon.backfill.prefilter": "in"},
     )
     assert lj.prefilter_mode() == "in"
+
+
+def test_accuracy_inference_matches_reference():
+    """Extensions.scala:572-580: explicit accuracy wins; else TEMPORAL iff a
+    source declares a streaming topic, else SNAPSHOT."""
+    from chronon_spark.api import Accuracy
+    from chronon_spark.confs import parse_group_by
+
+    def gb(src_extra=None, acc=None):
+        src = {"table": "t", "query": {"timeColumn": "ts"}}
+        src.update(src_extra or {})
+        d = {
+            "metaData": {"name": "x"},
+            "sources": [{"events": src}],
+            "keyColumns": ["k"],
+            "aggregations": [{"inputColumn": "v", "operation": 7}],
+        }
+        if acc is not None:
+            d["accuracy"] = acc
+        return parse_group_by(d).group_by.accuracy
+
+    assert gb() is Accuracy.SNAPSHOT  # no topic -> snapshot
+    assert gb({"topic": "kafka://events"}) is Accuracy.TEMPORAL
+    assert gb(acc=0) is Accuracy.TEMPORAL  # explicit always wins
+    assert gb({"topic": "kafka://events"}, acc=1) is Accuracy.SNAPSHOT
+
+
+def test_time_column_expression_renders_as_ts(spark):
+    """An expression timeColumn (legal in the reference) is aliased to the
+    canonical `ts` instead of producing unparseable `expr AS expr`."""
+    from chronon_spark.confs import parse_source
+
+    src = parse_source(
+        {
+            "events": {
+                "table": "t",
+                "query": {
+                    "selects": {"uid": "user_id"},
+                    "timeColumn": "CAST(created_ms / 1000 AS TIMESTAMP)",
+                },
+            }
+        }
+    )
+    assert src.time_column == "ts" and src.time_expr
+    df = spark.createDataFrame([("u1", 1704844800000)], "user_id string, created_ms long")
+    out = src.bind(lambda t: df)
+    assert set(out.columns) == {"uid", "ts"}
+    assert out.collect()[0]["ts"] is not None
+    # select-* form materializes ts via withColumn
+    src2 = parse_source(
+        {"events": {"table": "t", "query": {"timeColumn": "CAST(created_ms / 1000 AS TIMESTAMP)"}}}
+    )
+    out2 = src2.bind(lambda t: df)
+    assert "ts" in out2.columns and "created_ms" in out2.columns
+
+
+def test_setups_are_executed(spark):
+    """Conf-declared setup SQL (UDF registration, GroupBy.scala:876) runs
+    before selects/wheres evaluate."""
+    from chronon_spark.confs import parse_source
+
+    src = parse_source(
+        {
+            "events": {
+                "table": "t",
+                "query": {
+                    "selects": {"doubled": "conf_dbl(v)", "ts": "ts"},
+                    "timeColumn": "ts",
+                    "setups": [
+                        "CREATE OR REPLACE TEMPORARY FUNCTION conf_dbl(v INT) RETURNS INT RETURN v * 2"
+                    ],
+                },
+            }
+        }
+    )
+    import datetime as dt
+
+    df = spark.createDataFrame([(21, dt.datetime(2024, 1, 1))], "v int, ts timestamp")
+    out = src.bind(lambda t: df)
+    assert out.collect()[0]["doubled"] == 42
+
+
+def test_multi_source_time_column_mismatch_raises():
+    from chronon_spark.confs import parse_group_by
+
+    d = {
+        "metaData": {"name": "x"},
+        "sources": [
+            {"events": {"table": "a", "query": {"timeColumn": "ts"}}},
+            {"events": {"table": "b", "query": {"timeColumn": "event_ts"}}},
+        ],
+        "keyColumns": ["k"],
+        "aggregations": [{"inputColumn": "v", "operation": 7}],
+    }
+    with pytest.raises(ValueError, match="mismatched time columns"):
+        parse_group_by(d)
+
+
+def test_conf_backfill_bigint_millis_and_null_ts(spark, tmp_path):
+    """run_conf_backfill on a conf whose time columns are epoch-millis BIGINT
+    (the reference's convention) — ds derivation and window pruning must
+    coerce; a null-time left row is excluded from partition planning."""
+    import json as _json
+
+    from chronon_spark.confs import run_conf_backfill
+
+    t0 = 1704844800000  # 2024-01-10 00:00:00 UTC
+    h = 3600_000
+    purchases = spark.createDataFrame(
+        [("u1", 10.0, t0 - 120 * h), ("u1", 20.0, t0 - 30 * h), ("u2", 7.0, t0 - 1 * h)],
+        "user_id string, purchase_price double, ts long",
+    )
+    checkouts = spark.createDataFrame(
+        [("u1", t0), ("u2", t0), ("u3", None)], "user_id string, ts long"
+    )
+    conf = {
+        "metaData": {"name": "test.bigint.join"},
+        "left": {
+            "events": {
+                "table": "data.checkouts",
+                "query": {"selects": {"user_id": "user_id", "ts": "ts"}, "timeColumn": "ts"},
+            }
+        },
+        "joinParts": [
+            {
+                "groupBy": {
+                    "metaData": {"name": "test.bigint.purchases"},
+                    "accuracy": 0,
+                    "sources": [
+                        {
+                            "events": {
+                                "table": "data.purchases",
+                                "query": {
+                                    "selects": {
+                                        "user_id": "user_id",
+                                        "purchase_price": "purchase_price",
+                                    },
+                                    "timeColumn": "ts",
+                                },
+                            }
+                        }
+                    ],
+                    "keyColumns": ["user_id"],
+                    "aggregations": [
+                        {
+                            "inputColumn": "purchase_price",
+                            "operation": 7,
+                            "windows": [{"length": 14, "timeUnit": 1}],
+                        }
+                    ],
+                }
+            }
+        ],
+    }
+    path = str(tmp_path / "conf.json")
+    with open(path, "w") as f:
+        _json.dump(conf, f)
+    res = run_conf_backfill(
+        spark,
+        path,
+        {"data.purchases": purchases, "data.checkouts": checkouts},
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    # u3's null-ts row is excluded from planning; u1+u2 land in one partition
+    assert res["partitions_total"] == 1 and res["rows_out"] == 2
+    from chronon_spark.plans.table_lifecycle import managed_table
+
+    out = managed_table(spark, str(tmp_path / "out")).read().toPandas().set_index("user_id")
+    assert out.loc["u1", "purchase_price_sum_14d"] == 30.0
+    assert out.loc["u2", "purchase_price_sum_14d"] == 7.0

@@ -117,3 +117,17 @@ def test_contract_query_matches_duckdb(spark, tmp_path):
     want = con.execute(_SQL_DSIR_WEIGHTS).df().sort_values("doc_id").reset_index(drop=True)
     assert got["n_feats"].tolist() == want["n_feats"].astype(int).tolist()
     assert got["log_weight"].tolist() == pytest.approx(want["log_weight"].tolist(), abs=1e-9)
+
+
+def test_null_text_docs_drop_consistently(spark):
+    """NULL-text docs get no weight row (documented contract), and the DuckDB
+    mirror drops them identically — no silent cross-engine divergence."""
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+
+    raw = spark.createDataFrame(
+        [(1, "the cat"), (2, None), (3, "the dog")], "doc_id long, text string"
+    )
+    tgt = spark.createDataFrame([(1, "the cat")], "doc_id long, text string")
+    got = dsir_log_weights(raw, tgt, n_buckets=B).toPandas()
+    assert sorted(got["doc_id"]) == [1, 3]  # null-text doc 2 absent

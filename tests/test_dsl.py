@@ -179,6 +179,9 @@ def test_join_source_chaining(spark):
 
     from pyspark.sql import functions as F
 
+    # accuracy is EXPLICIT temporal: with no streaming topic the loader now
+    # infers SNAPSHOT (reference Extensions.scala:572-580), and this test's
+    # expectations are point-in-time values
     parent_gb = dsl.GroupBy(
         name="test.purchases",
         sources=dsl.EventSource(
@@ -187,6 +190,7 @@ def test_join_source_chaining(spark):
         ),
         keys=["user_id"],
         aggregations=[dsl.Aggregation("purchase_price", dsl.Operation.SUM, windows=["14d"])],
+        accuracy=0,
     )
     parent = dsl.Join(
         name="test.parent",
@@ -205,6 +209,7 @@ def test_join_source_chaining(spark):
         ),
         keys=["uid"],
         aggregations=[dsl.Aggregation("feat", dsl.Operation.LAST)],
+        accuracy=0,
     )
     # the chained GroupBy's rendered source IS the parent backfill
     src = dsl.run_group_by(spark, chained_gb, _tables(spark))
