@@ -272,18 +272,27 @@ class LoadedJoin:
         catalog/TableUtils.scala:54-63 + Join.scala:268-285):
 
         - ``spark.chronon.backfill.prefilter`` = in/semi/bloom/auto — explicit;
-        - ``spark.chronon.backfill.bloomfilter.threshold`` = N — bloom kicks in
-          automatically once the left side exceeds N rows (the reference's
-          default N is 1,000,000), else the exact small-mode/semi ``auto``.
+        - ``spark.chronon.backfill.bloomfilter.threshold`` = N — bloom applies
+          when the left side is UNDER the threshold and small mode doesn't
+          (reference Join.scala:273 ``skipBloomFilter = runSmallMode ||
+          leftRowCount > threshold``; TableUtils.scala:62 "under this
+          threshold ... use bloomfilter"). Tiny lefts take the exact
+          small-mode/semi ``auto`` path (the reference's runSmallMode), and
+          lefts ABOVE the threshold get NO prefilter — the reference exempts
+          huge lefts because the bloom build itself would dominate.
         Returns None when the conf asks for neither (pushdown stays opt-in).
         """
+        from chronon_spark.operators.asof_join import SMALL_MODE_KEY_LIMIT
+
         ec = self.exec_conf or {}
         explicit = ec.get("spark.chronon.backfill.prefilter")
         if explicit:
             return explicit
         thr = ec.get("spark.chronon.backfill.bloomfilter.threshold")
         if thr is not None and left_rows is not None:
-            return "bloom" if left_rows > int(thr) else "auto"
+            if left_rows <= SMALL_MODE_KEY_LIMIT:
+                return "auto"  # runSmallMode: exact IN-list, bloom skipped
+            return "bloom" if left_rows <= int(thr) else None
         return None
 
     def bind(self, resolve: Callable[[str], DataFrame]) -> tuple[DataFrame, Join]:
@@ -311,10 +320,19 @@ class LoadedJoin:
 def _flatten_exec_conf(md: dict) -> dict[str, str] | None:
     """metaData.executionInfo.conf, flattened one level: the reference's
     ConfigProperties nests per-mode maps ({"common": {...}, "backfill":
-    {...}}); engine knobs are looked up by bare key regardless of mode."""
+    {...}}); engine knobs are looked up by bare key regardless of mode.
+    Precedence matches the reference's mode-over-common resolution: the
+    "common" map is merged FIRST so any mode-specific map (e.g. "backfill")
+    deterministically overrides a key present in both, regardless of JSON
+    key order."""
     conf = ((md.get("executionInfo") or {}).get("conf")) or {}
     flat: dict[str, str] = {}
+    common = conf.get("common")
+    if isinstance(common, dict):
+        flat.update({str(kk): str(vv) for kk, vv in common.items()})
     for k, v in conf.items():
+        if k == "common":
+            continue
         if isinstance(v, dict):
             flat.update({str(kk): str(vv) for kk, vv in v.items()})
         else:

@@ -1030,17 +1030,19 @@ def dedup_clusters(
     text_col: str,
     shingle_n: int = 3,
     threshold: float = 0.5,
-    algo: str = "propagate",
+    algo: str = "star",
 ) -> DataFrame:
     """Full keep-one-per-cluster dedup: exact n-gram-Jaccard near-dup pairs →
     connected components → ``(doc_id, cluster_id, is_canonical)`` for EVERY
     document (singletons are their own canonical cluster). Filtering
     ``is_canonical`` yields the deduplicated corpus.
 
-    ``algo``: "propagate" (min-label propagation — O(diameter) rounds, the
-    right default for near-dup graphs whose components are tiny dense
-    cliques) or "star" (large-star/small-star — O(log n) rounds, the path
-    for adversarial chain-shaped graphs); both produce identical labels
+    ``algo``: "star" (large-star/small-star, Kiveris et al. SoCC'14 —
+    O(log n) rounds, the DEFAULT: web-corpus duplicate graphs have
+    chain-shaped components from templated pages, where min-label
+    propagation's O(diameter) rounds each cost a Spark job plus a driver
+    convergence check) or "propagate" (min-label propagation — fine for
+    small graphs / tiny dense cliques); both produce identical labels
     (equivalence-tested)."""
     pairs = ngram_jaccard_pairs(df, id_col, text_col, shingle_n=shingle_n, threshold=threshold)
     cc_fn = connected_components_star if algo == "star" else connected_components

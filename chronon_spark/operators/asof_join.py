@@ -113,6 +113,11 @@ def prefilter_right_keys(
     - ``'auto'`` — collect up to ``small_limit`` distinct keys; IN-list if the
       left is small, else semi-join.
     """
+    if mode not in ("in", "semi", "bloom", "auto"):
+        raise ValueError(
+            f"unknown prefilter mode {mode!r}; expected one of 'in', 'semi', "
+            "'bloom', 'auto' (check spark.chronon.backfill.prefilter)"
+        )
     left_keys = list(key_mapping.keys())
     right_keys = [key_mapping[k] for k in left_keys]
     if mode == "bloom":

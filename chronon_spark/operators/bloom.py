@@ -1,8 +1,9 @@
-"""Bloom-filter key pushdown for as-of joins — the reference's large-left
-mode (Join.scala:268-285: left key set > smallModeNumRowsCutoff builds a
-BloomFilter per joinPart and injects `mightContain` into the right scan;
-threshold spark.chronon.backfill.bloomfilter.threshold = 1e6,
-catalog/TableUtils.scala:54-63).
+"""Bloom-filter key pushdown for as-of joins — the reference's mid-size-left
+mode (Join.scala:268-285: when small mode doesn't apply AND the left row
+count is UNDER spark.chronon.backfill.bloomfilter.threshold = 1e6, build a
+BloomFilter per joinPart and inject `mightContain` into the right scan;
+Join.scala:273 skips the bloom for lefts ABOVE the threshold — the build
+would dominate; catalog/TableUtils.scala:54-63).
 
 Spark-first shape, no per-row Python anywhere:
 

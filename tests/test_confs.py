@@ -216,9 +216,10 @@ def test_conf_prefilter_knobs(spark, tmp_path):
         None,
         {"spark.chronon.backfill.prefilter": "semi"},
         {"spark.chronon.backfill.prefilter": "bloom"},
-        # nested per-mode map form + threshold of 0: every left exceeds it
+        # nested per-mode map form + threshold of 0: every left exceeds it,
+        # so the reference SKIPS the bloom (no prefilter) — results identical
         {"backfill": {"spark.chronon.backfill.bloomfilter.threshold": "0"}},
-        # threshold far above the left size: falls back to exact auto mode
+        # threshold far above the left size: tiny left -> exact small mode
         {"spark.chronon.backfill.bloomfilter.threshold": "1000000"},
     ):
         path = str(tmp_path / f"conf_{id(exec_conf)}.json")
@@ -243,8 +244,12 @@ def test_conf_prefilter_mode_resolution():
         name="x", left=None, parts=[],
         exec_conf={"spark.chronon.backfill.bloomfilter.threshold": "1000000"},
     )
-    assert lj.prefilter_mode(left_rows=10**6 + 1) == "bloom"
-    assert lj.prefilter_mode(left_rows=10**6) == "auto"
+    # Reference semantics (Join.scala:273): skipBloomFilter = runSmallMode ||
+    # leftRowCount > threshold — bloom only UNDER the threshold; huge lefts
+    # get no prefilter; tiny lefts take exact small mode.
+    assert lj.prefilter_mode(left_rows=10**6 + 1) is None
+    assert lj.prefilter_mode(left_rows=10**6) == "bloom"
+    assert lj.prefilter_mode(left_rows=100) == "auto"  # runSmallMode
     assert lj.prefilter_mode() is None  # unknown left size: no decision
     lj = LoadedJoin(
         name="x", left=None, parts=[],

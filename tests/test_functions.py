@@ -456,6 +456,15 @@ def test_connected_components_star_equivalence(spark):
     assert got[999] == 999 and got[140] == 100
 
 
+def test_dedup_clusters_default_is_scale_safe():
+    # The O(log n) large-star/small-star algorithm must stay the DEFAULT:
+    # min-label propagation is O(component-diameter) Spark jobs, and web
+    # duplicate graphs have chain-shaped components (templated pages).
+    import inspect
+
+    assert inspect.signature(dedup.dedup_clusters).parameters["algo"].default == "star"
+
+
 def test_ngram_jaccard_max_df(docs):
     # the fully exact O(df²)-per-posting path is an EXPLICIT opt-in
     exact = {
