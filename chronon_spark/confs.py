@@ -397,6 +397,7 @@ def run_conf_backfill(
     resolve: Callable[[str], DataFrame] | dict[str, DataFrame],
     out_path: str,
     checkpoint_dir: str,
+    step_days: int = 30,
 ) -> dict:
     """Partitioned, checkpoint-resumable backfill of a compiled/DSL Join conf
     — the conf-shaped twin of ``plans.manifest.run_partitioned_backfill``
@@ -468,58 +469,81 @@ def run_conf_backfill(
     todo = unfilled_partitions(all_ds, checkpoint_dir, gb_hash)
     sink = managed_table(spark, out_path, partition_col="ds")
     total_out = 0
-    for ds in todo:
+    # stepDays chunking (manifest.contiguous_ranges; reference
+    # TableUtils.scala:403-499 + JoinBase.scala:347-368): one Spark job per
+    # contiguous run of up to step_days partitions; manifests stay per-ds so
+    # resume granularity is unchanged.
+    from chronon_spark.plans.manifest import _parquet_rows, contiguous_ranges
+
+    spec_meta = {
+        "join_parts": [
+            {"prefix": jp.prefix, "parts": [jp.out_name(p) for p in jp.group_by.parts()]}
+            for jp in join.join_parts
+        ],
+        "derivations": join.derivations,
+    }
+    for ds_range in contiguous_ranges(todo, step_days):
         t0 = _time.time()
-        q_part = left.where(F.col("ds") == ds)
+        ds_lo, ds_hi = ds_range[0], ds_range[-1]
+        q_part = left.where(F.col("ds").between(ds_lo, ds_hi))
         # per-part scan pruning (reference GroupBy.getIntersectedRange):
-        # each right frame keeps only rows its windows can reach from ds
-        hi = F.date_add(F.to_timestamp(F.lit(ds)), 1).cast("timestamp")
+        # each right frame keeps only rows its windows can reach from any
+        # day in the range
+        hi = F.date_add(F.to_timestamp(F.lit(ds_hi)), 1).cast("timestamp")
         parts = []
         for jp in join.join_parts:
             mw = jp.group_by.max_window_millis
             lo = None
             if mw is not None:
-                lo = F.to_timestamp(F.lit(ds)) - F.expr(f"INTERVAL {mw // 1000} SECOND")
+                lo = F.to_timestamp(F.lit(ds_lo)) - F.expr(f"INTERVAL {mw // 1000} SECOND")
             rdf = time_range_filter(jp.right_df, jp.group_by.time_column, lo_ts=lo, hi_ts=hi)
             parts.append(replace(jp, right_df=rdf))
         out = compute_join(q_part, replace(join, join_parts=parts))
         sink.insert_partitions(out, auto_expand=True, semantic_hash=gb_hash)
+        range_wall = round(_time.time() - t0, 3)
         if isinstance(sink, ManagedTable):
-            from chronon_spark.plans.manifest import _parquet_rows
-
-            part_path = os.path.join(out_path, f"ds={ds}")
             # read-back validation from parquet footers — no Spark job
-            n_out = _parquet_rows(part_path)
+            ds_out = {ds: _parquet_rows(os.path.join(out_path, f"ds={ds}")) for ds in ds_range}
+            part_paths = {ds: os.path.join(out_path, f"ds={ds}") for ds in ds_range}
         else:
-            part_path = f"{out_path}/ds={ds}"
-            n_out = sink.read().where(F.col("ds") == ds).count()
-        total_out += n_out
-        manifest = {
-            "ds": ds,
-            "engine_version": ENGINE_VERSION,
-            "semantic_hash": gb_hash,
-            "inputs": {
-                "conf": {"path": path, "name": conf.name},
-                "left_rows": ds_counts[ds],
-            },
-            "output": {"path": part_path, "rows": n_out},
-            "spec": {
-                "join_parts": [
-                    {"prefix": jp.prefix, "parts": [jp.out_name(p) for p in jp.group_by.parts()]}
-                    for jp in join.join_parts
-                ],
-                "derivations": join.derivations,
-            },
-            "stage_metrics": {"wall_sec": round(_time.time() - t0, 3)},
-            "completed_at_unix": int(_time.time()),
-        }
-        tmp = os.path.join(checkpoint_dir, f".{ds}.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump(manifest, f, indent=1)
-        os.replace(tmp, os.path.join(checkpoint_dir, f"{ds}.json"))
+            ds_out = {
+                r[0]: r[1]
+                for r in sink.read()
+                .where(F.col("ds").between(ds_lo, ds_hi))
+                .groupBy("ds")
+                .count()
+                .collect()
+            }
+            part_paths = {ds: f"{out_path}/ds={ds}" for ds in ds_range}
+        # manifests land only after the whole range's write committed
+        for ds in ds_range:
+            n_out = ds_out.get(ds, 0)
+            total_out += n_out
+            manifest = {
+                "ds": ds,
+                "engine_version": ENGINE_VERSION,
+                "semantic_hash": gb_hash,
+                "inputs": {
+                    "conf": {"path": path, "name": conf.name},
+                    "left_rows": ds_counts[ds],
+                },
+                "output": {"path": part_paths[ds], "rows": n_out},
+                "spec": spec_meta,
+                "stage_metrics": {
+                    "wall_sec": range_wall,
+                    "range": [ds_lo, ds_hi],
+                    "range_days": len(ds_range),
+                },
+                "completed_at_unix": int(_time.time()),
+            }
+            tmp = os.path.join(checkpoint_dir, f".{ds}.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump(manifest, f, indent=1)
+            os.replace(tmp, os.path.join(checkpoint_dir, f"{ds}.json"))
     return {
         "partitions_total": len(all_ds),
         "partitions_computed": len(todo),
         "partitions_skipped_resume": len(all_ds) - len(todo),
+        "ranges_computed": len(contiguous_ranges(todo, step_days)),
         "rows_out": total_out,
     }

@@ -119,6 +119,14 @@ def main(argv=None) -> int:
     )
     ap.add_argument("--master", default=None)
     ap.add_argument(
+        "--step-days",
+        type=int,
+        default=30,
+        help="fill contiguous unfilled partitions in chunks of up to this "
+        "many days per Spark job (reference stepDays, JoinBase.scala:347-368); "
+        "1 = one job per partition",
+    )
+    ap.add_argument(
         "--out-format",
         default=None,
         help="sink table format when --out is a catalog name (e.g. iceberg "
@@ -156,6 +164,7 @@ def main(argv=None) -> int:
         join_builder=join_builder,
         strategy=args.strategy,
         out_format=args.out_format,
+        step_days=args.step_days,
     )
     stats["wall_sec"] = round(time.time() - t0, 3)
     print(json.dumps(stats))

@@ -85,6 +85,38 @@ def unfilled_partitions(
     return [p for p in all_parts if p not in done]
 
 
+def contiguous_ranges(parts: list[str], step_days: int = 30) -> list[list[str]]:
+    """Chunk sorted yyyy-MM-dd partition strings into runs of CONSECUTIVE
+    calendar days, each run further split into chunks of at most
+    ``step_days`` — the reference's stepDays fill-planning
+    (catalog/TableUtils.scala:403-499 chunks unfilledRanges;
+    JoinBase.scala:347-368 runs one job per stepDays slice). One Spark job
+    then serves a whole chunk: a 3-year backfill becomes ~37 30-day jobs
+    instead of ~1,100 sequential per-day driver round-trips, with resume
+    granularity unchanged (manifests stay per-ds).
+
+    A gap in the date sequence always starts a new range — a range must be
+    contiguous so the range's [lo-rewind, hi+1d) event scan and BETWEEN left
+    filter describe exactly its days."""
+    import datetime as _dt
+
+    if step_days < 1:
+        raise ValueError(f"step_days must be >= 1, got {step_days}")
+    out: list[list[str]] = []
+    run: list[str] = []
+    prev = None
+    for ds in sorted(parts):
+        d = _dt.date.fromisoformat(ds)
+        if run and (prev is None or (d - prev).days != 1 or len(run) >= step_days):
+            out.append(run)
+            run = []
+        run.append(ds)
+        prev = d
+    if run:
+        out.append(run)
+    return out
+
+
 def ds_of(df, time_column: str):
     """yyyy-MM-dd Column of an event-time column that may be timestamp(-ntz)
     OR epoch-millis bigint (the reference's convention, GroupBy.scala:630 —
@@ -140,6 +172,7 @@ def run_partitioned_backfill(
     join_builder=None,
     strategy: str = "plain",
     out_format: str | None = None,
+    step_days: int = 30,
 ) -> dict:
     """Single-GroupBy (``gb``) or multi-part Join (``join_builder``: a
     callable DataFrame -> api.Join binding the pruned events slice as every
@@ -205,15 +238,23 @@ def run_partitioned_backfill(
     # writes through writeTo().overwritePartitions() + native snapshots
     sink = managed_table(spark, out_path, partition_col="ds", format=out_format)
     total_out = 0
-    for ds in todo:
+    # stepDays chunking (contiguous_ranges): ONE Spark job fills a whole
+    # contiguous run of up to step_days partitions — the per-row as-of
+    # semantics make the union of per-ds jobs and one range job identical
+    # (each left row only sees events in ITS OWN windows), so the only
+    # change is job count. Manifests stay per-ds: resume granularity and
+    # the kill/rerun contract are unchanged.
+    for ds_range in contiguous_ranges(todo, step_days):
         t0 = time.time()
-        q_part = queries.where(F.col("ds") == ds)
+        ds_lo, ds_hi = ds_range[0], ds_range[-1]
+        q_part = queries.where(F.col("ds").between(ds_lo, ds_hi))
         # window-rewind scan pruning: only events any window can reach
-        # (reference: GroupBy.getIntersectedRange, GroupBy.scala:741-788)
+        # from any day in the range (reference: GroupBy.getIntersectedRange,
+        # GroupBy.scala:741-788)
         lo = None
         if mw_ms is not None:
-            lo = F.to_timestamp(F.lit(ds)) - F.expr(f"INTERVAL {mw_ms // 1000} SECOND")
-        hi = F.date_add(F.to_timestamp(F.lit(ds)), 1).cast("timestamp")
+            lo = F.to_timestamp(F.lit(ds_lo)) - F.expr(f"INTERVAL {mw_ms // 1000} SECOND")
+        hi = F.date_add(F.to_timestamp(F.lit(ds_hi)), 1).cast("timestamp")
         ev = time_range_filter(events, time_col, lo_ts=lo, hi_ts=hi)
         if gb is not None:
             if strategy == "tiled":
@@ -237,39 +278,60 @@ def run_partitioned_backfill(
 
             out = compute_join(q_part, join_builder(ev))
         # lifecycle-managed sink: dynamic partition overwrite + auto-expand +
-        # archive when the spec hash changes (table_lifecycle.ManagedTable)
+        # archive when the spec hash changes (table_lifecycle.ManagedTable);
+        # one write commits every partition in the range
         sink.insert_partitions(out, auto_expand=True, semantic_hash=gb_hash)
+        range_wall = round(time.time() - t0, 3)
         if isinstance(sink, ManagedTable):
-            part_path = os.path.join(out_path, f"ds={ds}")
             # read-back validation from parquet footers: proves the committed
             # files exist and are readable without a per-partition Spark job
-            n_out = _parquet_rows(part_path)
+            ds_out = {ds: _parquet_rows(os.path.join(out_path, f"ds={ds}")) for ds in ds_range}
+            part_paths = {ds: os.path.join(out_path, f"ds={ds}") for ds in ds_range}
         else:
-            part_path = f"{out_path}/ds={ds}"  # logical partition ref
-            n_out = sink.read().where(F.col("ds") == ds).count()
-        total_out += n_out
-        manifest = {
-            "ds": ds,
-            "engine_version": ENGINE_VERSION,
-            "semantic_hash": gb_hash,
-            "inputs": {
-                "events": {"path": events_path, "scan_max_exclusive": f"{ds}+1d",
-                           "rewind_ms": mw_ms},
-                "queries": {"path": queries_path, "rows": ds_counts[ds]},
-            },
-            "output": {"path": part_path, "rows": n_out},
-            "spec": spec_meta,
-            "stage_metrics": {"wall_sec": round(time.time() - t0, 3)},
-            "completed_at_unix": int(time.time()),
-        }
-        tmp = os.path.join(checkpoint_dir, f".{ds}.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump(manifest, f, indent=1)
-        os.replace(tmp, os.path.join(checkpoint_dir, f"{ds}.json"))
+            # one count job per RANGE (not per partition)
+            ds_out = {
+                r[0]: r[1]
+                for r in sink.read()
+                .where(F.col("ds").between(ds_lo, ds_hi))
+                .groupBy("ds")
+                .count()
+                .collect()
+            }
+            part_paths = {ds: f"{out_path}/ds={ds}" for ds in ds_range}  # logical refs
+        # manifests land only after the WHOLE range's write committed
+        # (output-before-manifest = commit marker, same as the per-ds form)
+        for ds in ds_range:
+            n_out = ds_out.get(ds, 0)
+            total_out += n_out
+            manifest = {
+                "ds": ds,
+                "engine_version": ENGINE_VERSION,
+                "semantic_hash": gb_hash,
+                "inputs": {
+                    "events": {"path": events_path, "scan_max_exclusive": f"{ds}+1d",
+                               "rewind_ms": mw_ms},
+                    "queries": {"path": queries_path, "rows": ds_counts[ds]},
+                },
+                "output": {"path": part_paths[ds], "rows": n_out},
+                "spec": spec_meta,
+                "stage_metrics": {
+                    # wall_sec is the RANGE's job wall (shared by its days) —
+                    # field kept so partition_stats and older manifests agree
+                    "wall_sec": range_wall,
+                    "range": [ds_lo, ds_hi],
+                    "range_days": len(ds_range),
+                },
+                "completed_at_unix": int(time.time()),
+            }
+            tmp = os.path.join(checkpoint_dir, f".{ds}.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump(manifest, f, indent=1)
+            os.replace(tmp, os.path.join(checkpoint_dir, f"{ds}.json"))
     return {
         "partitions_total": len(all_parts),
         "partitions_computed": len(todo),
         "partitions_skipped_resume": skipped,
+        "ranges_computed": len(contiguous_ranges(todo, step_days)),
         "rows_out": total_out,
     }
 

@@ -176,7 +176,7 @@ def test_backfill_to_v2_iceberg_sink(spark, paths):
     try:
         stats = run_partitioned_backfill(
             spark, ev_p, q_p, tbl, str(root / "ckpt_v2"),
-            join_builder=_builder, out_format="iceberg",
+            join_builder=_builder, out_format="iceberg", step_days=1,
         )
         assert stats["partitions_computed"] == 2
         got = spark.read.table(tbl).toPandas()
@@ -197,9 +197,88 @@ def test_backfill_to_v2_iceberg_sink(spark, paths):
         # resume: nothing recomputes, no new snapshots
         again = run_partitioned_backfill(
             spark, ev_p, q_p, tbl, str(root / "ckpt_v2"),
-            join_builder=_builder, out_format="iceberg",
+            join_builder=_builder, out_format="iceberg", step_days=1,
         )
         assert again["partitions_computed"] == 0
         assert len(CatalogTable(spark, tbl, format="iceberg").snapshots()) == 2
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_contiguous_ranges_unit():
+    """stepDays fill planning (reference TableUtils.scala:403-499,
+    JoinBase.scala:347-368): consecutive days chunk together up to step_days;
+    any calendar gap starts a new range."""
+    from chronon_spark.plans.manifest import contiguous_ranges
+
+    days = ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-05", "2024-01-06"]
+    assert contiguous_ranges(days, 30) == [
+        ["2024-01-01", "2024-01-02", "2024-01-03"],
+        ["2024-01-05", "2024-01-06"],
+    ]
+    assert contiguous_ranges(days, 2) == [
+        ["2024-01-01", "2024-01-02"],
+        ["2024-01-03"],
+        ["2024-01-05", "2024-01-06"],
+    ]
+    assert contiguous_ranges(days, 1) == [[d] for d in days]
+    assert contiguous_ranges([], 30) == []
+    # month boundary is consecutive; year gap is not
+    assert contiguous_ranges(["2024-01-31", "2024-02-01"], 30) == [["2024-01-31", "2024-02-01"]]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        contiguous_ranges(days, 0)
+
+
+def test_step_days_chunking_equality_and_resume(spark, paths):
+    """A chunked run (one Spark job per contiguous range) writes byte-identical
+    rows to the per-day run, records per-ds manifests with range lineage, and
+    keeps kill/rerun resume at ds granularity."""
+    import json
+    import os
+
+    ev_p, q_p, root = paths
+    per_day = run_partitioned_backfill(
+        spark, ev_p, q_p, str(root / "out_d1"), str(root / "ckpt_d1"),
+        join_builder=_builder, step_days=1,
+    )
+    chunked = run_partitioned_backfill(
+        spark, ev_p, q_p, str(root / "out_d30"), str(root / "ckpt_d30"),
+        join_builder=_builder, step_days=30,
+    )
+    assert per_day["partitions_computed"] == chunked["partitions_computed"] == 2
+    assert per_day["ranges_computed"] == 2
+    assert chunked["ranges_computed"] == 1  # the 2 ds are consecutive days
+    a = spark.read.parquet(str(root / "out_d1")).toPandas()
+    b = spark.read.parquet(str(root / "out_d30")).toPandas()
+    cols = sorted(a.columns)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        a[cols].sort_values("query_id").reset_index(drop=True),
+        b[cols].sort_values("query_id").reset_index(drop=True),
+        check_like=True,
+    )
+    # per-ds manifests exist and carry the shared range lineage
+    manifests = sorted(f for f in os.listdir(root / "ckpt_d30") if f.endswith(".json"))
+    assert len(manifests) == 2
+    for fn in manifests:
+        with open(root / "ckpt_d30" / fn) as f:
+            m = json.load(f)
+        assert m["stage_metrics"]["range_days"] == 2
+        assert m["stage_metrics"]["range"][0] <= m["ds"] <= m["stage_metrics"]["range"][1]
+        assert m["output"]["rows"] > 0
+    # kill/rerun: dropping ONE manifest recomputes exactly that partition
+    os.remove(root / "ckpt_d30" / manifests[0])
+    again = run_partitioned_backfill(
+        spark, ev_p, q_p, str(root / "out_d30"), str(root / "ckpt_d30"),
+        join_builder=_builder, step_days=30,
+    )
+    assert again["partitions_computed"] == 1 and again["partitions_skipped_resume"] == 1
+    c = spark.read.parquet(str(root / "out_d30")).toPandas()
+    pd.testing.assert_frame_equal(
+        a[cols].sort_values("query_id").reset_index(drop=True),
+        c[cols].sort_values("query_id").reset_index(drop=True),
+        check_like=True,
+    )
