@@ -162,6 +162,61 @@ FROM t q WHERE q.role = 'user' AND CAST(SUBSTR(q.conv_id, 2) AS BIGINT) % 5 = 0
 """
 
 
+def _q_asof_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECIMAL(18,2) money aggregation through the exact unscaled-int64
+    rewrite (aggregators/decimal.py; reference ColumnAggregator.scala:279-423
+    Decimal dispatch): 16-significant-digit amounts whose windowed sums do
+    NOT fit float64, so the hash gate proves BigDecimal-parity exactness —
+    a double-based sum provably diverges on these values. Outputs stringify
+    the decimals so both engines hash the same canonical text."""
+    _configure(spark)
+    t = _transcripts(spark, sf_dir)
+    ev = t.withColumn(
+        "amount",
+        F.expr("CAST(99999999999000 + CAST(score AS DECIMAL(18,2)) AS DECIMAL(18,2))"),
+    )
+    left = ev.where(F.col("role") == "user").select("conv_id", "turn_idx", "tus", "ts")
+    gb = GroupBy(
+        keys=["conv_id"],
+        aggregations=[
+            Aggregation("amount", Op.SUM, windows=("7d",)),
+            Aggregation("amount", Op.MIN, windows=("7d",)),
+            Aggregation("amount", Op.MAX, windows=("7d",)),
+            Aggregation("amount", Op.UNIQUE_COUNT, windows=("7d",)),
+        ],
+        tie_breakers=["turn_idx"],
+    )
+    out = asof_join(left, ev, gb, coarse_buckets=256)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "tus",
+        F.col("amount_sum_7d").cast("string").alias("amount_sum_7d"),
+        F.col("amount_min_7d").cast("string").alias("amount_min_7d"),
+        F.col("amount_max_7d").cast("string").alias("amount_max_7d"),
+        F.col("amount_unique_count_7d").alias("amount_uniq_7d"),
+    )
+
+
+_SQL_ASOF_DECIMAL = f"""
+WITH t AS ({_DUCK_TRANSCRIPTS}),
+a AS (SELECT *, CAST(99999999999000 + CAST(score AS DECIMAL(18,2)) AS DECIMAL(18,2)) AS amount
+      FROM t)
+SELECT q.conv_id AS conv_id,
+       q.turn_idx AS turn_idx,
+       q.tus AS tus,
+       (SELECT CAST(CAST(SUM(e.amount) AS DECIMAL(38,2)) AS VARCHAR) FROM a e
+         WHERE e.conv_id = q.conv_id AND e.tus < q.tus AND e.tus >= q.tus - {7 * US_D}) AS amount_sum_7d,
+       (SELECT CAST(CAST(MIN(e.amount) AS DECIMAL(38,2)) AS VARCHAR) FROM a e
+         WHERE e.conv_id = q.conv_id AND e.tus < q.tus AND e.tus >= q.tus - {7 * US_D}) AS amount_min_7d,
+       (SELECT CAST(CAST(MAX(e.amount) AS DECIMAL(38,2)) AS VARCHAR) FROM a e
+         WHERE e.conv_id = q.conv_id AND e.tus < q.tus AND e.tus >= q.tus - {7 * US_D}) AS amount_max_7d,
+       (SELECT NULLIF(COUNT(DISTINCT e.amount), 0) FROM a e
+         WHERE e.conv_id = q.conv_id AND e.tus < q.tus AND e.tus >= q.tus - {7 * US_D}) AS amount_uniq_7d
+FROM a q WHERE q.role = 'user'
+"""
+
+
 def _q_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-as-of trailing features on raw events — the pure-JVM fast path."""
     _configure(spark)
@@ -557,6 +612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         {
             "asof_join_features": _q_asof_features,
             "asof_prefilter_bloom": _q_asof_bloom,
+            "asof_decimal_sum": _q_asof_decimal,
             "trailing_window_features": _q_trailing,
             "sessionize": _q_sessionize,
             "lag_lead": _q_lag_lead,
@@ -581,6 +637,7 @@ def oracle_sql() -> dict[str, str]:
         {
             "asof_join_features": _SQL_ASOF,
             "asof_prefilter_bloom": _SQL_ASOF_BLOOM,
+            "asof_decimal_sum": _SQL_ASOF_DECIMAL,
             "trailing_window_features": _SQL_TRAILING,
             "sessionize": _SQL_SESSIONIZE,
             "lag_lead": _SQL_LAG_LEAD,

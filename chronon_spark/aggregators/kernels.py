@@ -295,14 +295,39 @@ def compute_parts_multikey(
 
 def _to_numpy(s: pd.Series) -> np.ndarray:
     if isinstance(s, np.ndarray):
-        return s
+        return _from_object_decimals(s) if s.dtype == object else s
     if s.dtype.kind in ("i", "u", "f", "b", "M"):
         return s.to_numpy()
     # nullable extension or object
     try:
-        return s.to_numpy(dtype=np.float64, na_value=np.nan) if s.dtype.kind not in ("O", "S", "U") else s.to_numpy()
+        out = s.to_numpy(dtype=np.float64, na_value=np.nan) if s.dtype.kind not in ("O", "S", "U") else s.to_numpy()
     except (TypeError, ValueError):
-        return s.to_numpy()
+        out = s.to_numpy()
+    return _from_object_decimals(out) if out.dtype == object else out
+
+
+def _from_object_decimals(arr: np.ndarray) -> np.ndarray:
+    """Exact numeric recovery for object arrays of ``decimal.Decimal``.
+
+    The Decimal rewrite (aggregators/decimal.py) keeps its unscaled columns
+    DECIMAL(18,0) across the Arrow boundary ON PURPOSE: a nullable BIGINT
+    would land in pandas as float64 and silently corrupt values above 2^53.
+    Arrow surfaces decimals as boxed Decimals instead — here the null-free
+    compacted array converts integral decimals to int64 (exact; routes the
+    integral SUM kernel) and fractional ones to float64 (the reference's
+    bigDecimalToDouble upcast). Arrays containing nulls or non-decimals pass
+    through unchanged.
+    """
+    import decimal as _dec
+
+    if not len(arr) or not isinstance(arr[0], _dec.Decimal):
+        return arr
+    try:
+        if arr[0].as_tuple().exponent >= 0:
+            return arr.astype(np.int64)  # int(Decimal) per element — exact
+        return arr.astype(np.float64)
+    except (TypeError, ValueError, OverflowError, _dec.InvalidOperation):
+        return arr
 
 
 # ---------------------------------------------------------------- kernels

@@ -101,6 +101,25 @@ def analyze_group_by(right: DataFrame, gb: GroupBy, where: str = "group_by") -> 
             errors.append(
                 f"{where}: map-valued input {c!r} cannot feed order-sensitive op {agg.op.value}"
             )
+        edt = _elem_type(dt)
+        if isinstance(edt, T.DecimalType):
+            # Decimal dispatch parity (reference ColumnAggregator.scala:279-423
+            # + aggregators/decimal.py): exact ops ride the unscaled-int64
+            # rewrite (precision <= 18), moment ops upcast to double, the
+            # histogram/frequent family has no Decimal branch
+            from chronon_spark.aggregators.decimal import DOUBLE_OPS, EXACT_OPS
+
+            if edt.precision > 18:
+                errors.append(
+                    f"{where}: {c!r} is {edt.simpleString()} — precision > 18 does not fit "
+                    "the int64 unscaled representation the kernels use; project to DOUBLE "
+                    "(accepting bigDecimalToDouble rounding) or reduce precision"
+                )
+            elif agg.op not in EXACT_OPS and agg.op not in DOUBLE_OPS:
+                errors.append(
+                    f"{where}: op {agg.op.value} has no Decimal branch (reference "
+                    f"histogram/frequent mismatchException) — project {c!r} to STRING or LONG"
+                )
         for b in agg.buckets:
             if b not in fields:
                 errors.append(f"{where}: bucket column {b!r} not in input")

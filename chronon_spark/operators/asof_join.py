@@ -166,6 +166,19 @@ def asof_join(
     right_keys = [key_mapping[k] for k in left_keys]
     if set(right_keys) != set(gb.keys):
         raise ValueError(f"key_mapping values {right_keys} != group-by keys {gb.keys}")
+    # Decimal inputs: JVM-side rewrite to unscaled-int64 / double variants
+    # before the Arrow boundary (reference ColumnAggregator.scala:279-423
+    # Decimal dispatch), then rescale the outputs back — see aggregators/decimal.py
+    from chronon_spark.aggregators.decimal import rewrite_decimal_inputs
+
+    right_dec, gb_dec, dec_post = rewrite_decimal_inputs(right, gb)
+    if dec_post is not None:
+        out = asof_join(
+            left, right_dec, gb_dec, left_time_column=left_time_column,
+            key_mapping=key_mapping, prefix=prefix,
+            coarse_buckets=coarse_buckets, prefilter=prefilter,
+        )
+        return apply_derivations(dec_post(out, prefix), gb.derivations)
     if prefilter:
         right = prefilter_right_keys(left, right, key_mapping, mode=prefilter)
     if coarse_buckets == "auto":

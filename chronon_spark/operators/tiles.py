@@ -88,6 +88,7 @@ from pyspark.sql import DataFrame, functions as F, types as T
 from chronon_spark.aggregators.kernels import (
     _ColumnSeries,
     _flat_ranges,
+    _is_integral,
     _kernel,
     _prefix,
     _query_chunks,
@@ -258,8 +259,26 @@ def validate_tiled_spec(gb: GroupBy) -> list:
     return parts
 
 
+def integral_tile_cols(df: DataFrame) -> frozenset[str]:
+    """Columns whose tile SUM partial should stay exact-integer: integer
+    types and the Decimal rewrite's scale-0 decimals (aggregators/decimal.py).
+    Their ``__sum`` partials are cast DECIMAL(20,0) so they cross the
+    Arrow->pandas boundary as exact boxed Decimals — a nullable BIGINT would
+    arrive as float64 and corrupt unscaled values above 2^53."""
+    out = set()
+    for f in df.schema.fields:
+        t = f.dataType
+        if isinstance(t, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+            out.add(f.name)
+        elif isinstance(t, T.DecimalType) and t.scale == 0 and t.precision <= 18:
+            out.add(f.name)
+    return frozenset(out)
+
+
 def tile_agg_exprs(
-    need: dict[str, dict[str, int | None]], tie_cols: list[str]
+    need: dict[str, dict[str, int | None]],
+    tie_cols: list[str],
+    integral_sum_cols: frozenset[str] = frozenset(),
 ) -> tuple[list, list[str]]:
     """Per-column tile aggregation expressions over a frame that carries
     ``__ts_us`` + the input/tie columns. Shared by the batch tile builder and
@@ -282,7 +301,13 @@ def tile_agg_exprs(
         if "cnt" in stats:
             aggs.append(F.count(c).alias(f"{c}__cnt"))
         if "sum" in stats:
-            aggs.append(F.sum(c).alias(f"{c}__sum"))
+            if c in integral_sum_cols:
+                # DECIMAL(20,0) on purpose — exact across Arrow (see
+                # integral_tile_cols); the merge's integral branch reads it
+                # back as int64 losslessly
+                aggs.append(F.sum(c).cast("decimal(20,0)").alias(f"{c}__sum"))
+            else:
+                aggs.append(F.sum(c).alias(f"{c}__sum"))
         if "min" in stats:
             aggs.append(F.min(c).alias(f"{c}__min"))
         if "max" in stats:
@@ -337,7 +362,7 @@ def build_hop_tiles(
     tie_cols = [t for t in gb.tie_breakers if t in events.columns and t not in keys]
     head_cols = sorted(need) + [t for t in tie_cols if t not in need]
     hop_col = (F.col(_TS_US) / F.lit(hop_us)).cast("long")
-    aggs, hist_cols = tile_agg_exprs(need, tie_cols)
+    aggs, hist_cols = tile_agg_exprs(need, tie_cols, integral_tile_cols(r))
     if not aggs:  # every part bucketed/hist: keep a row-count anchor per tile
         aggs = [F.count(F.lit(1)).alias("__tile_rows")]
     tiles = (
@@ -521,6 +546,18 @@ def tiled_sawtooth_asof_join(
     keys and searchsorted in composite-index space resolves them at once.
     ``prefilter`` pushes the left key set into the right scan before the
     tile build (asof_join.prefilter_right_keys — IN-list or semi-join)."""
+    # Decimal inputs: JVM-side unscaled-int64/double rewrite before the tile
+    # build (see aggregators/decimal.py), rescaled back after
+    from chronon_spark.aggregators.decimal import rewrite_decimal_inputs
+
+    right_dec, gb_dec, dec_post = rewrite_decimal_inputs(right, gb)
+    if dec_post is not None:
+        out = tiled_sawtooth_asof_join(
+            left, right_dec, gb_dec, left_time_column=left_time_column,
+            key_mapping=key_mapping, prefix=prefix,
+            coarse_buckets=coarse_buckets, prefilter=prefilter,
+        )
+        return apply_derivations(dec_post(out, prefix), gb.derivations)
     parts = validate_tiled_spec(gb)
     hop_ms = min(tail_hop_millis(p.window.millis) for p in parts)
     hop_us = hop_ms * 1000
@@ -969,10 +1006,42 @@ def tiled_sawtooth_asof_join(
                 if p.op == Op.COUNT:
                     out[fname] = [None if v <= 0 else int(v) for v in n]
                     continue
+                if p.op == Op.SUM:
+                    integral = isinstance(part_output_type(p, right_types[c]), T.LongType)
+                    # exact int64 path: tile partials arrive as boxed Decimals
+                    # (integral_tile_cols cast) and heads as int64 — no float64
+                    # round-trip, so >2^53 sums (incl. the Decimal rewrite's
+                    # unscaled values) stay exact
+                    t_raw = tiles_pdf[f"{c}__sum"] if len(tiles_pdf) else None
+                    t_obj = t_raw is None or t_raw.dtype == object
+                    h_int = not len(hcs.vals) or _is_integral(hcs.vals)
+                    if integral and t_obj and h_int:
+                        if t_raw is not None:
+                            tl = np.fromiter(
+                                (0 if v is None else int(v) for v in t_raw.to_numpy()),
+                                np.int64,
+                                len(t_raw),
+                            )
+                        else:
+                            tl = np.empty(0, np.int64)
+                        pt = np.concatenate(([0], np.cumsum(tl)))
+                        ph = np.concatenate(
+                            ([0], np.cumsum(hcs.vals.astype(np.int64)))
+                        ) if len(hcs.vals) else np.zeros(1, np.int64)
+                        total_i = (pt[ts_idx_e] - pt[ts_idx_s]) + (ph[he] - ph[hs])
+                        out[fname] = [
+                            None if nv <= 0 else int(v) for v, nv in zip(total_i, n)
+                        ]
+                        continue
                 hvals = hcs.vals.astype(np.float64) if len(hcs.vals) else np.empty(0, np.float64)
-                sum_t = _range_sum(
-                    np.nan_to_num(tiles_pdf[f"{c}__sum"].to_numpy(np.float64)), ts_idx_s, ts_idx_e
-                )
+                t_sum_np = tiles_pdf[f"{c}__sum"].to_numpy() if len(tiles_pdf) else np.empty(0, object)
+                if t_sum_np.dtype == object:  # boxed decimals on the float path
+                    t_sum_np = np.array(
+                        [0.0 if v is None else float(v) for v in t_sum_np], np.float64
+                    )
+                else:
+                    t_sum_np = np.nan_to_num(t_sum_np.astype(np.float64))
+                sum_t = _range_sum(t_sum_np, ts_idx_s, ts_idx_e)
                 sum_h = _range_sum(hvals, hs, he)
                 total = sum_t + sum_h
                 if p.op == Op.SUM:
@@ -1017,7 +1086,9 @@ def tiled_sawtooth_asof_join(
                 take_min = p.op == Op.MIN
                 tcol = f"{c}__{'min' if take_min else 'max'}"
                 tmask = tiles_pdf[tcol].notna().to_numpy() if len(tiles_pdf) else np.empty(0, bool)
-                tt, tv = tcomp_all[tmask], tiles_pdf[tcol].to_numpy()[tmask]
+                # _to_numpy recovers exact int64 from boxed-Decimal tile
+                # partials (the Decimal rewrite's DECIMAL(18,0) columns)
+                tt, tv = tcomp_all[tmask], _to_numpy(tiles_pdf[tcol].to_numpy()[tmask])
                 s2 = np.searchsorted(tt, comp_w, side="left")
                 e2 = np.maximum(np.searchsorted(tt, comp_h, side="left"), s2)
                 part_t = _range_minmax(tv, s2, e2, take_min)

@@ -20,6 +20,12 @@ def part_output_type(part: AggregationPart, input_type: T.DataType) -> T.DataTyp
     map_input = isinstance(input_type, T.MapType)  # per-map-key aggregation
     if map_input:
         input_type = input_type.valueType
+    if isinstance(input_type, T.DecimalType) and input_type.scale == 0 and input_type.precision <= 18:
+        # the Decimal rewrite's unscaled representation (aggregators/
+        # decimal.py): semantically an int64, typed long through the kernels
+        # so the exact integral SUM path applies; the rewrite's post-step
+        # rescales back to DECIMAL(38, s)
+        input_type = T.LongType()
     op = part.op
     if op in (Op.COUNT, Op.UNIQUE_COUNT, Op.APPROX_UNIQUE_COUNT):
         base: T.DataType = T.LongType()
