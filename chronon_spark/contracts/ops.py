@@ -1754,6 +1754,76 @@ FROM q
 """
 
 
+def _q_serving_fetch_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving data path over a MUTATION/CDC source (the reference's
+    online mutation merge, SawtoothOnlineAggregator.scala:86-153): CDC rows
+    become a signed-delta event stream (operators/mutations.
+    mutations_to_deltas — before-images subtract, after-images add), batch
+    IRs are built from deltas at/under batchEnd, post-batch deltas ride the
+    streaming-side merge, and the fetched windowed net state must equal the
+    oracle's direct windowed delta replay at every (key, ts)."""
+    from chronon_spark.jobs.upload import build_batch_irs, fetch_features
+    from chronon_spark.operators.mutations import mutations_to_deltas
+
+    t = _transcripts(spark, sf_dir)
+    mutations = t.select(
+        "conv_id",
+        F.col("score").alias("balance"),
+        F.col("ts").alias("mutation_ts"),
+        (F.col("role") == "tool").alias("is_before"),
+    )
+    snapshot = spark.createDataFrame([], "conv_id string, balance double")
+    deltas = mutations_to_deltas(
+        snapshot, mutations, ["conv_id"], "balance", "2000-01-01"
+    ).select(
+        "conv_id",
+        F.col("__mts").alias("ts"),
+        (F.col("__sign") * F.col("__val")).alias("sv"),
+        F.col("__sign").cast("long").alias("sn"),
+    )
+    gb = GroupBy(
+        keys=["conv_id"],
+        aggregations=[
+            Aggregation("sv", Op.SUM, windows=("13d",)),
+            Aggregation("sn", Op.SUM, windows=("13d",)),
+        ],
+        sawtooth=True,
+    )
+    left = t.where(
+        (F.col("role") == "user")
+        & (F.col("tus") >= _BATCH_END_US)
+        & (F.col("tus") < _BATCH_END_US + 2 * US_D)
+    ).select("conv_id", "turn_idx", "tus", "ts")
+    irs = build_batch_irs(deltas, gb, _BATCH_END_US)
+    out = fetch_features(left, irs, deltas, gb, _BATCH_END_US)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "tus",
+        F.round(F.col("sv_sum_13d"), 3).alias("net_13d"),
+        # double on both sides: DuckDB's SUM(int) surfaces as float64 and the
+        # driver hashes raw dtypes (counts are small ints — exact in float64)
+        F.col("sn_sum_13d").cast("double").alias("n_net_13d"),
+    )
+
+
+_SQL_SERVING_FETCH_CDC = f"""
+WITH t AS ({_DUCK_T}),
+d AS (SELECT conv_id,
+             CASE WHEN role = 'tool' THEN -1 ELSE 1 END AS sign,
+             score AS val, tus AS mts
+      FROM t WHERE score IS NOT NULL),
+q AS (SELECT conv_id, turn_idx, tus FROM t
+      WHERE role = 'user' AND tus >= {_BATCH_END_US} AND tus < {_BATCH_END_US + 2 * US_D})
+SELECT q.conv_id AS conv_id, q.turn_idx AS turn_idx, q.tus AS tus,
+       (SELECT ROUND(SUM(e.sign * e.val), 3) FROM d e WHERE e.conv_id = q.conv_id
+         AND e.mts >= ((q.tus - {13 * US_D}) // {US_D}) * {US_D} AND e.mts < q.tus) AS net_13d,
+       (SELECT SUM(e.sign) FROM d e WHERE e.conv_id = q.conv_id
+         AND e.mts >= ((q.tus - {13 * US_D}) // {US_D}) * {US_D} AND e.mts < q.tus) AS n_net_13d
+FROM q
+"""
+
+
 # ---------------------------------------------------------------- staging query
 
 
@@ -2246,6 +2316,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multi_source_union": _q_multi_source,
     "join_multi_part": _q_multi_part,
     "entity_state_cdc": _q_entity_state,
+    "serving_fetch_cdc": _q_serving_fetch_cdc,
     "cumulative_events_scan": _q_cumulative,
     "chained_join_source": _q_chained,
     "join_snapshot_accuracy": _q_snap_acc,
@@ -2287,6 +2358,7 @@ ORACLES: dict[str, str] = {
     "multi_source_union": _SQL_MULTI_SOURCE,
     "join_multi_part": _SQL_MULTI_PART,
     "entity_state_cdc": _SQL_ENTITY_STATE,
+    "serving_fetch_cdc": _SQL_SERVING_FETCH_CDC,
     "cumulative_events_scan": _SQL_CUMULATIVE,
     "chained_join_source": _SQL_CHAINED,
     "join_snapshot_accuracy": _SQL_SNAP_ACC,

@@ -343,3 +343,44 @@ def test_tiled_fetch_min_max_only_column(spark, data):
     got = fetch_features_tiled(queries, irs, tiles, gb, BATCH_END_US, events_like=events).toPandas()
     want = asof_join(queries, events, gb).toPandas()
     assert_frames_allclose(got, want, sort_by=["query_id"])
+
+
+def test_fetch_cdc_deltas_match_backfill(spark, data):
+    """Mutation/CDC serving path (reference SawtoothOnlineAggregator mutation
+    merge): CDC rows become a signed-delta event stream
+    (mutations_to_deltas), batch IRs at batchEnd + post-batch streaming
+    deltas merged at fetch must equal the offline as-of over the full delta
+    stream at every (key, ts)."""
+    from chronon_spark.operators.mutations import mutations_to_deltas
+
+    ev, q = data
+    events = spark.createDataFrame(ev)
+    # odd turns are before-images (deletes), evens are inserts
+    mutations = events.select(
+        "conv_id",
+        F.col("n_chars").cast("double").alias("balance"),
+        F.col("ts").alias("mutation_ts"),
+        (F.col("turn_idx") % 2 == 1).alias("is_before"),
+    )
+    snapshot = spark.createDataFrame([], "conv_id string, balance double")
+    deltas = mutations_to_deltas(
+        snapshot, mutations, ["conv_id"], "balance", "2000-01-01"
+    ).select(
+        "conv_id",
+        F.col("__mts").alias("ts"),
+        (F.col("__sign") * F.col("__val")).alias("sv"),
+        F.col("__sign").cast("long").alias("sn"),
+    )
+    gb = GroupBy(
+        keys=["conv_id"],
+        aggregations=[
+            Aggregation("sv", Op.SUM, windows=("13d", "1d")),
+            Aggregation("sn", Op.SUM, windows=("13d",)),
+        ],
+        sawtooth=True,
+    )
+    queries = spark.createDataFrame(q)
+    irs = build_batch_irs(deltas, gb, BATCH_END_US)
+    got = fetch_features(queries, irs, deltas, gb, BATCH_END_US).toPandas()
+    want = asof_join(queries, deltas, gb).toPandas()
+    assert_frames_allclose(got, want, sort_by=["query_id"])
