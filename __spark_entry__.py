@@ -525,77 +525,71 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 registered queries, so
-# registration order IS coverage. Round-4 rotation discipline (VERDICT r3
+# registration order IS coverage. Round-5 rotation discipline (VERDICT r4
 # "Next round" #2): every query must have a green driver row within the last
-# two rounds. Layout: (a) ALL 33 queries whose latest green row is r02 — they
-# ride in front this round; (b) queries that are NEW or whose code changed
-# AFTER the r3 gate (catalog_table_v2; managed_table_lifecycle via the
-# staged-sink-commit change; dedup_ngram_jaccard + dedup_winnow_overlap via
-# the pruned-path default; entity_state_cdc via non-abelian replay;
-# sawtooth_tiled_bucketed via bucketed tile IRs; the three stream_* rows
-# added post-gate); (c) the remaining slots keep the most load-bearing
-# r3-green queries warm. Everything parked is r3-green, unchanged since,
-# and keeps its equivalence pytest.
+# two rounds. Layout: (a) the 2 queries NEW this round; (b) ALL 36 queries
+# whose latest green row is r03 (parked behind the r4 cap) — they ride in
+# front; (c) the 12 remaining slots go to r4-green queries whose CODE changed
+# this round: conf_backfill_resume (stepDays range chunking), the tiled
+# family + stream_stats_tiles (integral tile-SUM partials now cross Arrow as
+# DECIMAL(20,0) and merge in int64), entity_state_cdc (mutations feed the new
+# CDC fetch), and the load-bearing as-of quartet (the kernels' _to_numpy
+# gained the object-Decimal recovery path). Everything parked is r4-green
+# with behaviorally-inert diffs and keeps its equivalence pytest.
 _FRONT_50 = [
-    # (b) new / changed since the r3 gate — must land fresh rows
-    "catalog_table_v2",
-    "stream_running",
-    "stream_enrich_fetch",
-    "stream_dedup_exact",
-    "entity_state_cdc",
-    "sawtooth_tiled_bucketed",
-    "dedup_ngram_jaccard",
-    "dedup_winnow_overlap",
-    "managed_table_lifecycle",
-    # (a) the r2-parked set: latest green row is r02 — re-evidence them all
-    "trailing_window_features",
-    "tumbling_1d",
-    "hopping_1h_15m",
+    # (a) NEW this round
+    "asof_decimal_sum",   # exact Decimal aggregation (aggregators/decimal.py)
+    "serving_fetch_cdc",  # online fetch over mutation/CDC deltas
+    # (b) the r3-parked set — re-evidence all 36
+    "transcript_stats",
+    "modular_join_merge",
+    "staging_query_macros",
+    "role_transitions",
+    "bootstrap_covered",
+    "partition_stats_meta",
+    "twostack_trailing",
+    "chained_join_source",
+    "decontaminate",
+    "quality_topk_per_lang",
+    "doc_chunks",
+    "pack_bins",
+    "sample_split",
+    "stratified_lang_sample",
+    "corpus_mixture",
+    "doc_stats",
+    "repetition_quality",
+    "lang_quality",
+    "unigram_logppl",
+    "segment_dedup",
+    "segment_dedup_rewrite",
+    "curate_corpus",
+    "dedup_minhash_lsh",
+    "dedup_incremental",
+    "dedup_clusters",     # also changed: star CC is now the default
+    "dedup_simhash",
+    "embedding_topk",
+    "embedding_clusters",
+    "ann_ivf_trained",
+    "semdedup",
+    "embedding_near_dups",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "media_features",
+    "doc_fingerprints",
+    "tfidf_topk",
+    # (c) r4-green, code changed this round — fresh rows
+    "conf_backfill_resume",
     "sawtooth_13d_tiled",
-    "sawtooth_13d_sliced",
-    "sawtooth_13d_skew_split",
-    "serving_fetch",
     "sawtooth_tiled_rich",
-    "log_flatten",
-    "label_join_forward",
-    "external_contextual",
-    "compare_metrics_drift",
-    "asof_order_ops",
-    "asof_histogram_ops",
-    "asof_lifetime",
-    "multi_source_union",
-    "join_multi_part",
-    "cumulative_events_scan",
-    "join_snapshot_accuracy",
-    "stats_summary",
-    "drift_psi",
-    "drift_categorical_lp",
-    "drift_numeric_lp",
-    "drift_series",
-    "approx_sketch_daily",
-    "pii_scrub",
-    "url_domains",
-    "dedup_exact",
-    # (c) load-bearing r3-green continuity
+    "sawtooth_tiled_bucketed",
+    "serving_fetch_tiled",
+    "stream_stats_tiles",
+    "serving_fetch",
+    "entity_state_cdc",
     "asof_join_features",
-    "sessionize",
-    "lag_lead",
     "sawtooth_13d",
     "snapshot_daily",
     "asof_moments",
-    "vector_map_inputs",
-    "serving_fetch_tiled",
-    "stream_stats_tiles",
-    # NEW this round: DSIR importance resampling (functions/dsir.py) — takes
-    # the slot curate_corpus (r3-green, unchanged; its stages all have rows)
-    "dsir_weights",
-    "conf_backfill_resume",
-    # the plain bucketed kernel changed post-gate too (the _grouped_kernel
-    # non-null-scan fix rode in with the bucketed-tile commit) — fresh row
-    "asof_bucketed_sum",
-    # NEW this round: bloom-filter key pushdown (operators/bloom.py) — takes
-    # the slot embedding_clusters (r3-green, unchanged, pytest-covered) held
-    "asof_prefilter_bloom",
 ]
 _FRONT_50 = _FRONT_50[:50]
 

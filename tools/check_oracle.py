@@ -3,6 +3,18 @@ queries()[name] on Spark and oracle_sql()[name] on DuckDB at the given sf,
 compare row count, column set, and order-insensitive values.
 
 Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
+       [--shard=i/n] [--tolerate-ulp]
+
+--tolerate-ulp (SWEEP-ONLY policy; the default strict mode mimics the driver
+gate exactly): accepts a BOUNDED count of float rows — at most
+max(1, ceil(n * 1e-5)) per column — whose mismatch is exactly ONE display
+quantum (1e-3/1e-4/1e-6, the rounding precisions the contract queries use).
+Rationale: two engines computing the same kurtosis independently land ~1 ULP
+apart in the raw double; when that raw value straddles a ROUND() boundary the
+rounded outputs differ by one quantum. The expected straddle rate is
+delta/quantum (~1e-5 rows at sf1.0 magnitudes) and is irreducible under
+display rounding of independent engines; anything beyond the bound — in count
+OR in magnitude — still fails.
 """
 
 from __future__ import annotations
@@ -42,7 +54,9 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
 
 
-def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
+def compare(
+    name: str, got: pd.DataFrame, want: pd.DataFrame, tolerate_ulp: bool = False
+) -> list[str]:
     errs = []
     if len(got) != len(want):
         errs.append(f"rowcount {len(got)} != {len(want)}")
@@ -82,6 +96,26 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
             else:
                 same = (a.isna() & b.isna()) | (a == b)
             nbad = int((~same).sum())
+            if nbad and tolerate_ulp and a.dtype.kind == "f" and b.dtype.kind == "f":
+                # sweep-only display-quantum straddle policy (module
+                # docstring): tolerate at most ceil(n*1e-5) rows per column
+                # whose |diff| is exactly one ROUND() quantum
+                bad = (~same).to_numpy()
+                diff = np.abs(a.to_numpy()[bad] - b.to_numpy()[bad])
+                quanta = np.array([1e-3, 1e-4, 1e-6])
+                straddle = np.zeros(len(diff), bool)
+                finite = np.isfinite(diff)
+                straddle[finite] = np.any(
+                    np.abs(diff[finite, None] - quanta[None, :]) <= quanta[None, :] * 1e-3,
+                    axis=1,
+                )
+                budget = max(1, int(np.ceil(len(a) * 1e-5)))
+                if straddle.all() and nbad <= budget:
+                    print(
+                        f"  note {name}.{c}: {nbad} one-quantum display straddle row(s) "
+                        f"tolerated under --tolerate-ulp (budget {budget} of {len(a)})"
+                    )
+                    continue
             if nbad:
                 i = int(np.argmax(~same.to_numpy()))
                 errs.append(f"col {c}: {nbad} mismatches, e.g. row {i}: got={a.iloc[i]!r} want={b.iloc[i]!r}")
@@ -94,11 +128,15 @@ def main() -> int:
     # small-data so a single local[8] session leaves most cores idle.
     argv = list(sys.argv[1:])
     shard_i, shard_n = 0, 1
+    tolerate_ulp = False
     for a in list(argv):
         if a.startswith("--shard="):
             shard_i, shard_n = (int(x) for x in a.split("=", 1)[1].split("/"))
             if not (0 <= shard_i < shard_n):
                 raise SystemExit(f"--shard index must satisfy 0 <= i < n, got {shard_i}/{shard_n}")
+            argv.remove(a)
+        elif a == "--tolerate-ulp":
+            tolerate_ulp = True
             argv.remove(a)
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
@@ -131,7 +169,7 @@ def main() -> int:
             print(f"FAIL  {name}: duckdb raised {type(ex).__name__}: {ex}")
             failed.append(name)
             continue
-        errs = compare(name, got, want)
+        errs = compare(name, got, want, tolerate_ulp=tolerate_ulp)
         if errs:
             print(f"FAIL  {name}: " + "; ".join(errs))
             failed.append(name)
