@@ -113,6 +113,9 @@ BENCH_QUERIES = [
     # added round 4 (late): bloom key pushdown + DSIR data selection
     "asof_prefilter_bloom",
     "dsir_weights",
+    # added round 5: exact Decimal aggregation + CDC serving fetch
+    "asof_decimal_sum",
+    "serving_fetch_cdc",
 ]
 
 
