@@ -129,6 +129,7 @@ def main() -> int:
     argv = list(sys.argv[1:])
     shard_i, shard_n = 0, 1
     tolerate_ulp = False
+    engine_only = False
     for a in list(argv):
         if a.startswith("--shard="):
             shard_i, shard_n = (int(x) for x in a.split("=", 1)[1].split("/"))
@@ -137,6 +138,12 @@ def main() -> int:
             argv.remove(a)
         elif a == "--tolerate-ulp":
             tolerate_ulp = True
+            argv.remove(a)
+        elif a == "--engine-only":
+            # execute the Spark side only (rows + wall), skip the oracle —
+            # for the quadratic-oracle family at full sf1.0 (their sampled
+            # two-engine checks run on the gen_restricted.py twin instead)
+            engine_only = True
             argv.remove(a)
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
@@ -155,10 +162,17 @@ def main() -> int:
         if only and name not in only:
             continue
         try:
+            import time as _time
+
+            _t0 = _time.time()
             got = fn(spark, sf_dir).toPandas()
+            _wall = _time.time() - _t0
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL  {name}: spark raised {type(ex).__name__}: {ex}")
             failed.append(name)
+            continue
+        if engine_only:
+            print(f"engine-only OK    {name}: {len(got)} rows in {_wall:.1f}s")
             continue
         if name not in oracles:
             print(f"OK?   {name}: {len(got)} rows (no oracle — rows-only check)")
