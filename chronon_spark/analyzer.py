@@ -102,7 +102,10 @@ def analyze_group_by(right: DataFrame, gb: GroupBy, where: str = "group_by") -> 
                 f"{where}: map-valued input {c!r} cannot feed order-sensitive op {agg.op.value}"
             )
         edt = _elem_type(dt)
-        if isinstance(edt, T.DecimalType):
+        # scale-0 decimals with precision <= 18 are long-equivalent (the type
+        # layer reads them as int64 exactly) — every op that takes a long
+        # takes them; only fractional/high-precision decimals need dispatch
+        if isinstance(edt, T.DecimalType) and not (edt.scale == 0 and edt.precision <= 18):
             # Decimal dispatch parity (reference ColumnAggregator.scala:279-423
             # + aggregators/decimal.py): exact ops ride the unscaled-int64
             # rewrite (precision <= 18), moment ops upcast to double, the
