@@ -26,6 +26,13 @@ UNSCALED sum fits int64 (|sum| < 9.2e18 / 10^s in value terms — e.g.
 ~9.2e16 for DECIMAL(18,2) money); the reference's BigDecimal sum is
 unbounded. Precision > 18 is rejected with a clear message instead of a
 silent double cast.
+
+Related known limitation OUTSIDE the decimal path: a plain NULLABLE BIGINT
+aggregation input whose values exceed 2^53 loses exactness in the plain
+as-of head (the Arrow->pandas float64 conversion for int-with-null columns,
+the same mechanism this module routes around). Real agg inputs that large
+are rare (epoch-micros is ~1.8e15); project such a column to
+DECIMAL(18,0) to opt into the exact boxed path.
 """
 
 from __future__ import annotations
