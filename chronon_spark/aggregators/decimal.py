@@ -100,6 +100,23 @@ def rewrite_decimal_inputs(
         if isinstance(f.dataType, T.DecimalType)
     }
     used = {a.input_column for a in gb.aggregations}
+    # nested decimals (array<decimal> auto-explode / map<_,decimal> per-key)
+    # have no exact rewrite here and no reference dispatch branch either —
+    # refuse loudly instead of silently upcasting elements to float64
+    for f in right.schema.fields:
+        if f.name not in used:
+            continue
+        elem = (
+            f.dataType.elementType
+            if isinstance(f.dataType, T.ArrayType)
+            else f.dataType.valueType if isinstance(f.dataType, T.MapType) else None
+        )
+        if isinstance(elem, T.DecimalType) and not (elem.scale == 0 and elem.precision <= 18):
+            raise ValueError(
+                f"aggregation input {f.name!r} is {f.dataType.simpleString()}: nested "
+                "fractional decimals have no exact kernel path (and no reference dispatch "
+                "branch) — project the elements to DOUBLE or DECIMAL(p,0) in the source query"
+            )
     # scale-0 decimals with precision <= 18 are already kernel-native: the
     # type layer reads them as int64 (types.part_output_type + kernels.
     # _from_object_decimals), values are exact, and no rescale is needed —
@@ -173,10 +190,22 @@ def rewrite_decimal_inputs(
         for pn, po in part_pairs:
             src, dst = pre + pn.output_name, pre + po.output_name
             scale = targets[po.input_column].scale
-            if pn.input_column.endswith(_U) and pn.op in _RESCALE_SCALAR:
-                expr = F.expr(_rescale_sql(f"`{src}`", scale))
-            elif pn.input_column.endswith(_U) and pn.op in _RESCALE_LIST:
-                expr = F.expr(f"transform(`{src}`, x -> {_rescale_sql('x', scale)})")
+            unscaled = pn.input_column.endswith(_U)
+            if unscaled and pn.op in _RESCALE_SCALAR:
+                if pn.bucket:  # Map[bucket -> long] -> Map[bucket -> decimal]
+                    expr = F.expr(
+                        f"transform_values(`{src}`, (bk, x) -> {_rescale_sql('x', scale)})"
+                    )
+                else:
+                    expr = F.expr(_rescale_sql(f"`{src}`", scale))
+            elif unscaled and pn.op in _RESCALE_LIST:
+                if pn.bucket:  # Map[bucket -> array<long>] -> arrays of decimal
+                    expr = F.expr(
+                        f"transform_values(`{src}`, (bk, arr) -> "
+                        f"transform(arr, x -> {_rescale_sql('x', scale)}))"
+                    )
+                else:
+                    expr = F.expr(f"transform(`{src}`, x -> {_rescale_sql('x', scale)})")
             else:  # COUNT / UNIQUE_COUNT / double-upcast ops: rename only
                 expr = F.col(src)
             mapping[src] = (dst, expr)

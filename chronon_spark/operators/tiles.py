@@ -552,6 +552,22 @@ def tiled_sawtooth_asof_join(
 
     right_dec, gb_dec, dec_post = rewrite_decimal_inputs(right, gb)
     if dec_post is not None:
+        from chronon_spark.aggregators.decimal import EXACT_OPS, _U
+
+        bad = [
+            a
+            for a in gb_dec.aggregations
+            if a.buckets and a.input_column.endswith(_U) and a.op in EXACT_OPS
+        ]
+        if bad:
+            # bucketed tile partials are double-typed (per-bucket "sm"
+            # structs) — an unscaled int64 through them would silently lose
+            # cents above 2^53; the plain/sliced/skew strategies are exact
+            raise ValueError(
+                "bucketed Decimal aggregations are not supported on the tiled "
+                f"strategy (ops {sorted(a.op.value for a in bad)}) — use the "
+                "plain, sliced, or skew strategy, which keep them exact"
+            )
         out = tiled_sawtooth_asof_join(
             left, right_dec, gb_dec, left_time_column=left_time_column,
             key_mapping=key_mapping, prefix=prefix,

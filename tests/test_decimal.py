@@ -182,3 +182,59 @@ def test_decimal_guards(spark):
     assert any("precision > 18" in e for e in rep.errors)
     rep = analyze_group_by(ev18, gb_hist)
     assert any("no Decimal branch" in e for e in rep.errors)
+
+
+def test_decimal_bucketed_exact(spark):
+    """Map[bucket -> decimal] outputs rescale exactly (transform_values);
+    the tiled strategy rejects bucketed decimals instead of losing cents."""
+    rows = [
+        ("a", (pd.Timestamp("2024-01-01") + pd.Timedelta(hours=i)).to_pydatetime(),
+         "xy"[i % 2], Decimal("123456789012345.67") + Decimal(i))
+        for i in range(6)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        T.StructType([
+            T.StructField("k", T.StringType()), T.StructField("ts", T.TimestampType()),
+            T.StructField("b", T.StringType()), T.StructField("amt", T.DecimalType(18, 2)),
+        ]),
+    )
+    q = spark.createDataFrame(
+        [("a", pd.Timestamp("2024-01-01 23:00").to_pydatetime())], "k string, ts timestamp"
+    )
+    gb = GroupBy(
+        keys=["k"],
+        aggregations=[
+            Aggregation("amt", Op.SUM, windows=("1d",), buckets=("b",)),
+            Aggregation("amt", Op.LAST_K, windows=("1d",), k=2, buckets=("b",)),
+        ],
+    )
+    out = asof_join(q, ev, gb).collect()[0].asDict()
+    want = {bk: sum(r[3] for r in rows if r[2] == bk) for bk in "xy"}
+    assert out["amt_sum_1d_by_b"] == want
+    assert list(out["amt_last_k2_1d_by_b"]["y"]) == [rows[5][3], rows[3][3]]
+    from chronon_spark.operators.tiles import tiled_sawtooth_asof_join
+
+    gb_t = GroupBy(
+        keys=["k"],
+        aggregations=[Aggregation("amt", Op.SUM, windows=("1d",), buckets=("b",))],
+        sawtooth=True,
+    )
+    with pytest.raises(ValueError, match="bucketed Decimal"):
+        tiled_sawtooth_asof_join(q, ev, gb_t)
+
+
+def test_decimal_nested_inputs_rejected(spark):
+    ev = spark.createDataFrame(
+        [("a", pd.Timestamp("2024-01-01").to_pydatetime(), [Decimal("1.50")])],
+        T.StructType([
+            T.StructField("k", T.StringType()), T.StructField("ts", T.TimestampType()),
+            T.StructField("amts", T.ArrayType(T.DecimalType(18, 2))),
+        ]),
+    )
+    q = spark.createDataFrame(
+        [("a", pd.Timestamp("2024-01-02").to_pydatetime())], "k string, ts timestamp"
+    )
+    gb = GroupBy(keys=["k"], aggregations=[Aggregation("amts", Op.SUM)])
+    with pytest.raises(ValueError, match="nested fractional decimals"):
+        asof_join(q, ev, gb).collect()
