@@ -111,6 +111,23 @@ def build_batch_irs(
     value-count maps)."""
     parts = _check(gb)
     _check_alignment(parts, batch_end_ts_us)
+    # the serving IR path has no Decimal rewrite (aggregators/decimal.py is
+    # a batch as-of concern); a fractional decimal would silently round
+    # through the float64 IR columns — refuse with the exact alternatives
+    dec_bad = sorted(
+        {
+            f.name
+            for f in events.schema.fields
+            if f.name in {p.input_column for p in parts}
+            and isinstance(f.dataType, T.DecimalType)
+            and not (f.dataType.scale == 0 and f.dataType.precision <= 18)
+        }
+    )
+    if dec_bad:
+        raise ValueError(
+            f"batch-IR upload does not support fractional DECIMAL inputs {dec_bad} — "
+            "project to DECIMAL(p,0) (exact unscaled) or DOUBLE in the source query"
+        )
     buf_us = tail_buffer_ms * 1000
     ev = ensure_ts_us(events, gb.time_column).where(F.col(_TS_US) < batch_end_ts_us)
     for k in gb.keys:

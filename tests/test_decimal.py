@@ -238,3 +238,18 @@ def test_decimal_nested_inputs_rejected(spark):
     gb = GroupBy(keys=["k"], aggregations=[Aggregation("amts", Op.SUM)])
     with pytest.raises(ValueError, match="nested fractional decimals"):
         asof_join(q, ev, gb).collect()
+
+
+def test_decimal_upload_rejected(spark, frames):
+    """The serving IR path has no decimal rewrite — fractional decimal inputs
+    refuse loudly instead of rounding through the float64 IR columns."""
+    from chronon_spark.jobs.upload import build_batch_irs
+
+    ev, _, _ = frames
+    gb = GroupBy(
+        keys=["conv_id"],
+        aggregations=[Aggregation("amount", Op.SUM, windows=("3h",))],
+        sawtooth=True,
+    )
+    with pytest.raises(ValueError, match="fractional DECIMAL"):
+        build_batch_irs(ev, gb, 1_704_067_200_000_000)
